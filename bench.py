@@ -1,0 +1,101 @@
+"""Benchmark: offline render throughput on the BASELINE flagship graph.
+
+Config 4 from BASELINE.json: 64 voices (44.1 kHz buffers, cubic-resampled to
+48 kHz) -> partitioned convolver with a 2 s stereo IR -> master gain ->
+destination. Prints ONE JSON line:
+
+    {"metric": ..., "value": xRT, "unit": "x_realtime", "vs_baseline": ...}
+
+vs_baseline is measured against the driver-set target of 500x realtime on one
+TPU v5e chip (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+SECONDS = 30.0
+SR = 48000
+VOICES = 64
+TARGET_XRT = 500.0
+SUPERBLOCK = 32
+
+
+def build_graph():
+    import graphaudio_tpu as ga
+
+    rng = np.random.default_rng(42)
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=SUPERBLOCK)
+
+    master = ga.GainNode(ctx)
+    master.gain.value = 0.5
+
+    conv = ga.ConvolverNode(ctx)
+    ir_len = 2 * SR  # 2 s IR
+    decay = np.exp(-np.arange(ir_len) / (0.4 * SR))
+    ir_l = (rng.standard_normal(ir_len) * decay).astype(np.float32)
+    ir_r = (rng.standard_normal(ir_len) * decay).astype(np.float32)
+    conv.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(ir_l, ir_r, SR)
+
+    conv.connect(master).connect(ctx.destination)
+
+    buf_len = 2 * 44100
+    for v in range(VOICES):
+        sig = (rng.standard_normal(buf_len) * 0.05).astype(np.float32)
+        buf = ga.PlayableAudioBuffer.from_mono_array(sig, 44100)
+        src = ga.AudioBufferSourceNode(ctx)
+        src.buffer = buf
+        src.loop = True
+        src.playback_rate.value = 1.0  # touch -> cubic resampler path
+        src.connect(conv)
+        src.start(0)
+    return ctx
+
+
+def main():
+    t_setup = time.perf_counter()
+    ctx = build_graph()
+
+    frames = int(SECONDS * SR)
+    frames_per_step = SUPERBLOCK * 128
+    # Round to whole superblocks so warmup and the timed render reuse one
+    # compiled scan (jit retraces per scan length).
+    frames = (frames // frames_per_step) * frames_per_step
+    # Warmup: compile + run the full-length scan once (not timed; sources loop).
+    ctx.render(frames)
+    setup_s = time.perf_counter() - t_setup
+
+    t0 = time.perf_counter()
+    out = ctx.render(frames)
+    elapsed = time.perf_counter() - t0
+
+    rendered_seconds = out.shape[1] / SR
+    xrt = rendered_seconds / elapsed
+    n_quanta = out.shape[1] // 128
+    quantum_us = elapsed / n_quanta * 1e6
+
+    result = {
+        "metric": "offline_render_xrt_64voice_reverb",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / TARGET_XRT, 4),
+        "extra": {
+            "rendered_seconds": rendered_seconds,
+            "wall_seconds": round(elapsed, 4),
+            "p50_quantum_us": round(quantum_us, 3),
+            "voices": VOICES,
+            "ir_seconds": 2.0,
+            "superblock": SUPERBLOCK,
+            "setup_and_compile_seconds": round(setup_s, 1),
+            "output_rms": float(np.sqrt(np.mean(out.astype(np.float64) ** 2))),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

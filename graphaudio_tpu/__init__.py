@@ -1,0 +1,86 @@
+"""graphaudio_tpu — a TPU-native audio-graph rendering framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of GraphAudio
+(the-byte-bender/GraphAudio, a Web-Audio-API-style C# engine; see SURVEY.md):
+node graphs of sources, filters, and spatializers rendered in 128-frame quanta
+with sample-accurate parameter automation.
+
+Architecture (TPU-first, not a translation):
+  * Graphs are built on the host with an object API mirroring the reference's
+    node/param surface (``GraphAudio.Core/Nodes/AudioNode.cs``), then compiled
+    to a single jitted function over a pytree of node states.
+  * Offline rendering scans that function over "superblocks" of S render
+    quanta (``lax.scan``), so per-block Python/dispatch overhead vanishes and
+    XLA fuses the whole graph into a handful of TPU kernels.
+  * Hot DSP (partitioned-FFT convolution, biquad IIR, resampling, parameter
+    curve evaluation) is expressed as batched tensor ops / Pallas kernels.
+  * Clocks, phases, and playback positions use float64 (TPU-emulated, tiny
+    tensors) to match the reference's double-precision accumulators; audio is
+    float32.
+
+Import side effect: enables ``jax_enable_x64`` (required for sample-accurate
+clock arithmetic). All library arrays are explicitly dtyped, so f32 audio
+paths are unaffected.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK, DEFAULT_SAMPLE_RATE, MAX_CHANNELS
+from graphaudio_tpu.core.buffer import PlayableAudioBuffer
+from graphaudio_tpu.core.params import AudioParam, AutomationRate
+from graphaudio_tpu.core.node import (
+    AudioNode,
+    AudioNodeInput,
+    AudioNodeOutput,
+    ChannelCountMode,
+    ChannelInterpretation,
+)
+from graphaudio_tpu.core.context import AudioContextBase, OfflineAudioContext
+from graphaudio_tpu.nodes import (
+    AudioDestinationNode,
+    GainNode,
+    ConstantSourceNode,
+    OscillatorNode,
+    OscillatorType,
+    AudioBufferSourceNode,
+    BiQuadFilterNode,
+    FilterType,
+    DelayNode,
+    StereoPannerNode,
+    ChannelSplitterNode,
+    ChannelMergerNode,
+    ConvolverNode,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FRAMES_PER_BLOCK",
+    "DEFAULT_SAMPLE_RATE",
+    "MAX_CHANNELS",
+    "PlayableAudioBuffer",
+    "AudioParam",
+    "AutomationRate",
+    "AudioNode",
+    "AudioNodeInput",
+    "AudioNodeOutput",
+    "ChannelCountMode",
+    "ChannelInterpretation",
+    "AudioContextBase",
+    "OfflineAudioContext",
+    "AudioDestinationNode",
+    "GainNode",
+    "ConstantSourceNode",
+    "OscillatorNode",
+    "OscillatorType",
+    "AudioBufferSourceNode",
+    "BiQuadFilterNode",
+    "FilterType",
+    "DelayNode",
+    "StereoPannerNode",
+    "ChannelSplitterNode",
+    "ChannelMergerNode",
+    "ConvolverNode",
+]

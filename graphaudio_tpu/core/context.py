@@ -1,0 +1,354 @@
+"""Audio contexts: block clock, command queue, graph compilation, rendering.
+
+``AudioContextBase`` mirrors GraphAudio.Core/AudioContextBase.cs: the block
+clock (``current_time`` / ``current_block``), the destination node, the
+cross-thread command queue (``post`` / ``execute_or_post``), and graph walking
+(``get_all_nodes``). ``OfflineAudioContext`` mirrors
+GraphAudio.Core/OfflineAudioContext.cs: synchronous rendering of N frames with
+a partial-block carry cache.
+
+TPU execution model: the context compiles its node graph (see
+:mod:`graphaudio_tpu.core.graph`) into one jitted function over superblocks of
+S render quanta and keeps all node state as a pytree on the device between
+calls. Graph edits (connect/disconnect/param mutations) are applied at render
+boundaries — the functional-state analogue of the reference's
+render-thread-only mutation discipline (AudioContextBase.cs:266-305).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from graphaudio_tpu.core.constants import (
+    DEFAULT_SAMPLE_RATE,
+    DEFAULT_SUPERBLOCK,
+    FRAMES_PER_BLOCK,
+)
+from graphaudio_tpu.core.graph import CompiledGraph, StaticRenderInfo
+
+
+class AudioContextBase:
+    def __init__(
+        self,
+        sample_rate: int = DEFAULT_SAMPLE_RATE,
+        superblock: int = DEFAULT_SUPERBLOCK,
+    ):
+        if sample_rate <= 0:
+            raise ValueError("sample_rate must be positive")
+        if superblock <= 0:
+            raise ValueError("superblock must be positive")
+        self.sample_rate = int(sample_rate)
+        self.superblock = int(superblock)
+        self._nodes: Dict[int, object] = {}
+        self._pending: deque = deque()
+        self._topology_version = 0
+        self._compiled: Optional[CompiledGraph] = None
+        self._compiled_version = -1
+        self._render_fn = None
+        self._dest_channels = None
+        self._states = None
+        self._param_versions: Dict = {}
+        self._encs = None
+        self._current_frame = 0  # host-side absolute frame counter
+        self._disposed = False
+        self._disposing_callbacks: List[Callable] = []
+        self._step_count = 0
+
+        # Destination created last so subclass attributes exist first.
+        from graphaudio_tpu.nodes.destination import AudioDestinationNode
+
+        self.destination = AudioDestinationNode(self)
+
+    # -- clock (parity: AudioContextBase.cs:28,64-79,220-223) -----------------
+
+    @property
+    def current_time(self) -> float:
+        """Current render time in seconds."""
+        return self._current_frame / self.sample_rate
+
+    @property
+    def current_block(self) -> int:
+        return self._current_frame // FRAMES_PER_BLOCK
+
+    def frames_to_seconds(self, frames: int) -> float:
+        return frames / self.sample_rate
+
+    def seconds_to_frames(self, seconds: float) -> int:
+        return int(seconds * self.sample_rate)
+
+    # -- node registry ----------------------------------------------------------
+
+    def _register_node(self, node) -> None:
+        self._nodes[node.node_id] = node
+
+    def _unregister_node(self, node) -> None:
+        self._nodes.pop(node.node_id, None)
+        self._invalidate_topology()
+
+    def _invalidate_topology(self) -> None:
+        self._topology_version += 1
+
+    def get_all_nodes(self) -> List:
+        """All nodes reachable from the destination (AudioContextBase.cs:191-218)."""
+        seen = set()
+        result = []
+        stack = [self.destination]
+        while stack:
+            node = stack.pop()
+            if node.node_id in seen:
+                continue
+            seen.add(node.node_id)
+            result.append(node)
+            for inp in node.inputs:
+                for out in inp.connected_outputs:
+                    if out.owner.node_id not in seen:
+                        stack.append(out.owner)
+            for param in node.params.values():
+                for out in param._mod_outputs:
+                    if out.owner.node_id not in seen:
+                        stack.append(out.owner)
+        return result
+
+    # -- command queue (parity: AudioContextBase.cs:266-305) ------------------
+
+    def post(self, command: Callable) -> None:
+        """Enqueue a command to run at the next render boundary."""
+        if self._disposed:
+            raise RuntimeError("context is disposed")
+        self._pending.append(command)
+
+    def execute_or_post(self, command: Callable) -> None:
+        """Execute immediately when not mid-render, else enqueue.
+
+        Host-driven contexts are never observed mid-render (rendering is a
+        device-side scan), so this executes immediately; realtime contexts
+        override to enqueue from non-render threads.
+        """
+        if self._disposed:
+            raise RuntimeError("context is disposed")
+        command(self)
+
+    def _drain_commands(self) -> None:
+        while self._pending:
+            cmd = self._pending.popleft()
+            try:
+                cmd(self)
+            except Exception:
+                # Parity: the reference swallows command exceptions during
+                # drain (AudioContextBase.cs:276-283).
+                pass
+
+    # -- compilation & state management ------------------------------------------
+
+    @property
+    def static_info(self) -> StaticRenderInfo:
+        return StaticRenderInfo(self.sample_rate, self.superblock)
+
+    def _ensure_compiled(self) -> None:
+        if self._compiled is not None and self._compiled_version == self._topology_version:
+            return
+        old_states = self._states
+        self._compiled = CompiledGraph(self)
+        self._compiled_version = self._topology_version
+        self._render_fn, self._dest_channels = self._compiled.make_render_fn()
+        new_states = self._compiled.init_states()
+        for node in self._compiled.topo:
+            nid = node.node_id
+            if (
+                old_states
+                and nid in old_states
+                and _same_structure(old_states[nid], new_states[nid])
+            ):
+                # Preserve state of surviving nodes (graph edits must not
+                # reset delay lines / playback positions; parity with the
+                # reference where node state lives on the node).
+                new_states[nid] = old_states[nid]
+            else:
+                # Fresh state: apply any host-side overrides recorded before
+                # the node entered the compiled topology (e.g. start() called
+                # before connect()).
+                overrides = getattr(node, "_state_overrides", None)
+                if overrides:
+                    st = dict(new_states[nid])
+                    for k, v in overrides.items():
+                        if k in st:
+                            st[k] = np.asarray(v, dtype=np.asarray(st[k]).dtype)
+                    new_states[nid] = st
+        self._states = new_states
+        self._encs = None  # force re-encode against (possibly) new capacities
+        self._param_versions = {}
+
+    def _ensure_params_encoded(self) -> None:
+        dirty = self._encs is None
+        if not dirty:
+            for node in self._compiled.topo:
+                for name, p in node.params.items():
+                    if self._param_versions.get((node.node_id, name)) != p.version:
+                        dirty = True
+                        break
+                if dirty:
+                    break
+        if dirty:
+            self._encs = self._compiled.encode_params()
+            for node in self._compiled.topo:
+                for name, p in node.params.items():
+                    self._param_versions[(node.node_id, name)] = p.version
+
+    def update_node_state(self, node, **updates) -> None:
+        """Replace leaves of a node's carried state (host command helper).
+
+        Used by scheduled-source commands (start/stop) to write their
+        schedule into the functional state between render steps. Updates are
+        also recorded on the node so they survive (re)compilation — a source
+        may be scheduled before it is connected into the graph.
+        """
+        if not hasattr(node, "_state_overrides"):
+            node._state_overrides = {}
+        node._state_overrides.update(updates)
+        if self._states is not None and node.node_id in self._states:
+            st = dict(self._states[node.node_id])
+            for k, v in updates.items():
+                if k in st:
+                    st[k] = np.asarray(v, dtype=np.asarray(st[k]).dtype)
+            self._states[node.node_id] = st
+
+    def peek_node_state(self, node) -> Optional[dict]:
+        """Host view of a node's current state (device_get; for debugging/events)."""
+        if self._states is None or node.node_id not in self._states:
+            return None
+        return jax.device_get(self._states[node.node_id])
+
+    # -- rendering ------------------------------------------------------------
+
+    def _render_steps(self, n_steps: int) -> np.ndarray:
+        """Render ``n_steps`` superblocks; returns f32[channels, n_steps*S*128].
+
+        Drains pending commands first (parity: DrainCommands at block start,
+        AudioContextBase.cs:272), then runs the jitted scan on device.
+        """
+        if self._disposed:
+            raise RuntimeError("context is disposed")
+        self._drain_commands()
+        self._ensure_compiled()
+        self._ensure_params_encoded()
+
+        frames_per_step = self.superblock * FRAMES_PER_BLOCK
+        frame0s = self._current_frame + frames_per_step * np.arange(
+            n_steps, dtype=np.int64
+        )
+        self._states, out = self._render_fn(self._states, self._encs, frame0s)
+        self._current_frame += n_steps * frames_per_step
+        self._step_count += n_steps
+        out_np = np.asarray(jax.device_get(out))
+        self._notify_sources()
+        return out_np
+
+    def _notify_sources(self) -> None:
+        """Fire ended-events / self-disposal on scheduled sources."""
+        end_time = self.current_time
+        for node in list(self._compiled.topo):
+            if getattr(node, "wants_notify", False):
+                st = self._states.get(node.node_id)
+                if st is not None:
+                    node.notify_rendered(st, end_time)
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def on_disposing(self, callback: Callable) -> None:
+        """Parity: AudioContextBase.Disposing event (:241)."""
+        self._disposing_callbacks.append(callback)
+
+    def dispose(self) -> None:
+        if self._disposed:
+            return
+        for cb in self._disposing_callbacks:
+            try:
+                cb()
+            except Exception:
+                pass
+        self.destination.dispose()
+        self._disposed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.dispose()
+        return False
+
+
+def _same_structure(a, b) -> bool:
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    if ta != tb:
+        return False
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return all(
+        np.shape(x) == np.shape(y) and np.asarray(x).dtype == np.asarray(y).dtype
+        for x, y in zip(la, lb)
+    )
+
+
+class OfflineAudioContext(AudioContextBase):
+    """Non-realtime renderer (parity: GraphAudio.Core/OfflineAudioContext.cs:8).
+
+    ``render(frame_count)`` pulls exactly ``frame_count`` frames through the
+    graph. Rendering happens in superblocks; any excess frames are carried in
+    a host-side cache and served first on the next call, mirroring the
+    reference's partial-block carry (OfflineAudioContext.cs:55-101).
+    """
+
+    def __init__(
+        self,
+        sample_rate: int = DEFAULT_SAMPLE_RATE,
+        superblock: int = DEFAULT_SUPERBLOCK,
+    ):
+        super().__init__(sample_rate=sample_rate, superblock=superblock)
+        self._carry: Optional[np.ndarray] = None  # [C, n] leftover frames
+
+    def render(self, frame_count: int) -> np.ndarray:
+        """Render ``frame_count`` frames; returns f32[channels, frame_count]."""
+        if frame_count < 0:
+            raise ValueError("frame_count must be non-negative")
+        if frame_count == 0:
+            ch = self._carry.shape[0] if self._carry is not None else 2
+            return np.zeros((ch, 0), dtype=np.float32)
+
+        chunks = []
+        got = 0
+
+        if self._carry is not None and self._carry.shape[1] > 0:
+            take = min(frame_count, self._carry.shape[1])
+            chunks.append(self._carry[:, :take])
+            self._carry = self._carry[:, take:] if take < self._carry.shape[1] else None
+            got += take
+
+        remaining = frame_count - got
+        if remaining > 0:
+            frames_per_step = self.superblock * FRAMES_PER_BLOCK
+            n_steps = -(-remaining // frames_per_step)
+            out = self._render_steps(n_steps)
+            if out.shape[1] > remaining:
+                self._carry = out[:, remaining:].copy()
+                out = out[:, :remaining]
+            chunks.append(out)
+
+        if len(chunks) == 1:
+            return np.ascontiguousarray(chunks[0])
+        # Channel counts can differ between carried audio and a recompiled
+        # graph; pad to the widest (rare; only after topology edits).
+        width = max(c.shape[0] for c in chunks)
+        padded = []
+        for c in chunks:
+            if c.shape[0] < width:
+                c = np.vstack([c, np.zeros((width - c.shape[0], c.shape[1]), np.float32)])
+            padded.append(c)
+        return np.concatenate(padded, axis=1)
+
+    def render_seconds(self, seconds: float) -> np.ndarray:
+        return self.render(int(round(seconds * self.sample_rate)))

@@ -1,0 +1,109 @@
+"""Biquad filter node (parity: GraphAudio.Core/Nodes/BiQuadFilterNode.cs:10).
+
+Eight RBJ-cookbook filter types; a-rate ``frequency``/``q`` params, k-rate
+``gain`` (dB, shelving/peaking). The sequential per-sample IIR recurrence
+becomes a parallel associative scan (see ops/biquad.py).
+
+Documented deviation: the reference recomputes coefficients lazily when the
+frequency moved by >0.001 Hz / Q by >0.0001 (:126-134); this implementation
+computes coefficients every sample (identical for constant params, strictly
+more accurate for automated ones).
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
+from graphaudio_tpu.core.node import AudioNode
+from graphaudio_tpu.core.params import AutomationRate
+from graphaudio_tpu.ops.biquad import biquad_apply, rbj_coefficients
+
+
+class FilterType(enum.Enum):
+    """Parity: BiQuadFilterNode.cs:288-298."""
+
+    LOWPASS = "lowpass"
+    HIGHPASS = "highpass"
+    BANDPASS = "bandpass"
+    NOTCH = "notch"
+    ALLPASS = "allpass"
+    PEAKING = "peaking"
+    LOWSHELF = "lowshelf"
+    HIGHSHELF = "highshelf"
+
+
+class BiQuadFilterNode(AudioNode):
+    def __init__(self, context, type: FilterType = FilterType.LOWPASS):
+        super().__init__(context, input_count=1, output_count=1, name="BiQuadFilter")
+        self._type = type
+        self.frequency = self.create_audio_param(
+            "frequency",
+            1000.0,
+            min_value=1.0,
+            max_value=context.sample_rate / 2.0,
+            automation_rate=AutomationRate.A_RATE,
+        )
+        self.q = self.create_audio_param(
+            "Q", 1.0, min_value=0.001, max_value=1000.0,
+            automation_rate=AutomationRate.A_RATE,
+        )
+        # Constant frequency/Q compile a single-pass scan; the first scheduled
+        # event recompiles with the time-varying correction pass.
+        self.frequency.notify_first_event = True
+        self.q.notify_first_event = True
+        self.gain = self.create_audio_param(
+            "gain", 0.0, min_value=-60.0, max_value=60.0,
+            automation_rate=AutomationRate.K_RATE,
+        )
+        self._channels = 2
+
+    @property
+    def type(self) -> FilterType:
+        return self._type
+
+    @type.setter
+    def type(self, value: FilterType) -> None:
+        if value != self._type:
+            self._type = value
+            self._graph_changed()  # filter formulas are baked into the kernel
+
+    def output_channel_counts(self, input_channels):
+        c = input_channels[0] if input_channels else 2
+        self._channels = c
+        return [c]
+
+    def init_state(self, info):
+        return {
+            "w1": np.zeros((self._channels,), np.float32),
+            "w2": np.zeros((self._channels,), np.float32),
+        }
+
+    def process(self, state, inputs, params, rc):
+        x = inputs[0]
+        # Per-sample clamps mirror the in-loop clamps (BiQuadFilterNode.cs:123-124).
+        f = jnp.clip(
+            params["frequency"].per_sample(), 1.0, rc.sample_rate / 2.0
+        )
+        q = jnp.maximum(params["Q"].per_sample(), 0.001)
+        # k-rate gain: one value per 128-frame block, expanded per sample.
+        g = jnp.repeat(
+            params["gain"].per_block(), FRAMES_PER_BLOCK,
+            total_repeat_length=rc.frames,
+        )
+        coeffs = rbj_coefficients(self._type.value, f, q, g, rc.sample_rate)
+        # The correction pass for automated coefficients only compiles in when
+        # frequency/Q can actually vary (first event/modulation recompiles).
+        time_varying = bool(
+            self.frequency._had_events
+            or self.q._had_events
+            or self.frequency._mod_outputs
+            or self.q._mod_outputs
+        )
+        y, w1, w2 = biquad_apply(
+            x, coeffs, state["w1"], state["w2"], time_varying=time_varying
+        )
+        return {"w1": w1, "w2": w2}, [y]

@@ -1,0 +1,512 @@
+"""Source nodes: ConstantSource, Oscillator, AudioBufferSource.
+
+All three are scheduled sources (parity: IAudioScheduledSourceNode.cs:8-25):
+``start(when, offset, duration)`` is once-only, ``stop(when)`` is
+earliest-wins, and an ``ended`` event fires when playback finishes, after
+which the node disposes itself (OscillatorNode.cs:163-172,
+AudioBufferSourceNode.cs:378-389).
+
+TPU design: the schedule (start/stop times) lives in the node's functional
+state as float64 scalars; per-block and per-sample gating masks are computed
+inside the jitted kernel, so voice start/stop is a state update — not a
+recompile. Phase and playback positions are float64 carries, matching the
+reference's double accumulators (OscillatorNode.cs:16,
+AudioBufferSourceNode.cs:23).
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from typing import Callable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
+from graphaudio_tpu.core.node import AudioNode
+from graphaudio_tpu.core.params import AutomationRate
+from graphaudio_tpu.ops.resample import gather_resample
+
+_TWO_PI = 2.0 * math.pi
+_INF = float("inf")
+
+
+def _excl_cumsum(x):
+    return jnp.cumsum(x) - x
+
+
+class ScheduledSourceNode(AudioNode):
+    """Shared scheduling machinery for one-shot sources."""
+
+    wants_notify = True
+
+    def __init__(self, context, output_count: int, name: str):
+        super().__init__(context, input_count=0, output_count=output_count, name=name)
+        self._has_started = False
+        self._has_stopped = False
+        self._ended_raised = False
+        self._ended_callbacks: List[Callable] = []
+        self._host_stop_time = _INF  # host mirror of the scheduled stop
+
+    # -- events ---------------------------------------------------------------
+
+    def on_ended(self, callback: Callable) -> None:
+        """Subscribe to the ended event (parity: ``Ended`` event)."""
+        self._ended_callbacks.append(callback)
+
+    @property
+    def is_playing(self) -> bool:
+        return self._has_started and not self._ended_raised
+
+    # -- scheduling (parity: OscillatorNode.Start/Stop :55-89) ------------------
+
+    def _sched_state(self):
+        return {
+            "started": np.int32(0),
+            "start_time": np.float64(_INF),
+            "stop_time": np.float64(_INF),
+        }
+
+    def start(self, when: float = 0.0, offset: float = 0.0, duration: float = _INF):
+        if self._has_started:
+            raise RuntimeError(f"{self.name} can only be started once.")
+        self._has_started = True
+        start_time = max(0.0, when)
+        updates = {"started": 1, "start_time": start_time}
+        if math.isfinite(duration) and duration >= 0:
+            self._has_stopped = True
+            self._host_stop_time = start_time + duration
+            updates["stop_time"] = self._host_stop_time
+        self._on_start(updates, offset, duration)
+
+        def do(ctx):
+            ctx.update_node_state(self, **updates)
+
+        self.context.execute_or_post(do)
+        return self
+
+    def _on_start(self, updates: dict, offset: float, duration: float) -> None:
+        """Subclass hook to add state updates at start time."""
+
+    def stop(self, when: float = 0.0):
+        if self._has_stopped:
+            return self
+        self._has_stopped = True
+        # Earliest-wins (parity: OscillatorNode.Stop :76-89).
+        self._host_stop_time = min(self._host_stop_time, max(0.0, when))
+        stop_time = self._host_stop_time
+
+        def do(ctx):
+            ctx.update_node_state(self, stop_time=stop_time)
+
+        self.context.execute_or_post(do)
+        return self
+
+    # -- gating masks ---------------------------------------------------------
+
+    def _block_active(self, state, rc):
+        """[S] bool: block plays (t1 > start and t0 < stop), gated on started."""
+        started = state["started"] > 0
+        return started & (rc.block_end_times > state["start_time"]) & (
+            rc.block_times < state["stop_time"]
+        )
+
+    def _sample_gate(self, state, rc):
+        """[S, 128] bool: sample-accurate sub-block gate.
+
+        Parity: OscillatorNode.cs:104-118 / ConstantSourceNode gating —
+        startFrame = ceil((start-t0)*sr) when start falls inside the block,
+        endFrame = floor((stop-t0)*sr) when stop falls inside the block.
+        """
+        active = self._block_active(state, rc)
+        t0, t1 = rc.block_times, rc.block_end_times
+        sr = jnp.float64(rc.sample_rate)
+        start, stop = state["start_time"], state["stop_time"]
+        start_f = jnp.where(
+            (t0 < start) & (start < t1),
+            jnp.clip(jnp.ceil((start - t0) * sr), 0, FRAMES_PER_BLOCK),
+            0.0,
+        )
+        end_f = jnp.where(
+            jnp.isfinite(stop) & (t0 < stop) & (stop < t1),
+            jnp.clip(jnp.floor((stop - t0) * sr), 0, FRAMES_PER_BLOCK),
+            float(FRAMES_PER_BLOCK),
+        )
+        i = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64)
+        return active[:, None] & (i[None, :] >= start_f[:, None]) & (
+            i[None, :] < end_f[:, None]
+        )
+
+    # -- host-side ended handling ------------------------------------------------
+
+    def notify_rendered(self, state, end_time: float) -> None:
+        if self._ended_raised or not self._has_started:
+            return
+        stop_time = float(np.asarray(jnp_to_np(state["stop_time"])))
+        if math.isfinite(stop_time) and end_time >= stop_time:
+            self._ended_raised = True
+            for cb in self._ended_callbacks:
+                try:
+                    cb(self)
+                except Exception:
+                    pass
+            # Self-dispose (parity: OscillatorNode.cs:163-172).
+            self.dispose()
+
+
+def jnp_to_np(x):
+    return np.asarray(x)
+
+
+class ConstantSourceNode(ScheduledSourceNode):
+    """Emits the a-rate ``offset`` param (parity: ConstantSourceNode.cs:14).
+
+    Typically used as a modulation source connected to other nodes' params.
+    """
+
+    def __init__(self, context):
+        super().__init__(context, output_count=1, name="ConstantSource")
+        self.offset = self.create_audio_param(
+            "offset", 1.0, automation_rate=AutomationRate.A_RATE
+        )
+
+    def output_channel_counts(self, input_channels):
+        return [1]
+
+    def init_state(self, info):
+        return self._sched_state()
+
+    def process(self, state, inputs, params, rc):
+        gate = self._sample_gate(state, rc).reshape(-1)  # [T]
+        vals = params["offset"].per_sample()
+        out = jnp.where(gate, vals, 0.0)[None, :]
+        return state, [out]
+
+
+class OscillatorType(enum.Enum):
+    """Parity: OscillatorNode.cs:208-214."""
+
+    SINE = "sine"
+    SQUARE = "square"
+    SAWTOOTH = "sawtooth"
+    TRIANGLE = "triangle"
+
+
+class OscillatorNode(ScheduledSourceNode):
+    """Periodic waveform generator (parity: OscillatorNode.cs:12).
+
+    The reference accumulates a double phase per sample with a 2*pi wrap
+    (:139-148). Here the phase is a float64 cumulative sum of the gated
+    per-sample increments 2*pi*f/sr, wrapped with mod — identical within
+    double rounding because increments never exceed pi (f <= Nyquist).
+    """
+
+    def __init__(self, context, type: OscillatorType = OscillatorType.SINE):
+        super().__init__(context, output_count=1, name="Oscillator")
+        self._type = type
+        self.frequency = self.create_audio_param(
+            "frequency",
+            440.0,
+            min_value=0.0,
+            max_value=context.sample_rate / 2.0,
+            automation_rate=AutomationRate.A_RATE,
+        )
+
+    @property
+    def type(self) -> OscillatorType:
+        return self._type
+
+    @type.setter
+    def type(self, value: OscillatorType) -> None:
+        if value != self._type:
+            self._type = value
+            self._graph_changed()  # waveform is baked into the kernel
+
+    def output_channel_counts(self, input_channels):
+        return [1]
+
+    def init_state(self, info):
+        st = self._sched_state()
+        st["phase"] = np.float64(0.0)
+        return st
+
+    def _on_start(self, updates, offset, duration):
+        updates["phase"] = 0.0  # parity: OscillatorNode.cs:63
+
+    def process(self, state, inputs, params, rc):
+        gate = self._sample_gate(state, rc).reshape(-1)  # [T]
+        f = params["frequency"].per_sample().astype(jnp.float64)
+        inc = jnp.where(gate, _TWO_PI * f / rc.sample_rate, 0.0)
+        phase = jnp.mod(state["phase"] + _excl_cumsum(inc), _TWO_PI)
+
+        t = self._type
+        if t == OscillatorType.SINE:
+            wave = jnp.sin(phase)
+        elif t == OscillatorType.SQUARE:
+            wave = jnp.where(phase < math.pi, 1.0, -1.0)
+        elif t == OscillatorType.SAWTOOTH:
+            wave = 2.0 * (phase / _TWO_PI) - 1.0
+        else:  # TRIANGLE
+            u = phase / _TWO_PI
+            wave = 4.0 * jnp.abs(u - jnp.floor(u + 0.5)) - 1.0
+
+        out = jnp.where(gate, wave, 0.0).astype(jnp.float32)[None, :]
+        new_state = dict(state)
+        new_state["phase"] = jnp.mod(state["phase"] + jnp.sum(inc), _TWO_PI)
+        return new_state, [out]
+
+
+class AudioBufferSourceNode(ScheduledSourceNode):
+    """Scheduled playback of a PlayableAudioBuffer.
+
+    Parity: AudioBufferSourceNode.cs:13. Two kernels, selected statically:
+
+    * **Unity-rate path** (buffer rate == context rate and ``playback_rate``
+      never touched): exact block copies with loop wraparound and modulo
+      overshoot (reference :186-235), including the reference's behavior of
+      clearing the entire final block of a non-looping playback
+      (``!hasMoreData || pos >= durationEnd`` after ``pos += 128``, :360-368).
+
+    * **Resampling path**: the stateful CubicResampler loop (:236-358)
+      reformulated as closed-form positions x_j = x_0 + j*rate with 4-tap
+      Catmull-Rom gathers (see ops/resample.py). Known deviations from the
+      reference, documented: (a) blocks where the effective rate happens to
+      equal exactly 1.0 still use the resampler (the reference switches to the
+      copy path, which plays one sample earlier); (b) the final partial block
+      of a non-looping stream keeps its real samples (the reference sometimes
+      clears it).
+
+    Playback position and resample position are float64 (exact for any
+    realistic buffer length).
+    """
+
+    def __init__(self, context):
+        super().__init__(context, output_count=1, name="AudioBufferSource")
+        self._buffer = None
+        self._loop = False
+        self._loop_start = 0.0
+        self._loop_end = 0.0
+        self.playback_rate = self.create_audio_param(
+            "playbackRate",
+            1.0,
+            min_value=0.001,
+            max_value=1000.0,
+            automation_rate=AutomationRate.K_RATE,
+        )
+        # Pristine playbackRate enables the exact unity-rate kernel; first
+        # touch recompiles into the general resampling kernel.
+        self.playback_rate.notify_first_touch = True
+
+    # -- buffer & loop configuration -------------------------------------------
+
+    @property
+    def buffer(self):
+        return self._buffer
+
+    @buffer.setter
+    def buffer(self, value) -> None:
+        if self._has_started:
+            raise RuntimeError("Cannot change buffer after playback started")
+        self._buffer = value
+        self._graph_changed()  # sample data is baked into the kernel
+
+    @property
+    def loop(self) -> bool:
+        return self._loop
+
+    @loop.setter
+    def loop(self, value: bool) -> None:
+        self._loop = bool(value)
+        self._push_loop_state()
+
+    @property
+    def loop_start(self) -> float:
+        return self._loop_start
+
+    @loop_start.setter
+    def loop_start(self, value: float) -> None:
+        self._loop_start = max(0.0, value)
+        self._push_loop_state()
+
+    @property
+    def loop_end(self) -> float:
+        return self._loop_end
+
+    @loop_end.setter
+    def loop_end(self, value: float) -> None:
+        self._loop_end = max(0.0, value)
+        self._push_loop_state()
+
+    def _push_loop_state(self) -> None:
+        def do(ctx):
+            if ctx._states and self.node_id in ctx._states:
+                ctx.update_node_state(
+                    self,
+                    loop=1 if self._loop else 0,
+                    loop_start=self._loop_start,
+                    loop_end=self._loop_end,
+                )
+
+        self.context.execute_or_post(do)
+
+    def output_channel_counts(self, input_channels):
+        c = self._buffer.number_of_channels if self._buffer is not None else 1
+        return [c]
+
+    # -- state --------------------------------------------------------------------
+
+    def init_state(self, info):
+        st = self._sched_state()
+        st.update(
+            loop=np.int32(1 if self._loop else 0),
+            loop_start=np.float64(self._loop_start),
+            loop_end=np.float64(self._loop_end),
+            offset=np.float64(0.0),
+            duration=np.float64(_INF),
+            pos=np.float64(0.0),
+            x=np.float64(0.0),
+            primed=np.int32(0),
+        )
+        return st
+
+    def _on_start(self, updates, offset, duration):
+        if self._buffer is None:
+            raise RuntimeError("Cannot start without a buffer set")
+        if not self._buffer.is_initialized:
+            raise RuntimeError("Buffer is not initialized")
+        off = max(0.0, offset)
+        updates["offset"] = off
+        updates["duration"] = duration if duration >= 0 else _INF
+        # playbackPosition = offset * buffer rate (AudioBufferSourceNode.cs:96)
+        updates["pos"] = float(int(off * self._buffer.sample_rate))
+        updates["primed"] = 0
+
+    # -- kernel -----------------------------------------------------------------
+
+    def _static_unity_rate(self, rc) -> bool:
+        return (
+            self._buffer is not None
+            and self._buffer.sample_rate == rc.sample_rate
+            and not self.playback_rate.touched
+        )
+
+    def _frame_bounds(self, state, buffer_rate: float, length: int):
+        """Loop/duration frame bounds (f64), parity :171-182."""
+        br = jnp.float64(buffer_rate)
+        lsf = jnp.trunc(state["loop_start"] * br)
+        lef = jnp.where(
+            state["loop_end"] > 0.0, jnp.trunc(state["loop_end"] * br), float(length)
+        )
+        lef = jnp.minimum(lef, float(length))
+        lsf = jnp.minimum(lsf, lef)
+        llen = lef - lsf
+        de = jnp.where(
+            jnp.isfinite(state["duration"]),
+            jnp.trunc(state["offset"] * br) + jnp.trunc(state["duration"] * br),
+            float(length),
+        )
+        de = jnp.minimum(de, float(length))
+        looping = (state["loop"] > 0) & (llen > 0.0)
+        return lsf, lef, llen, de, looping
+
+    def process(self, state, inputs, params, rc):
+        if self._buffer is None:
+            return state, [jnp.zeros((1, rc.frames), jnp.float32)]
+        data = jnp.asarray(self._buffer.data)  # [C, L] closure constant
+        if self._static_unity_rate(rc):
+            return self._process_unity(state, data, rc)
+        return self._process_resample(state, data, params, rc)
+
+    def _process_unity(self, state, data, rc):
+        S = rc.superblock
+        C, L = data.shape
+        active = self._block_active(state, rc)  # [S]
+        lsf, lef, llen, de, looping = self._frame_bounds(state, self._buffer.sample_rate, L)
+        loop_flag = state["loop"] > 0
+
+        adv = jnp.where(active, float(FRAMES_PER_BLOCK), 0.0)
+        pos_b = state["pos"] + _excl_cumsum(adv)  # [S]
+        g = pos_b[:, None] + jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64)[None, :]
+
+        safe_llen = jnp.maximum(llen, 1.0)
+        idx = jnp.where(looping & (g >= lef), lsf + jnp.mod(g - lef, safe_llen), g)
+        # Non-loop end bound; a loop flag with a degenerate region plays up to
+        # loopEnd then starves (reference endFrame = loopEnd when looping).
+        end_bound = jnp.where(loop_flag, jnp.minimum(lef, de), de)
+        valid = jnp.where(looping, idx < lef, g < end_bound)
+
+        gather_idx = jnp.clip(idx, 0.0, float(L - 1)).astype(jnp.int32).reshape(-1)
+        samples = jnp.take(data, gather_idx, axis=1).reshape(C, S, FRAMES_PER_BLOCK)
+        out = jnp.where((active[:, None] & valid)[None], samples, 0.0)
+
+        # Final-block clear + auto-stop (parity :360-368): after pos += 128,
+        # a non-looping source whose position passed durationEnd clears the
+        # whole block and stops at that block's end time.
+        pos_after = pos_b + FRAMES_PER_BLOCK
+        any_valid = jnp.any(valid, axis=1)
+        cleared = active & jnp.where(looping, ~any_valid, (pos_after >= de) | ~any_valid)
+        out = jnp.where(cleared[None, :, None], 0.0, out)
+
+        first_stop = jnp.min(jnp.where(cleared, rc.block_end_times, jnp.inf))
+        new_stop = jnp.minimum(state["stop_time"], first_stop)
+
+        new_pos = state["pos"] + jnp.sum(adv)
+        new_pos = jnp.where(
+            looping & (new_pos >= lef), lsf + jnp.mod(new_pos - lef, safe_llen), new_pos
+        )
+
+        new_state = dict(state)
+        new_state["pos"] = new_pos
+        new_state["stop_time"] = new_stop
+        return new_state, [out.reshape(C, rc.frames)]
+
+    def _process_resample(self, state, data, params, rc):
+        S = rc.superblock
+        C, L = data.shape
+        buffer_rate = self._buffer.sample_rate
+        active = self._block_active(state, rc)  # [S]
+        lsf, lef, llen, de, looping = self._frame_bounds(state, buffer_rate, L)
+
+        ratio = jnp.float64(buffer_rate) / jnp.float64(rc.sample_rate)
+        rate_b = ratio * params["playbackRate"].per_block().astype(jnp.float64)  # [S]
+
+        # Prime the resampler on first activity: the 4-sample warmup leaves the
+        # first output at position pos+1 (CubicResampler.cs:31-38 + :52).
+        x0 = jnp.where(state["primed"] > 0, state["x"], state["pos"] + 1.0)
+        adv = jnp.where(active, FRAMES_PER_BLOCK * rate_b, 0.0)
+        xb = x0 + _excl_cumsum(adv)  # [S]
+        j = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64)
+        x = xb[:, None] + j[None, :] * rate_b[:, None]  # [S, 128]
+
+        safe_llen = jnp.maximum(llen, 1.0)
+        xw = jnp.where(looping & (x >= lef), lsf + jnp.mod(x - lef, safe_llen), x)
+
+        out = gather_resample(data, xw, looping, lsf, lef, llen)  # [C, S, 128]
+
+        # Non-loop validity: the 4-tap window must fit before the end
+        # (mirrors the reference's break when input runs out, :277-292).
+        loop_flag = state["loop"] > 0
+        end_bound = jnp.where(loop_flag, jnp.minimum(lef, de), de)
+        valid = jnp.where(looping, xw < lef, jnp.floor(xw) + 2.0 <= end_bound - 1.0)
+        gate = active[:, None] & valid
+        out = jnp.where(gate[None], out, 0.0)
+
+        # Auto-stop on starvation: the first active block producing nothing
+        # sets the stop time to its end (parity :360-368).
+        starved = active & ~jnp.any(valid, axis=1)
+        first_stop = jnp.min(jnp.where(starved, rc.block_end_times, jnp.inf))
+        new_stop = jnp.minimum(state["stop_time"], first_stop)
+
+        new_x = x0 + jnp.sum(adv)
+        new_x = jnp.where(
+            looping & (new_x >= lef), lsf + jnp.mod(new_x - lef, safe_llen), new_x
+        )
+
+        new_state = dict(state)
+        new_state["x"] = new_x
+        new_state["primed"] = jnp.where(
+            jnp.any(active), jnp.int32(1), state["primed"]
+        )
+        new_state["stop_time"] = new_stop
+        return new_state, [out.reshape(C, rc.frames)]

@@ -1,0 +1,206 @@
+"""Biquad IIR filtering on TPU: RBJ coefficients + parallel linear scan.
+
+The reference runs a per-sample transposed direct-form II recurrence
+(GraphAudio.Core/Nodes/BiQuadFilterNode.cs:136-141):
+
+    w  = x - a1*w1 - a2*w2
+    y  = b0*w + b1*w1 + b2*w2
+    w2 = w1; w1 = w
+
+Sequential scalar loops are hostile to TPUs; the two-tap state makes this a
+linear recurrence s_t = A_t s_{t-1} + u_t with 2x2 companion matrices
+
+    A_t = [[-a1_t, -a2_t], [1, 0]],   u_t = [x_t, 0],   s_t = [w_t, w_{t-1}]
+
+solved in log2(T) passes with ``lax.associative_scan`` over affine pairs —
+fully vectorized across channels (and across batched voices when vmapped).
+
+Coefficients follow the RBJ cookbook formulas verbatim from
+BiQuadFilterNode.UpdateCoefficients (:149-258), evaluated per sample from the
+a-rate frequency/Q params (the reference's recompute-on-threshold cache,
+:126-134, is a CPU optimization — computing every sample is strictly more
+accurate and free on the VPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+FILTER_TYPES = (
+    "lowpass",
+    "highpass",
+    "bandpass",
+    "notch",
+    "allpass",
+    "peaking",
+    "lowshelf",
+    "highshelf",
+)
+
+
+def rbj_coefficients(filter_type: str, freq, q, gain_db, sample_rate: float):
+    """Normalized biquad coefficients (b0, b1, b2, a1, a2), each f32[T].
+
+    Parity: BiQuadFilterNode.UpdateCoefficients (:149-258), float32 math.
+    """
+    f = freq.astype(jnp.float32)
+    q = q.astype(jnp.float32)
+    g = jnp.asarray(gain_db, jnp.float32)
+    w0 = jnp.float32(2.0 * jnp.pi) * f / jnp.float32(sample_rate)
+    cosw = jnp.cos(w0)
+    sinw = jnp.sin(w0)
+    alpha = sinw / (2.0 * q)
+
+    if filter_type == "lowpass":
+        b0 = (1.0 - cosw) / 2.0
+        b1 = 1.0 - cosw
+        b2 = (1.0 - cosw) / 2.0
+        a0 = 1.0 + alpha
+        a1 = -2.0 * cosw
+        a2 = 1.0 - alpha
+    elif filter_type == "highpass":
+        b0 = (1.0 + cosw) / 2.0
+        b1 = -(1.0 + cosw)
+        b2 = (1.0 + cosw) / 2.0
+        a0 = 1.0 + alpha
+        a1 = -2.0 * cosw
+        a2 = 1.0 - alpha
+    elif filter_type == "bandpass":
+        b0 = alpha
+        b1 = jnp.zeros_like(alpha)
+        b2 = -alpha
+        a0 = 1.0 + alpha
+        a1 = -2.0 * cosw
+        a2 = 1.0 - alpha
+    elif filter_type == "notch":
+        b0 = jnp.ones_like(alpha)
+        b1 = -2.0 * cosw
+        b2 = jnp.ones_like(alpha)
+        a0 = 1.0 + alpha
+        a1 = -2.0 * cosw
+        a2 = 1.0 - alpha
+    elif filter_type == "allpass":
+        b0 = 1.0 - alpha
+        b1 = -2.0 * cosw
+        b2 = 1.0 + alpha
+        a0 = 1.0 + alpha
+        a1 = -2.0 * cosw
+        a2 = 1.0 - alpha
+    elif filter_type == "peaking":
+        A = jnp.power(jnp.float32(10.0), g / 40.0)
+        b0 = 1.0 + alpha * A
+        b1 = -2.0 * cosw
+        b2 = 1.0 - alpha * A
+        a0 = 1.0 + alpha / A
+        a1 = -2.0 * cosw
+        a2 = 1.0 - alpha / A
+    elif filter_type == "lowshelf":
+        A = jnp.power(jnp.float32(10.0), g / 40.0)
+        beta = jnp.sqrt(A) / q
+        b0 = A * ((A + 1.0) - (A - 1.0) * cosw + beta * sinw)
+        b1 = 2.0 * A * ((A - 1.0) - (A + 1.0) * cosw)
+        b2 = A * ((A + 1.0) - (A - 1.0) * cosw - beta * sinw)
+        a0 = (A + 1.0) + (A - 1.0) * cosw + beta * sinw
+        a1 = -2.0 * ((A - 1.0) + (A + 1.0) * cosw)
+        a2 = (A + 1.0) + (A - 1.0) * cosw - beta * sinw
+    elif filter_type == "highshelf":
+        A = jnp.power(jnp.float32(10.0), g / 40.0)
+        beta = jnp.sqrt(A) / q
+        b0 = A * ((A + 1.0) + (A - 1.0) * cosw + beta * sinw)
+        b1 = -2.0 * A * ((A - 1.0) + (A + 1.0) * cosw)
+        b2 = A * ((A + 1.0) + (A - 1.0) * cosw - beta * sinw)
+        a0 = (A + 1.0) - (A - 1.0) * cosw + beta * sinw
+        a1 = 2.0 * ((A - 1.0) - (A + 1.0) * cosw)
+        a2 = (A + 1.0) - (A - 1.0) * cosw - beta * sinw
+    else:
+        raise ValueError(f"unknown filter type {filter_type!r}")
+
+    inv_a0 = 1.0 / a0
+    return (b0 * inv_a0, b1 * inv_a0, b2 * inv_a0, a1 * inv_a0, a2 * inv_a0)
+
+
+def _first_order_scan(p, u, s_init):
+    """Solve s_t = p_t * s_{t-1} + u_t in parallel (complex64).
+
+    p: c64[T] (broadcast over channels), u: c64[T, C], s_init: c64[C].
+    Returns s: c64[T, C]. The operator is a scalar multiply with |p| <= 1 for
+    stable filters — a *normal* operator, so the parallel scan is perfectly
+    conditioned (unlike companion-matrix products, whose ~Q^2 transient growth
+    amplifies f32 rounding catastrophically for high-Q resonators).
+    """
+    T, C = u.shape
+    pc = jnp.broadcast_to(p[:, None], (T, C))
+
+    def comb(lhs, rhs):
+        p1, b1 = lhs
+        p2, b2 = rhs
+        return p1 * p2, p2 * b1 + b2
+
+    cum_p, cum_b = jax.lax.associative_scan(comb, (pc, u), axis=0)
+    return cum_p * s_init[None, :] + cum_b
+
+
+def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False):
+    """Filter [C, T] samples through a (possibly time-varying) biquad.
+
+    Args:
+      x: f32[C, T] input.
+      coeffs: (b0, b1, b2, a1, a2), each f32[T] (broadcast across channels,
+        like the reference where coefficients are channel-independent).
+      w1, w2: f32[C] carried filter state (transposed DF2: w_{-1}, w_{-2}).
+      time_varying: compile the correction pass for automated coefficients.
+
+    Returns (y f32[C, T], new_w1 f32[C], new_w2 f32[C]).
+
+    Method: factor the denominator 1 + a1 z^-1 + a2 z^-2 into complex poles
+    p1, p2 and run two first-order complex parallel scans in cascade:
+
+        v_t = p1_t v_{t-1} + x_t
+        w_t = p2_t w_{t-1} + v_t
+
+    Each scan's operator is a scalar with |p| <= 1 (normal), so the parallel
+    scan is perfectly conditioned — unlike a companion-matrix scan whose ~Q^2
+    transient growth destroys f32 precision for high-Q resonators.
+
+    Composition yields w_t = -(p1_t+p2_t) w_{t-1} - p1_t p2_{t-1} w_{t-2} + x_t:
+    exact for constant coefficients; for time-varying ones the a2 term lags one
+    sample in p2. With ``time_varying`` a second fixed-point pass injects the
+    correction  -p1_t (p2_t - p2_{t-1}) w_{t-2}  computed from the first pass,
+    leaving an O(dp^2) residual (negligible for any audio-rate automation).
+    """
+    b0, b1, b2, a1, a2 = coeffs
+    C, T = x.shape
+
+    a1c = a1.astype(jnp.complex64)
+    a2c = a2.astype(jnp.complex64)
+    disc = jnp.sqrt(a1c * a1c - 4.0 * a2c)
+    p1 = 0.5 * (-a1c + disc)  # [T]
+    p2 = 0.5 * (-a1c - disc)
+
+    xt = jnp.moveaxis(x, 0, 1).astype(jnp.complex64)  # [T, C]
+
+    # Initial conditions: w_{-1} = W1, w_{-2} = W2; v_{-1} = W1 - p2_0 * W2.
+    w_init = w1.astype(jnp.complex64)
+    v_init = w_init - p2[0] * w2.astype(jnp.complex64)
+
+    def run(inp):
+        v = _first_order_scan(p1, inp, v_init)  # [T, C]
+        w = _first_order_scan(p2, v, w_init)  # [T, C]
+        w_t = jnp.real(w)
+        w_tm1 = jnp.concatenate([jnp.broadcast_to(w1, (1, C)), w_t[:-1]], axis=0)
+        w_tm2 = jnp.concatenate(
+            [jnp.broadcast_to(w2, (1, C)), w_tm1[:-1]], axis=0
+        )
+        return w_t, w_tm1, w_tm2
+
+    w_t, w_tm1, w_tm2 = run(xt)
+
+    if time_varying:
+        # p2 at the previous sample (p2_{-1} := p2_0 -> zero correction at t=0).
+        p2_prev = jnp.concatenate([p2[:1], p2[:-1]])
+        corr = -(p1 * (p2 - p2_prev))[:, None] * w_tm2.astype(jnp.complex64)
+        w_t, w_tm1, w_tm2 = run(xt + corr)
+
+    y = b0[:, None] * w_t + b1[:, None] * w_tm1 + b2[:, None] * w_tm2
+    return jnp.moveaxis(y, 0, 1), w_t[-1], w_tm1[-1]

@@ -1,0 +1,131 @@
+"""Uniform partitioned FFT convolution on TPU.
+
+The reference's PartitionedConvolver (GraphAudio.Core/PartitionedConvolver.cs,
+adapted there from LabSound) splits the impulse response into 128-frame
+partitions, each pre-transformed with a 256-point real FFT (129 bins), keeps a
+frequency-domain delay line of past input spectra, and per block computes
+
+    acc[b] = sum_p delay[t-p][b] * H[p][b]          (complex MAC, :154-223)
+
+followed by an inverse FFT and overlap-add (:140-151).
+
+TPU formulation (all float32, no complex dtypes, no XLA FFT — the axon TPU
+backend implements neither; see ops/fft.py):
+
+  * a superblock of S quanta transforms with one MXU matmul-DFT;
+  * the spectral accumulation across partitions *and* superblock positions is
+    four real depthwise correlations along the partition axis
+    (out[s,b] = sum_p H[p,b] seq[P-1+s-p, b]);
+  * the inverse transform is another matmul; the overlap-add between
+    consecutive quanta is a shift, not a sequential loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
+from graphaudio_tpu.ops.fft import RealDft
+
+FFT_SIZE = 2 * FRAMES_PER_BLOCK  # 256 (PartitionedConvolver.cs:40)
+NUM_BINS = FFT_SIZE // 2 + 1  # 129 (:41)
+
+# Equal-power normalization constants (:93-101).
+GAIN_CALIBRATION_DB = -58.0
+MIN_POWER = 0.000125
+
+
+def normalization_scale(ir: np.ndarray) -> float:
+    """Parity: PartitionedConvolver.CalculateNormalizationScale (:93-102)."""
+    ir = np.asarray(ir, dtype=np.float32)
+    sum_sq = float(np.sum(ir.astype(np.float64) ** 2))
+    power = np.float32(np.sqrt(sum_sq / ir.shape[0])) if ir.shape[0] else np.float32(0)
+    if not np.isfinite(power) or power < MIN_POWER:
+        power = np.float32(MIN_POWER)
+    return float((1.0 / power) * np.float32(10.0 ** (GAIN_CALIBRATION_DB * 0.05)))
+
+
+def prepare_ir(ir: np.ndarray, normalize: bool = True):
+    """Partition + pre-transform an impulse response channel.
+
+    Returns (Hr, Hi): f32[P, 129] partition spectra as split real/imag.
+    Host-side numpy with a float64 FFT then float32 rounding, matching the
+    reference's FftFlat double transform of float data (:65-91).
+    """
+    ir = np.asarray(ir, dtype=np.float32)
+    scale = np.float32(normalization_scale(ir)) if normalize else np.float32(1.0)
+    n_partitions = max(1, -(-ir.shape[0] // FRAMES_PER_BLOCK))
+    hr = np.zeros((n_partitions, NUM_BINS), dtype=np.float32)
+    hi = np.zeros((n_partitions, NUM_BINS), dtype=np.float32)
+    for p in range(n_partitions):
+        seg = ir[p * FRAMES_PER_BLOCK : (p + 1) * FRAMES_PER_BLOCK]
+        padded = np.zeros(FFT_SIZE, dtype=np.float64)
+        padded[: seg.shape[0]] = (seg * scale).astype(np.float32)
+        spec = np.fft.rfft(padded)
+        hr[p] = spec.real.astype(np.float32)
+        hi[p] = spec.imag.astype(np.float32)
+    return hr, hi
+
+
+def depthwise_corr(seq: jnp.ndarray, ker: jnp.ndarray) -> jnp.ndarray:
+    """out[s, b] = sum_k seq[s+k, b] * ker[k, b]  (valid correlation).
+
+    seq: f32[W, B], ker: f32[P, B] -> f32[W-P+1, B]. One depthwise 1-D conv
+    (feature_group_count = B) so every DFT bin runs its own filter.
+    """
+    B = seq.shape[1]
+    out = jax.lax.conv_general_dilated(
+        seq[None],
+        ker[:, None, :],
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=B,
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
+def spectral_mac(seq_r, seq_i, hr, hi):
+    """Complex correlation via four real depthwise convs.
+
+    acc[s,b] = sum_p H[p,b] * seq[P-1+s-p, b]  with H, seq split re/im.
+    seq_*: f32[P-1+S, B]; h*: f32[P, B]. Returns (acc_r, acc_i) f32[S, B].
+    """
+    kr, ki = hr[::-1], hi[::-1]  # partition-reversed -> correlation form
+    acc_r = depthwise_corr(seq_r, kr) - depthwise_corr(seq_i, ki)
+    acc_i = depthwise_corr(seq_r, ki) + depthwise_corr(seq_i, kr)
+    return acc_r, acc_i
+
+
+def conv_superblock(x, hr, hi, hist_r, hist_i, overlap):
+    """Convolve one superblock of quanta against a partitioned IR.
+
+    Args:
+      x: f32[S, 128] input quanta (time order).
+      hr, hi: f32[P, 129] IR partition spectra (closure constants).
+      hist_r, hist_i: f32[P-1, 129] spectra of the previous P-1 quanta,
+        oldest first (the frequency-domain delay line, :122-128).
+      overlap: f32[128] carried second half of the last inverse DFT (:144-151).
+
+    Returns (y f32[S, 128], hist_r', hist_i', overlap').
+    """
+    S = x.shape[0]
+    dft = RealDft(FRAMES_PER_BLOCK, FFT_SIZE)
+
+    spec_r, spec_i = dft.forward(x)  # [S, 129] each
+
+    seq_r = jnp.concatenate([hist_r, spec_r], axis=0)  # [P-1+S, 129]
+    seq_i = jnp.concatenate([hist_i, spec_i], axis=0)
+
+    acc_r, acc_i = spectral_mac(seq_r, seq_i, hr, hi)  # [S, 129]
+
+    y_full = dft.inverse(acc_r, acc_i)  # [S, 256]
+    first, second = y_full[:, :FRAMES_PER_BLOCK], y_full[:, FRAMES_PER_BLOCK:]
+    prev_second = jnp.concatenate([overlap[None], second[:-1]], axis=0)
+    y = first + prev_second
+
+    # seq length is P-1+S, so seq[S:] is the updated delay line.
+    return y, seq_r[S:], seq_i[S:], second[-1]

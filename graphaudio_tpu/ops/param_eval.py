@@ -1,0 +1,176 @@
+"""Vectorized AudioParam automation-curve evaluation.
+
+The reference evaluates each a-rate parameter by walking its sorted event list
+once per sample (GraphAudio.Core/AudioParam.cs:113-141, 168-247) — 128
+sequential event walks per block. Here the event list is encoded host-side
+into fixed-shape tensors (padded to a static capacity) and the value at all T
+sample times is computed in one vectorized pass: a ``searchsorted`` locates
+each sample's surrounding events, then the four curve types (SetValue /
+LinearRamp / ExponentialRamp / SetTarget) are evaluated with ``where`` masks.
+
+Event semantics mirror AudioParam.ComputeValueAtTime exactly:
+  * the "boundary value" before event ``i`` is the value of the last
+    non-SetTarget event before ``i`` (or the param's base value) — precomputed
+    host-side as ``boundary[i]`` so the device pass is pure gathers;
+  * a LinearRamp/ExponentialRamp event at time t1 interpolates from the
+    previous event (value v0 at t0) for t in (t0, t1) (AudioParam.cs:219-237);
+  * a SetTarget event at t0 decays from the boundary value toward its target
+    with time constant max(tc, 0.001) (AudioParam.cs:239-247);
+  * past the last event the final value holds (or the SetTarget decay
+    continues) (AudioParam.cs:208-216).
+
+Times are float64 (the reference uses doubles for its clock); values float32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# Event type codes (parity: AudioParam.cs:369-375).
+EVT_SET_VALUE = 0
+EVT_LINEAR_RAMP = 1
+EVT_EXPONENTIAL_RAMP = 2
+EVT_SET_TARGET = 3
+
+_INF = np.float64(np.inf)
+
+
+def encode_events(base_value, events, capacity):
+    """Encode a sorted host-side event list into fixed-shape arrays.
+
+    Args:
+      base_value: the param's current base value (reference ``_value``),
+        used when no events apply.
+      events: sequence of (type, time, value, time_constant) tuples sorted by
+        time (the host AudioParam maintains sort order on insert, mirroring
+        AudioParam.AddEvent:333-352).
+      capacity: static padded event capacity (>= len(events)).
+
+    Returns a dict of numpy arrays (uploaded as jit arguments):
+      times f64[capacity] (padded +inf), values f32, tcs f64,
+      types i32, boundary f32[capacity+1], n i32 scalar, base f32 scalar.
+    """
+    n = len(events)
+    if n > capacity:
+        raise ValueError(f"event count {n} exceeds capacity {capacity}")
+    times = np.full((capacity,), _INF, dtype=np.float64)
+    values = np.zeros((capacity,), dtype=np.float32)
+    tcs = np.full((capacity,), 1.0, dtype=np.float64)
+    types = np.zeros((capacity,), dtype=np.int32)
+    boundary = np.full((capacity + 1,), np.float32(base_value), dtype=np.float32)
+
+    b = np.float32(base_value)
+    for i, (etype, etime, evalue, etc) in enumerate(events):
+        times[i] = etime
+        values[i] = evalue
+        tcs[i] = etc
+        types[i] = etype
+        boundary[i] = b
+        if etype != EVT_SET_TARGET:
+            b = np.float32(evalue)
+    boundary[n:] = b
+
+    return {
+        "times": times,
+        "values": values,
+        "tcs": tcs,
+        "types": types,
+        "boundary": boundary,
+        "n": np.int32(n),
+        "base": np.float32(base_value),
+    }
+
+
+def eval_intrinsic(enc, t):
+    """Evaluate the intrinsic (pre-modulation) param curve at sample times.
+
+    Args:
+      enc: encoded event dict (see encode_events; values may be jnp arrays).
+      t: f64[T] sample times.
+
+    Returns f32[T] intrinsic values.
+
+    Parity: AudioParam.ComputeValueAtTime (AudioParam.cs:168-247).
+    """
+    times = enc["times"]
+    values = enc["values"]
+    tcs = enc["tcs"]
+    types = enc["types"]
+    boundary = enc["boundary"]
+    n = enc["n"]
+    base = enc["base"]
+
+    # idx = number of events with event.time <= t  (first future event index).
+    # The reference walks events while `t >= evt.Time` (AudioParam.cs:181).
+    idx = jnp.searchsorted(times, t, side="right").astype(jnp.int32)
+    idx = jnp.minimum(idx, n)  # padded +inf never matches, but clamp for safety
+
+    prev = jnp.maximum(idx - 1, 0)
+    has_prev = idx > 0
+    has_next = idx < n
+
+    next_type = jnp.where(has_next, types[jnp.minimum(idx, times.shape[0] - 1)], -1)
+    prev_type = types[prev]
+
+    t0 = times[prev]
+    v0 = values[prev].astype(jnp.float64)
+    t1 = times[jnp.minimum(idx, times.shape[0] - 1)]
+    v1 = values[jnp.minimum(idx, times.shape[0] - 1)].astype(jnp.float64)
+
+    # Linear interpolation (AudioParam.cs:219-225): u clamped to [0,1].
+    # (t0/t1 may be the +inf padding on paths masked out below; sanitize to
+    # keep the arithmetic warning-free.)
+    t0s = jnp.where(jnp.isfinite(t0), t0, 0.0)
+    t1s = jnp.where(jnp.isfinite(t1), t1, t0s + 1.0)
+    denom = t1s - t0s
+    safe_denom = jnp.where(denom == 0.0, 1.0, denom)
+    u = jnp.clip((t - t0s) / safe_denom, 0.0, 1.0)
+    lin = v0 + (v1 - v0) * u
+
+    # Exponential interpolation (AudioParam.cs:227-237): falls back to linear
+    # when either endpoint is <= 0.
+    exp_ok = (v0 > 0.0) & (v1 > 0.0)
+    safe_v0 = jnp.where(exp_ok, v0, 1.0)
+    safe_v1 = jnp.where(exp_ok, v1, 1.0)
+    expv = safe_v0 * jnp.power(safe_v1 / safe_v0, u)
+    exp_val = jnp.where(exp_ok, expv, lin)
+
+    # SetTarget decay from the boundary value (AudioParam.cs:239-247).
+    bl = boundary[idx].astype(jnp.float64)  # boundary before event idx
+    elapsed = t - t0s
+    tc = jnp.maximum(tcs[prev], 0.001)
+    tgt = values[prev].astype(jnp.float64)  # SetTarget stores target in value slot
+    decay = tgt + (bl - tgt) * jnp.exp(-jnp.maximum(elapsed, 0.0) / tc)
+    settarget_val = jnp.where(elapsed <= 0.0, bl, decay)
+
+    # Hold previous event's value (SetValue / completed ramps).
+    hold = v0
+
+    # Selection mirrors the reference's branch order: a pending Linear/Exp ramp
+    # interpolates; else a previous SetTarget decays; else hold; before the
+    # first event, the base boundary value applies.
+    val = jnp.where(
+        has_next & (next_type == EVT_LINEAR_RAMP),
+        lin,
+        jnp.where(
+            has_next & (next_type == EVT_EXPONENTIAL_RAMP),
+            exp_val,
+            jnp.where(prev_type == EVT_SET_TARGET, settarget_val, hold),
+        ),
+    )
+    val = jnp.where(has_prev, val, base.astype(jnp.float64))
+    # No events at all -> base value (AudioParam.cs:173-174).
+    val = jnp.where(n > 0, val, base.astype(jnp.float64))
+    return val.astype(jnp.float32)
+
+
+def apply_modulation(intrinsic, modulation, min_value, max_value):
+    """Add an audio-rate modulation signal and clamp.
+
+    Parity: AudioParam.ComputeARate (AudioParam.cs:124-135) — the modulation
+    input's channel 0 is added to the intrinsic value, then clamped to the
+    param's [min, max]. Without modulation the intrinsic value is NOT clamped
+    (event values were clamped at insertion time).
+    """
+    return jnp.clip(intrinsic + modulation, min_value, max_value)

@@ -1,0 +1,189 @@
+"""BiQuadFilterNode vs scipy.signal.lfilter (RBJ cookbook golden)."""
+
+import numpy as np
+import scipy.signal as sps
+
+import graphaudio_tpu as ga
+
+SR = 48000
+
+
+def _rbj(filter_type, f, q, gain_db, sr=SR):
+    """Float64 RBJ coefficients mirroring BiQuadFilterNode.UpdateCoefficients."""
+    w0 = 2 * np.pi * f / sr
+    cosw, sinw = np.cos(w0), np.sin(w0)
+    alpha = sinw / (2 * q)
+    A = 10.0 ** (gain_db / 40.0)
+    if filter_type == "lowpass":
+        b = [(1 - cosw) / 2, 1 - cosw, (1 - cosw) / 2]
+        a = [1 + alpha, -2 * cosw, 1 - alpha]
+    elif filter_type == "highpass":
+        b = [(1 + cosw) / 2, -(1 + cosw), (1 + cosw) / 2]
+        a = [1 + alpha, -2 * cosw, 1 - alpha]
+    elif filter_type == "bandpass":
+        b = [alpha, 0.0, -alpha]
+        a = [1 + alpha, -2 * cosw, 1 - alpha]
+    elif filter_type == "notch":
+        b = [1.0, -2 * cosw, 1.0]
+        a = [1 + alpha, -2 * cosw, 1 - alpha]
+    elif filter_type == "allpass":
+        b = [1 - alpha, -2 * cosw, 1 + alpha]
+        a = [1 + alpha, -2 * cosw, 1 - alpha]
+    elif filter_type == "peaking":
+        b = [1 + alpha * A, -2 * cosw, 1 - alpha * A]
+        a = [1 + alpha / A, -2 * cosw, 1 - alpha / A]
+    elif filter_type == "lowshelf":
+        beta = np.sqrt(A) / q
+        b = [
+            A * ((A + 1) - (A - 1) * cosw + beta * sinw),
+            2 * A * ((A - 1) - (A + 1) * cosw),
+            A * ((A + 1) - (A - 1) * cosw - beta * sinw),
+        ]
+        a = [
+            (A + 1) + (A - 1) * cosw + beta * sinw,
+            -2 * ((A - 1) + (A + 1) * cosw),
+            (A + 1) + (A - 1) * cosw - beta * sinw,
+        ]
+    elif filter_type == "highshelf":
+        beta = np.sqrt(A) / q
+        b = [
+            A * ((A + 1) + (A - 1) * cosw + beta * sinw),
+            -2 * A * ((A - 1) + (A + 1) * cosw),
+            A * ((A + 1) + (A - 1) * cosw - beta * sinw),
+        ]
+        a = [
+            (A + 1) - (A - 1) * cosw + beta * sinw,
+            2 * ((A - 1) - (A + 1) * cosw),
+            (A + 1) - (A - 1) * cosw - beta * sinw,
+        ]
+    else:
+        raise ValueError(filter_type)
+    b = np.array(b) / a[0]
+    a = np.array(a) / a[0]
+    return b, a
+
+
+def _filter_graph(ftype, f, q, g_db, x):
+    # Mono source upmixes to the filter's default 2-channel input (Max mode),
+    # matching the reference; compare channel 0 of the stereo destination.
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    buf = ga.PlayableAudioBuffer.from_mono_array(x, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    flt = ga.BiQuadFilterNode(ctx, type=ftype)
+    flt.frequency.value = f
+    flt.q.value = q
+    flt.gain.value = g_db
+    src.connect(flt).connect(ctx.destination)
+    src.start(0)
+    return ctx.render(len(x) - 128)[0]  # skip reference's cleared final block
+
+
+def test_all_filter_types_match_scipy(rng):
+    x = rng.standard_normal(4096).astype(np.float32) * 0.5
+    # Tolerances vs the float64 golden: high-Q resonators near DC are
+    # intrinsically f32-limited — the reference's own sequential float32
+    # recurrence deviates ~6e-4 from float64 on the Q=10 notch below; our
+    # parallel scan is the same error class.
+    cases = [
+        (ga.FilterType.LOWPASS, 1000.0, 0.707, 0.0, 2e-4),
+        (ga.FilterType.HIGHPASS, 2000.0, 1.0, 0.0, 2e-4),
+        (ga.FilterType.BANDPASS, 1500.0, 2.0, 0.0, 2e-4),
+        (ga.FilterType.NOTCH, 60.0, 10.0, 0.0, 3e-3),
+        (ga.FilterType.ALLPASS, 800.0, 0.5, 0.0, 2e-4),
+        (ga.FilterType.PEAKING, 3000.0, 1.5, 6.0, 2e-4),
+        (ga.FilterType.LOWSHELF, 250.0, 0.9, -9.0, 2e-4),
+        (ga.FilterType.HIGHSHELF, 8000.0, 0.8, 4.5, 2e-4),
+    ]
+    for ftype, f, q, g, tol in cases:
+        out = _filter_graph(ftype, f, q, g, x)
+        b, a = _rbj(ftype.value, f, q, g)
+        expect = sps.lfilter(b, a, x.astype(np.float64))[: len(out)]
+        err = np.max(np.abs(out - expect))
+        assert err < tol, (ftype, err)
+
+
+def test_impulse_response_lowpass():
+    x = np.zeros(1024, np.float32)
+    x[0] = 1.0
+    out = _filter_graph(ga.FilterType.LOWPASS, 400.0, 0.707, 0.0, x)
+    b, a = _rbj("lowpass", 400.0, 0.707, 0.0)
+    expect = sps.lfilter(b, a, x.astype(np.float64))[: len(out)]
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_state_carries_across_render_calls(rng):
+    x = rng.standard_normal(2048).astype(np.float32)
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=1)
+    buf = ga.PlayableAudioBuffer.from_mono_array(x, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    flt = ga.BiQuadFilterNode(ctx, type=ga.FilterType.LOWPASS)
+    flt.frequency.value = 500.0
+    src.connect(flt).connect(ctx.destination)
+    src.start(0)
+    parts = [ctx.render(512)[0] for _ in range(3)]
+    out = np.concatenate(parts)
+    b, a = _rbj("lowpass", 500.0, 1.0, 0.0)
+    expect = sps.lfilter(b, a, x.astype(np.float64))[:1536]
+    assert np.max(np.abs(out - expect)) < 1e-4
+
+
+def test_automated_frequency_sweep_matches_sequential_mirror(rng):
+    # Golden: a sequential per-sample implementation with per-sample
+    # coefficient recomputation (our documented semantics).
+    x = rng.standard_normal(2048).astype(np.float32) * 0.5
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    buf = ga.PlayableAudioBuffer.from_mono_array(x, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    flt = ga.BiQuadFilterNode(ctx, type=ga.FilterType.LOWPASS)
+    flt.frequency.set_value_at_time(200.0, 0.0)
+    flt.frequency.linear_ramp_to_value_at_time(4000.0, 1024.0 / SR)
+    src.connect(flt).connect(ctx.destination)
+    src.start(0)
+    out = ctx.render(1024)[0]
+
+    t = np.arange(1024) / SR
+    freqs = np.where(
+        t < 1024.0 / SR, 200.0 + (4000.0 - 200.0) * (t * SR / 1024.0), 4000.0
+    )
+    w1 = w2 = 0.0
+    expect = np.zeros(1024)
+    for i in range(1024):
+        b, a = _rbj("lowpass", freqs[i], 1.0, 0.0)
+        w = x[i] - a[1] * w1 - a[2] * w2
+        expect[i] = b[0] * w + b[1] * w1 + b[2] * w2
+        w2, w1 = w1, w
+    # f32 floor: the resonant low-frequency section amplifies the internal
+    # state ~1/w0^2, so f32 rounding alone contributes ~2e-4 here.
+    assert np.max(np.abs(out - expect)) < 2e-3
+
+
+def test_cascaded_eq_chain(rng):
+    x = rng.standard_normal(2048).astype(np.float32) * 0.25
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    buf = ga.PlayableAudioBuffer.from_mono_array(x, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    stages = [
+        (ga.FilterType.LOWPASS, 8000.0, 0.707, 0.0),
+        (ga.FilterType.PEAKING, 1000.0, 1.2, 3.0),
+        (ga.FilterType.PEAKING, 3000.0, 2.0, -4.0),
+        (ga.FilterType.HIGHPASS, 80.0, 0.707, 0.0),
+    ]
+    node = src
+    for ftype, f, q, g in stages:
+        flt = ga.BiQuadFilterNode(ctx, type=ftype)
+        flt.frequency.value = f
+        flt.q.value = q
+        flt.gain.value = g
+        node = node.connect(flt)
+    node.connect(ctx.destination)
+    src.start(0)
+    out = ctx.render(1024)[0]
+    expect = x.astype(np.float64)[:1024]
+    for ftype, f, q, g in stages:
+        b, a = _rbj(ftype.value, f, q, g)
+        expect = sps.lfilter(b, a, expect)
+    assert np.max(np.abs(out - expect)) < 5e-4

@@ -1,0 +1,64 @@
+"""Sharded voice-scene renderer vs single-device reference computation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import graphaudio_tpu  # noqa: F401  (x64)
+from graphaudio_tpu.parallel import ShardedVoiceScene, make_mesh
+from graphaudio_tpu.ops.convolve import normalization_scale
+
+SR = 48000
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(jax.devices()[:8])
+
+
+def _reference_render(arenas, ir, gains, pans, frames, master=0.5):
+    """Numpy mirror: loop voices, equal-power pan, mix, convolve, master gain."""
+    V, L = arenas.shape
+    mix = np.zeros((2, frames), np.float64)
+    for v in range(V):
+        idx = np.arange(frames) % L
+        s = arenas[v][idx].astype(np.float64) * gains[v]
+        x = (pans[v] + 1.0) * 0.5
+        mix[0] += s * np.cos(np.float32(x * np.pi / 2))
+        mix[1] += s * np.sin(np.float32(x * np.pi / 2))
+    scale = normalization_scale(ir)
+    ir_n = (ir.astype(np.float32) * np.float32(scale)).astype(np.float64)
+    out = np.stack([np.convolve(mix[c], ir_n)[:frames] for c in range(2)])
+    return out * master
+
+
+def test_sharded_scene_matches_reference(mesh, rng):
+    V = 8
+    arenas = (rng.standard_normal((V, 1000)) * 0.2).astype(np.float32)
+    ir = (rng.standard_normal(500) * 0.3).astype(np.float32)
+    gains = rng.uniform(0.2, 1.0, V).astype(np.float32)
+    pans = np.linspace(-1, 1, V).astype(np.float32)
+
+    scene = ShardedVoiceScene(mesh, arenas, ir, gains, pans, superblock=2)
+    step = scene.jitted_step()
+    state = scene.init_state()
+    outs = []
+    for i in range(4):
+        state, out = step(state, i)
+        outs.append(np.asarray(out))
+    got = np.concatenate(outs, axis=1)
+
+    expect = _reference_render(arenas, ir, gains, pans, got.shape[1])
+    assert np.max(np.abs(got - expect)) < 1e-5
+
+
+def test_mesh_factorization():
+    devs = jax.devices()
+    if len(devs) >= 8:
+        m = make_mesh(devs[:8])
+        assert m.shape["voice"] * m.shape["part"] == 8
+    m1 = make_mesh(devs[:1])
+    assert m1.shape["voice"] * m1.shape["part"] == 1

@@ -1,0 +1,174 @@
+"""AudioBufferSourceNode resampling path (playbackRate / sample-rate ratio)."""
+
+import numpy as np
+
+import graphaudio_tpu as ga
+
+SR = 48000
+
+
+def _mono_ctx(superblock=2):
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=superblock)
+    ctx.destination.set_channel_count(1)
+    ctx.destination.inputs[0].set_channel_count_mode(ga.ChannelCountMode.EXPLICIT)
+    return ctx
+
+
+def _catmull_rom(s0, s1, s2, s3, t):
+    return s1 + t * (
+        0.5 * (s2 - s0)
+        + t * ((s0 - 2.5 * s1 + 2.0 * s2 - 0.5 * s3) + t * (0.5 * (s3 - s0) + 1.5 * (s1 - s2)))
+    )
+
+
+def _golden_resample(data, rate, n_out, start_pos=0.0):
+    """Mirror of the reference CubicResampler stream: x_j = start+1 + j*rate."""
+    out = np.zeros(n_out, np.float32)
+    for j in range(n_out):
+        x = start_pos + 1.0 + j * rate
+        base = int(np.floor(x))
+        t = np.float32(x - base)
+        idx = np.clip([base - 1, base, base + 1, base + 2], 0, len(data) - 1)
+        out[j] = _catmull_rom(*[data[i] for i in idx], t)
+    return out
+
+
+def test_resample_rate_half(rng):
+    data = rng.standard_normal(4096).astype(np.float32)
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.playback_rate.value = 0.5
+    src.connect(ctx.destination)
+    src.start(0)
+    out = ctx.render(1024)[0]
+    expect = _golden_resample(data, 0.5, 1024)
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_resample_441_to_48(rng):
+    # 44.1kHz buffer in a 48kHz context: effectiveRate = 44100/48000.
+    data = rng.standard_normal(8192).astype(np.float32)
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, 44100)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.connect(ctx.destination)
+    src.start(0)
+    out = ctx.render(2048)[0]
+    expect = _golden_resample(data, 44100.0 / 48000.0, 2048)
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_resample_sine_quality():
+    # Resampling a sine should keep high fidelity away from Nyquist.
+    n = 1 << 14
+    f = 440.0
+    t = np.arange(n) / 44100.0
+    data = np.sin(2 * np.pi * f * t).astype(np.float32)
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, 44100)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.connect(ctx.destination)
+    src.start(0)
+    out = ctx.render(4096)[0]
+    rate = 44100.0 / 48000.0
+    x = (np.arange(4096) * rate + 1.0) / 44100.0
+    ideal = np.sin(2 * np.pi * f * x)
+    # Catmull-Rom on a 440 Hz sine at 44.1k: interpolation error ~1e-4.
+    assert np.max(np.abs(out - ideal)) < 5e-4
+
+
+def test_resample_state_across_renders(rng):
+    data = rng.standard_normal(8192).astype(np.float32)
+    ctx = _mono_ctx(superblock=1)
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.playback_rate.value = 1.25
+    src.connect(ctx.destination)
+    src.start(0)
+    parts = [ctx.render(512)[0] for _ in range(3)]
+    out = np.concatenate(parts)
+    expect = _golden_resample(data, 1.25, len(out))
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_resample_with_offset(rng):
+    data = rng.standard_normal(8192).astype(np.float32)
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.playback_rate.value = 2.0
+    src.connect(ctx.destination)
+    src.start(0, offset=1000.0 / SR)
+    out = ctx.render(1024)[0]
+    expect = _golden_resample(data, 2.0, 1024, start_pos=1000.0)
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_resample_loop_seam(rng):
+    # Loop wraparound during resampling (reference wrap buffer, :297-313).
+    data = rng.standard_normal(1000).astype(np.float32)
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.loop = True
+    src.playback_rate.value = 0.75
+    src.connect(ctx.destination)
+    src.start(0)
+    out = ctx.render(4096)[0]
+
+    # Golden: continuous position wrapped into [0, 1000), taps wrapped too.
+    rate = 0.75
+    n_out = 4096
+    expect = np.zeros(n_out, np.float32)
+    for j in range(n_out):
+        x = 1.0 + j * rate
+        x = x % 1000.0
+        base = int(np.floor(x))
+        t = np.float32(x - base)
+        idx = [(base - 1) % 1000, base % 1000, (base + 1) % 1000, (base + 2) % 1000]
+        expect[j] = _catmull_rom(*[data[i] for i in idx], t)
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_resample_exhaustion_stops(rng):
+    data = rng.standard_normal(600).astype(np.float32)
+    ctx = _mono_ctx(superblock=1)
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.playback_rate.value = 2.0
+    src.connect(ctx.destination)
+    fired = []
+    src.on_ended(lambda n: fired.append(1))
+    src.start(0)
+    out = ctx.render(1024)[0]
+    # ~300 output samples available at rate 2; everything after is silence.
+    assert np.allclose(out[320:], 0.0)
+    assert np.any(out[:290] != 0.0)
+    assert fired == [1]
+
+
+def test_playback_rate_touch_recompiles_to_general_path(rng):
+    # A pristine playbackRate starts on the exact copy path; touching it
+    # switches to the resampler without losing the playhead.
+    data = np.arange(4096, dtype=np.float32)
+    ctx = _mono_ctx(superblock=1)
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.connect(ctx.destination)
+    src.start(0)
+    a = ctx.render(256)[0]
+    assert np.array_equal(a, data[:256])  # exact copy path
+    src.playback_rate.value = 1.0  # touch -> general path
+    b = ctx.render(256)[0]
+    # General path at rate 1.0 plays from pos+1 (resampler warmup latency).
+    expect = _golden_resample(data, 1.0, 256, start_pos=256.0)
+    assert np.max(np.abs(b - expect)) < 1e-5
