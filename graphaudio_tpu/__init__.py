@@ -53,6 +53,7 @@ from graphaudio_tpu.nodes import (
     ChannelMergerNode,
     ConvolverNode,
 )
+from graphaudio_tpu.nodes.spatial import SpatialPannerNode, DistanceModelType
 
 __version__ = "0.1.0"
 
@@ -83,4 +84,6 @@ __all__ = [
     "ChannelSplitterNode",
     "ChannelMergerNode",
     "ConvolverNode",
+    "SpatialPannerNode",
+    "DistanceModelType",
 ]

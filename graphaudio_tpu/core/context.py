@@ -58,10 +58,45 @@ class AudioContextBase:
         self._disposing_callbacks: List[Callable] = []
         self._step_count = 0
 
+        # Listener transform for spatialization. Right-handed basis with
+        # ahead = -forward (parity: SteamAudioContext.SetListener, :136-164).
+        self._listener = {
+            "listener_pos": np.zeros(3, np.float32),
+            "listener_right": np.array([1, 0, 0], np.float32),
+            "listener_up": np.array([0, 1, 0], np.float32),
+            "listener_ahead": np.array([0, 0, 1], np.float32),
+        }
+
         # Destination created last so subclass attributes exist first.
         from graphaudio_tpu.nodes.destination import AudioDestinationNode
 
         self.destination = AudioDestinationNode(self)
+
+    def set_listener(self, position, forward, up) -> None:
+        """Set the listener transform (parity: SteamAudioContext.SetListener).
+
+        ``ahead = -forward`` mirrors the reference's phonon-convention basis;
+        spatial panners consume it as data (no recompile on listener motion).
+        """
+        position = np.asarray(position, np.float32)
+        forward = np.asarray(forward, np.float64)
+        up = np.asarray(up, np.float64)
+        f = forward / max(np.linalg.norm(forward), 1e-9)
+        u = up / max(np.linalg.norm(up), 1e-9)
+        right = np.cross(f, u)
+        right /= max(np.linalg.norm(right), 1e-9)
+        true_up = np.cross(right, f)
+        self._listener = {
+            "listener_pos": position,
+            "listener_right": right.astype(np.float32),
+            "listener_up": true_up.astype(np.float32),
+            "listener_ahead": (-f).astype(np.float32),
+        }
+        if self._states is not None and "__globals__" in self._states:
+            self._states["__globals__"] = dict(self._listener)
+
+    def global_state(self) -> dict:
+        return dict(self._listener)
 
     # -- clock (parity: AudioContextBase.cs:28,64-79,220-223) -----------------
 
@@ -157,7 +192,7 @@ class AudioContextBase:
         self._render_fn, self._dest_channels = self._compiled.make_render_fn()
         new_states = self._compiled.init_states()
         for node in self._compiled.topo:
-            nid = node.node_id
+            nid = str(node.node_id)
             if (
                 old_states
                 and nid in old_states
@@ -209,18 +244,18 @@ class AudioContextBase:
         if not hasattr(node, "_state_overrides"):
             node._state_overrides = {}
         node._state_overrides.update(updates)
-        if self._states is not None and node.node_id in self._states:
-            st = dict(self._states[node.node_id])
+        if self._states is not None and str(node.node_id) in self._states:
+            st = dict(self._states[str(node.node_id)])
             for k, v in updates.items():
                 if k in st:
                     st[k] = np.asarray(v, dtype=np.asarray(st[k]).dtype)
-            self._states[node.node_id] = st
+            self._states[str(node.node_id)] = st
 
     def peek_node_state(self, node) -> Optional[dict]:
         """Host view of a node's current state (device_get; for debugging/events)."""
-        if self._states is None or node.node_id not in self._states:
+        if self._states is None or str(node.node_id) not in self._states:
             return None
-        return jax.device_get(self._states[node.node_id])
+        return jax.device_get(self._states[str(node.node_id)])
 
     # -- rendering ------------------------------------------------------------
 
@@ -237,10 +272,23 @@ class AudioContextBase:
         self._ensure_params_encoded()
 
         frames_per_step = self.superblock * FRAMES_PER_BLOCK
+        total_frames = n_steps * frames_per_step
+        # Host-streamed data (decoder-fed source nodes) staged per render call
+        # (the TPU analogue of the reference's decoder-thread buffer queue,
+        # AudioDecoderStreamNode.cs:47-87).
+        feeds = {}
+        for node in self._compiled.topo:
+            if hasattr(node, "prepare_feed"):
+                feeds[str(node.node_id)] = node.prepare_feed(total_frames)
+        if feeds:
+            # Feed arrays are indexed relative to this call's first frame.
+            feeds["__base__"] = np.int64(self._current_frame)
         frame0s = self._current_frame + frames_per_step * np.arange(
             n_steps, dtype=np.int64
         )
-        self._states, out = self._render_fn(self._states, self._encs, frame0s)
+        self._states, out = self._render_fn(
+            self._states, self._encs, feeds, frame0s
+        )
         self._current_frame += n_steps * frames_per_step
         self._step_count += n_steps
         out_np = np.asarray(jax.device_get(out))
@@ -248,13 +296,27 @@ class AudioContextBase:
         return out_np
 
     def _notify_sources(self) -> None:
-        """Fire ended-events / self-disposal on scheduled sources."""
+        """Fire ended-events / self-disposal on scheduled sources.
+
+        All wanted state leaves transfer in ONE device_get — per-node
+        transfers over the device tunnel cost tens of ms each.
+        """
         end_time = self.current_time
-        for node in list(self._compiled.topo):
-            if getattr(node, "wants_notify", False):
-                st = self._states.get(node.node_id)
-                if st is not None:
-                    node.notify_rendered(st, end_time)
+        wanted = [
+            node
+            for node in self._compiled.topo
+            if getattr(node, "wants_notify", False)
+            and str(node.node_id) in self._states
+        ]
+        if not wanted:
+            return
+        batch = jax.device_get(
+            {str(n.node_id): self._states[str(n.node_id)]["stop_time"] for n in wanted}
+        )
+        for node in wanted:
+            node.notify_rendered(
+                {"stop_time": batch[str(node.node_id)]}, end_time
+            )
 
     # -- lifecycle ------------------------------------------------------------
 

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
-from graphaudio_tpu.core.mixing import mix_inputs, resolve_channel_count
+from graphaudio_tpu.core.mixing import (
+    adapt_channels,
+    mix_inputs,
+    resolve_channel_count,
+)
 from graphaudio_tpu.core.params import AutomationRate
 from graphaudio_tpu.ops.param_eval import eval_intrinsic
 
@@ -99,6 +103,12 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
+def _is_buffer_source(node) -> bool:
+    """Buffer sources batch over a packed sample arena (duck-typed to avoid an
+    import cycle with the nodes package)."""
+    return hasattr(node, "_process_unity") and hasattr(node, "_buffer")
+
+
 class CompiledGraph:
     """Static schedule for a graph topology.
 
@@ -157,6 +167,7 @@ class CompiledGraph:
 
         # Static channel resolution in topo order (replaces the reference's
         # per-block dynamic resolution, AudioNodeInput.cs:140-168).
+        node_in_counts = {}
         for node in topo:
             in_counts = []
             for inp in node.inputs:
@@ -169,110 +180,306 @@ class CompiledGraph:
                 )
                 self.input_channels[(node.node_id, inp.index)] = c
                 in_counts.append(c)
+            node_in_counts[node.node_id] = tuple(in_counts)
             out_counts = node.output_channel_counts(in_counts)
             for i, c in enumerate(out_counts):
                 self.output_channels[(node.node_id, i)] = c
 
+        # ---- stage scheduling with voice batching --------------------------
+        # Nodes whose upstream dependencies are all emitted and that share a
+        # group_key run as one vmapped stage. This collapses N same-type voice
+        # nodes (the reference's per-node virtual dispatch) into one kernel.
+        emitted = set()
+        stages = []
+        remaining = [n for n in topo if n is not dest]
+
+        def upstream_ids(node):
+            ids = set()
+            for inp in node.inputs:
+                for o in inp.connected_outputs:
+                    ids.add(o.owner.node_id)
+            for param in node.params.values():
+                for o in param._mod_outputs:
+                    ids.add(o.owner.node_id)
+            return ids
+
+        while remaining:
+            ready = [n for n in remaining if upstream_ids(n) <= emitted]
+            if not ready:  # cannot happen on a DAG, but fail loudly
+                raise RuntimeError("stage scheduling stalled (cycle?)")
+            by_key = {}
+            singles = []
+            for n in ready:
+                key = n.group_key(node_in_counts[n.node_id])
+                if key is None:
+                    singles.append(n)
+                else:
+                    by_key.setdefault(key, []).append(n)
+            for n in singles:
+                stages.append(("single", [n]))
+            for key, nodes in by_key.items():
+                if len(nodes) == 1:
+                    stages.append(("single", nodes))
+                else:
+                    stages.append(("group", nodes))
+            for n in ready:
+                emitted.add(n.node_id)
+            remaining = [n for n in remaining if n.node_id not in emitted]
+        stages.append(("dest", [dest]))
+        self.stages = stages
+
         # Param encoding capacities (pow2 padding keeps jit cache stable while
-        # event lists grow).
+        # event lists grow). Group members share one capacity so encodings
+        # stack.
         for node in topo:
             for name, p in node.params.items():
                 self.param_capacity[(node.node_id, name)] = _next_pow2(
                     max(1, p.event_count())
                 )
+        for kind, nodes in stages:
+            if kind == "group":
+                for name in nodes[0].params:
+                    cap = max(
+                        self.param_capacity[(n.node_id, name)] for n in nodes
+                    )
+                    for n in nodes:
+                        self.param_capacity[(n.node_id, name)] = cap
 
     # -- state ------------------------------------------------------------------
 
-    def init_states(self) -> Dict[int, dict]:
-        return {n.node_id: n.init_state(self.info) for n in self.topo}
+    def init_states(self) -> Dict:
+        states = {str(n.node_id): n.init_state(self.info) for n in self.topo}
+        # Context-level globals (listener transform) travel in the state
+        # pytree so they are data, not recompile triggers.
+        states["__globals__"] = self.context.global_state()
+        return states
 
     def encode_params(self) -> Dict[str, dict]:
-        """Encode all params' event lists; bumps capacities when outgrown."""
-        encs = {}
+        """Encode all params' event lists; bumps capacities when outgrown
+        (group members keep equal capacities so their encodings stack)."""
         for node in self.topo:
             for name, p in node.params.items():
                 key = (node.node_id, name)
-                cap = self.param_capacity[key]
-                if p.event_count() > cap:
-                    cap = _next_pow2(p.event_count())
-                    self.param_capacity[key] = cap
-                encs[f"{node.node_id}/{name}"] = p.encode(cap)
+                if p.event_count() > self.param_capacity[key]:
+                    self.param_capacity[key] = _next_pow2(p.event_count())
+        for kind, nodes in self.stages:
+            if kind == "group":
+                for name in nodes[0].params:
+                    cap = max(
+                        self.param_capacity[(n.node_id, name)] for n in nodes
+                    )
+                    for n in nodes:
+                        self.param_capacity[(n.node_id, name)] = cap
+        encs = {}
+        for node in self.topo:
+            for name, p in node.params.items():
+                encs[f"{node.node_id}/{name}"] = p.encode(
+                    self.param_capacity[(node.node_id, name)]
+                )
         return encs
 
     # -- the step function ---------------------------------------------------
 
     def make_step_fn(self):
         info = self.info
-        topo = list(self.topo)
+        stages = list(self.stages)
         dest = self.destination
         dest_channels = self.input_channels[(dest.node_id, 0)]
         input_channels = dict(self.input_channels)
 
-        def step(states, encs, frame0):
-            rc = RenderContext(info, frame0)
-            out_table: Dict[Tuple[int, int], jnp.ndarray] = {}
-            new_states = {}
+        # Pre-build per-group host constants (e.g. source arenas) once.
+        group_setup = {}
+        for si, (kind, nodes) in enumerate(stages):
+            if kind == "group" and _is_buffer_source(nodes[0]):
+                arena = np.concatenate([n._buffer.data for n in nodes], axis=1)
+                lengths = np.array([n._buffer.length for n in nodes], np.float64)
+                offs = np.concatenate([[0.0], np.cumsum(lengths)[:-1]])
+                rates = np.array(
+                    [n._buffer.sample_rate for n in nodes], np.float64
+                )
+                group_setup[si] = (arena, offs, lengths, rates)
 
-            def mixed_input(node, inp):
-                srcs = [
+        def step(states, encs, feeds, frame0):
+            rc = RenderContext(info, frame0)
+            rc.globals = states.get("__globals__")
+            rc.feeds = feeds
+            # out_table values: jnp array [C, T], or ("lane", tensor, v) where
+            # tensor is a stacked group output [V, C, T].
+            out_table: Dict[Tuple[int, int], object] = {}
+            new_states = {"__globals__": states.get("__globals__")}
+
+            def mixed_signal(sources, dst_c):
+                """Sum arbitrary outputs (direct arrays + group lanes) into
+                one [dst_c, T] block. Lanes of the same group tensor collapse
+                into a single axis-0 reduction — the reference's fan-in
+                summing junction (AudioNodeInput.cs:100-138) as one op."""
+                direct = []
+                lanes: Dict[int, Tuple[jnp.ndarray, list]] = {}
+                for s in sources:
+                    if isinstance(s, tuple) and s[0] == "lane":
+                        _, tensor, v = s
+                        lanes.setdefault(id(tensor), (tensor, []))[1].append(v)
+                    else:
+                        direct.append(s)
+                parts = [adapt_channels(d, dst_c) for d in direct]
+                for tensor, vs in lanes.values():
+                    if len(vs) == tensor.shape[0]:
+                        summed = jnp.sum(tensor, axis=0)
+                    elif len(vs) == 1:
+                        summed = tensor[vs[0]]
+                    else:
+                        summed = jnp.sum(tensor[jnp.asarray(vs)], axis=0)
+                    parts.append(adapt_channels(summed, dst_c))
+                if not parts:
+                    return jnp.zeros((dst_c, rc.frames), dtype=jnp.float32)
+                acc = parts[0]
+                for p in parts[1:]:
+                    acc = acc + p
+                return acc
+
+            def port_sources(inp):
+                return [
                     out_table[(o.owner.node_id, o.index)]
                     for o in inp.connected_outputs
                 ]
+
+            def mixed_input(node, inp):
                 c = input_channels[(node.node_id, inp.index)]
-                return mix_inputs(srcs, c, rc.frames)
+                return mixed_signal(port_sources(inp), c)
 
-            def mod_signal(param):
-                # The hidden modulation input is mono Explicit
-                # (AudioParam.cs:68-70): downmix each source to 1 channel, sum.
-                srcs = [
-                    out_table[(o.owner.node_id, o.index)]
-                    for o in param._mod_outputs
-                ]
-                return mix_inputs(srcs, 1, rc.frames)[0]  # [T]
+            def param_values(node, name, p, enc):
+                a_rate = p.automation_rate == AutomationRate.A_RATE
+                times = rc.sample_times if a_rate else rc.block_times
+                intrinsic = eval_intrinsic(enc, times)
+                if p._mod_outputs:
+                    # Hidden mono Explicit modulation input (AudioParam.cs:66-70).
+                    srcs = [
+                        out_table[(o.owner.node_id, o.index)]
+                        for o in p._mod_outputs
+                    ]
+                    mod = mixed_signal(srcs, 1)[0]
+                    if a_rate:
+                        m = mod
+                    else:
+                        # k-rate reads modulation at sample 0 of each block
+                        # (AudioParam.cs:150-156).
+                        m = mod.reshape(info.superblock, FRAMES_PER_BLOCK)[:, 0]
+                    return jnp.clip(
+                        intrinsic + m,
+                        jnp.float32(p.min_value),
+                        jnp.float32(p.max_value),
+                    ), a_rate
+                return intrinsic, a_rate
 
-            for node in topo:
+            def run_single(node):
                 params = {}
                 for name, p in node.params.items():
-                    enc = encs[f"{node.node_id}/{name}"]
-                    a_rate = p.automation_rate == AutomationRate.A_RATE
-                    times = rc.sample_times if a_rate else rc.block_times
-                    intrinsic = eval_intrinsic(enc, times)
-                    if p._mod_outputs:
-                        mod = mod_signal(p)
-                        if a_rate:
-                            m = mod
-                        else:
-                            # k-rate reads the modulation at sample 0 of each
-                            # block (AudioParam.cs:150-156).
-                            m = mod.reshape(info.superblock, FRAMES_PER_BLOCK)[:, 0]
-                        vals = jnp.clip(
-                            intrinsic + m,
-                            jnp.float32(p.min_value),
-                            jnp.float32(p.max_value),
-                        )
-                    else:
-                        vals = intrinsic
+                    vals, a_rate = param_values(
+                        node, name, p, encs[f"{node.node_id}/{name}"]
+                    )
                     params[name] = ParamSignal(vals, a_rate, info.superblock)
-
-                if node is dest:
-                    # Destination is a passthrough sink
-                    # (AudioDestinationNode.cs:42-64): its mixed input is the
-                    # render output.
-                    dest_out = mixed_input(node, node.inputs[0])
-                    new_states[node.node_id] = states[node.node_id]
-                    continue
-
                 inputs = [mixed_input(node, inp) for inp in node.inputs]
-                st, outs = node.process(states[node.node_id], inputs, params, rc)
-                new_states[node.node_id] = st
+                st, outs = node.process(states[str(node.node_id)], inputs, params, rc)
+                new_states[str(node.node_id)] = st
                 for i, o in enumerate(outs):
-                    expect_c = self.output_channels.get((node.node_id, i))
-                    if expect_c is not None and o.shape[0] != expect_c:
-                        raise AssertionError(
-                            f"node {node.name} output {i}: expected {expect_c} "
-                            f"channels, kernel produced {o.shape[0]}"
-                        )
                     out_table[(node.node_id, i)] = o
+
+            def stacked_inputs(nodes, inp_idx):
+                """[V, C, T] inputs for a group; identity fast path when all
+                lanes chain 1:1 from one upstream group tensor."""
+                dst_c = input_channels[(nodes[0].node_id, inp_idx)]
+                per = [port_sources(n.inputs[inp_idx]) for n in nodes]
+                first = per[0]
+                if (
+                    len(first) == 1
+                    and isinstance(first[0], tuple)
+                    and all(
+                        len(p) == 1
+                        and isinstance(p[0], tuple)
+                        and p[0][1] is first[0][1]
+                        and p[0][2] == v
+                        for v, p in enumerate(per)
+                    )
+                    and first[0][1].shape[0] == len(nodes)
+                    and first[0][1].shape[1] == dst_c
+                ):
+                    return first[0][1]
+                return jnp.stack(
+                    [mixed_signal(p, dst_c) for p in per], axis=0
+                )
+
+            def run_group(si, nodes):
+                rep = nodes[0]
+                V = len(nodes)
+                # Stack states and param values along the lane axis.
+                states_stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *[states[str(n.node_id)] for n in nodes],
+                )
+                pvals = {}
+                rates = {}
+                for name, p in rep.params.items():
+                    vs = []
+                    for n in nodes:
+                        v, a_rate = param_values(
+                            n, name, n.params[name], encs[f"{n.node_id}/{name}"]
+                        )
+                        vs.append(v)
+                    pvals[name] = jnp.stack(vs)
+                    rates[name] = a_rate
+                inputs_stacked = [
+                    stacked_inputs(nodes, i) for i in range(len(rep.inputs))
+                ]
+
+                if _is_buffer_source(rep):
+                    arena_np, offs, lengths, brates = group_setup[si]
+                    arena = jnp.asarray(arena_np)
+                    unity = rep._static_unity_rate(rc)
+
+                    def lane(state, off, length, brate, pv):
+                        geom = (off, length, brate)
+                        if unity:
+                            return rep._process_unity(state, arena, geom, rc)
+                        return rep._process_resample(
+                            state, arena, geom, pv["playbackRate"], rc
+                        )
+
+                    sts, outs = jax.vmap(lane)(
+                        states_stacked,
+                        jnp.asarray(offs),
+                        jnp.asarray(lengths),
+                        jnp.asarray(brates),
+                        pvals,
+                    )
+                else:
+
+                    def lane(state, inputs, pv):
+                        params = {
+                            name: ParamSignal(v, rates[name], info.superblock)
+                            for name, v in pv.items()
+                        }
+                        return rep.process(state, list(inputs), params, rc)
+
+                    sts, outs = jax.vmap(lane)(
+                        states_stacked, tuple(inputs_stacked), pvals
+                    )
+
+                for v, n in enumerate(nodes):
+                    new_states[str(n.node_id)] = jax.tree_util.tree_map(
+                        lambda x: x[v], sts
+                    )
+                for i, o in enumerate(outs):  # o: [V, C, T]
+                    for v, n in enumerate(nodes):
+                        out_table[(n.node_id, i)] = ("lane", o, v)
+
+            for si, (kind, nodes) in enumerate(stages):
+                if kind == "single":
+                    run_single(nodes[0])
+                elif kind == "group":
+                    run_group(si, nodes)
+                else:  # destination: passthrough sink (AudioDestinationNode.cs:42-64)
+                    dest_out = mixed_input(dest, dest.inputs[0])
+                    new_states[str(dest.node_id)] = states[str(dest.node_id)]
 
             return new_states, dest_out
 
@@ -282,9 +489,9 @@ class CompiledGraph:
         """Jitted multi-superblock renderer: scan step over frame offsets."""
         step, dest_channels = self.make_step_fn()
 
-        def render(states, encs, frame0s):
+        def render(states, encs, feeds, frame0s):
             def body(carry, frame0):
-                new_states, out = step(carry, encs, frame0)
+                new_states, out = step(carry, encs, feeds, frame0)
                 return new_states, out
 
             states, outs = jax.lax.scan(body, states, frame0s)

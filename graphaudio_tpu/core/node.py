@@ -242,6 +242,22 @@ class AudioNode:
         c = input_channels[0] if input_channels else 2
         return [c] * len(self.outputs)
 
+    def group_key(self, input_channels):
+        """Hashable batching key, or None when this node can't join a vmapped
+        voice stage.
+
+        Nodes sharing a key are executed as ONE vmapped kernel over stacked
+        states/params — the TPU form of the reference's implicit voice-level
+        parallelism (N sources summed at an input, AudioNodeInput.cs:100-138).
+        Keys must capture every compile-time attribute the kernel reads
+        (filter type, channel counts, specialization flags). Nodes with param
+        modulation inputs are not batched.
+        """
+        return None
+
+    def _params_modulated(self) -> bool:
+        return any(p._mod_outputs for p in self.params.values())
+
     def notify_rendered(self, state, end_time: float) -> None:
         """Host callback after a render step with this node's updated state.
 

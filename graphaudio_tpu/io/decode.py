@@ -1,0 +1,232 @@
+"""AudioDecoder: file/stream decoding to PlayableAudioBuffers.
+
+Parity: GraphAudio.IO/LibsndfileDecoder.cs — properties Duration/SampleRate/
+Channels (:63-68), interleaved ``decode`` (:73-83), planar ``decode_planar``
+(:92-160), ``try_seek``/``try_rewind`` (:167-181), and the static loaders
+``load_from_file``/``load_from_bytes`` -> PlayableAudioBuffer (:186-234).
+
+Backend: the native C++ codec (io/native.py); pure-Python RIFF/WAVE fallback
+(stdlib struct/numpy) when the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import io as _io
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+from graphaudio_tpu.core.buffer import PlayableAudioBuffer
+from graphaudio_tpu.io import native
+
+
+class _PyWavReader:
+    """Minimal pure-Python RIFF/WAVE reader (PCM u8/s16/s24/s32, f32/f64)."""
+
+    def __init__(self, data: bytes):
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos = 12
+        fmt = None
+        self._data_off = None
+        self._data_len = 0
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body = pos + 8
+            if cid == b"fmt ":
+                fmt = data[body : body + size]
+            elif cid == b"data":
+                self._data_off = body
+                self._data_len = min(size, len(data) - body)
+            pos = body + size + (size & 1)
+        if fmt is None or self._data_off is None:
+            raise ValueError("malformed WAV")
+        tag, self.channels, self.sample_rate = struct.unpack("<HHI", fmt[:8])
+        self.bits = struct.unpack("<H", fmt[14:16])[0]
+        if tag == 0xFFFE and len(fmt) >= 26:
+            tag = struct.unpack("<H", fmt[24:26])[0]
+        if tag not in (1, 3):
+            raise ValueError(f"unsupported WAV format tag {tag}")
+        self.is_float = tag == 3
+        self._raw = data
+        self._bpf = self.channels * (self.bits // 8)
+        self.frames = self._data_len // self._bpf
+        self.pos = 0
+
+    def read(self, frames: int) -> np.ndarray:
+        frames = min(frames, self.frames - self.pos)
+        if frames <= 0:
+            return np.zeros((0, self.channels), np.float32)
+        start = self._data_off + self.pos * self._bpf
+        raw = self._raw[start : start + frames * self._bpf]
+        self.pos += frames
+        if self.is_float:
+            dt = np.float32 if self.bits == 32 else np.float64
+            arr = np.frombuffer(raw, dt).astype(np.float32)
+        elif self.bits == 8:
+            arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif self.bits == 16:
+            arr = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        elif self.bits == 24:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.astype(np.float32) / 8388608.0
+        elif self.bits == 32:
+            arr = (np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported bit depth {self.bits}")
+        return arr.reshape(-1, self.channels)
+
+    def seek(self, frame: int) -> None:
+        self.pos = int(np.clip(frame, 0, self.frames))
+
+
+class AudioDecoder:
+    """Decode an audio file/stream to float32 frames.
+
+    Accepts a path, raw bytes, or a binary file-like object. The underlying
+    decode runs in native code when available (gacodec), mirroring the
+    reference's P/Invoke into libsndfile.
+    """
+
+    def __init__(self, source):
+        self._handle = None
+        self._py = None
+        self._keepalive = None
+
+        lib = native.load()
+        if isinstance(source, (str, os.PathLike)):
+            path = os.fspath(source)
+            if lib is not None:
+                self._lib = lib
+                self._handle = lib.gac_open_file(path.encode())
+            if self._handle is None:
+                with open(path, "rb") as f:
+                    self._py = _PyWavReader(f.read())
+        else:
+            data = source if isinstance(source, (bytes, bytearray)) else source.read()
+            data = bytes(data)
+            if lib is not None:
+                self._lib = lib
+                self._keepalive = data  # the native decoder reads from this
+                buf = (ctypes.c_char * len(data)).from_buffer_copy(data)
+                self._keepalive = buf
+                self._handle = lib.gac_open_memory(
+                    ctypes.cast(buf, ctypes.c_char_p), len(data)
+                )
+            if self._handle is None:
+                self._py = _PyWavReader(data)
+
+        if self._handle is not None:
+            self.channels = self._lib.gac_channels(self._handle)
+            self.sample_rate = self._lib.gac_sample_rate(self._handle)
+            self.frames = int(self._lib.gac_frames(self._handle))
+        else:
+            self.channels = self._py.channels
+            self.sample_rate = self._py.sample_rate
+            self.frames = self._py.frames
+
+    @property
+    def duration(self) -> float:
+        """Total duration in seconds (parity: AudioDecoder.Duration)."""
+        return self.frames / self.sample_rate
+
+    def decode(self, frames: int) -> np.ndarray:
+        """Read up to ``frames`` interleaved frames -> f32[n, channels]."""
+        if self._handle is not None:
+            out = np.zeros((frames, self.channels), np.float32)
+            n = self._lib.gac_read_f32(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frames,
+            )
+            return out[: int(n)]
+        return self._py.read(frames)
+
+    def decode_planar(self, frames: int) -> np.ndarray:
+        """Read up to ``frames`` frames -> planar f32[channels, n]
+        (parity: DecodePlanar, LibsndfileDecoder.cs:92-160)."""
+        return np.ascontiguousarray(self.decode(frames).T)
+
+    def try_seek(self, seconds: float) -> bool:
+        """Parity: TrySeek (:167-175)."""
+        frame = int(seconds * self.sample_rate)
+        if self._handle is not None:
+            return self._lib.gac_seek(self._handle, frame) == 0
+        self._py.seek(frame)
+        return True
+
+    def try_rewind(self) -> bool:
+        """Parity: TryRewind (:177-181)."""
+        return self.try_seek(0.0)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.gac_close(self._handle)
+            self._handle = None
+        self._py = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- static loaders (parity: LoadFromFile/LoadFromStream, :186-234) -------
+
+    @staticmethod
+    def load_from_file(path) -> PlayableAudioBuffer:
+        with AudioDecoder(path) as dec:
+            planar = dec.decode_planar(dec.frames)
+            return PlayableAudioBuffer.from_channel_arrays(
+                [planar[c] for c in range(dec.channels)], dec.sample_rate
+            )
+
+    @staticmethod
+    def load_from_bytes(data) -> PlayableAudioBuffer:
+        with AudioDecoder(data) as dec:
+            planar = dec.decode_planar(dec.frames)
+            return PlayableAudioBuffer.from_channel_arrays(
+                [planar[c] for c in range(dec.channels)], dec.sample_rate
+            )
+
+    load_from_stream = load_from_bytes
+
+
+def write_wav(path, data: np.ndarray, sample_rate: int, float32: bool = False) -> None:
+    """Write planar f32[channels, n] audio as a WAV file (native encoder,
+    Python fallback)."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None]
+    inter = np.ascontiguousarray(data.T).reshape(-1)
+    lib = native.load()
+    if lib is not None:
+        r = lib.gac_write_wav(
+            os.fspath(path).encode(),
+            inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            data.shape[1],
+            data.shape[0],
+            int(sample_rate),
+            3 if float32 else 1,
+        )
+        if r == 0:
+            return
+    import wave
+
+    with wave.open(os.fspath(path), "wb") as w:
+        w.setnchannels(data.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        pcm = np.clip(inter * 32767.0, -32768, 32767).astype(np.int16)
+        w.writeframes(pcm.tobytes())

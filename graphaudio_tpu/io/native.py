@@ -1,0 +1,74 @@
+"""ctypes binding to the native codec (native/gacodec.cpp).
+
+Builds the shared library on demand (g++, cached next to the source) —
+the moral equivalent of the reference shipping per-RID libsndfile binaries
+(GraphAudio.IO/runtimes/). Falls back to None when no compiler is available;
+decode.py then uses the pure-Python WAV path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "gacodec.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libgacodec.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _configure(lib) -> None:
+    c = ctypes
+    sigs = {
+        "gac_open_file": (c.c_void_p, [c.c_char_p]),
+        "gac_open_memory": (c.c_void_p, [c.c_char_p, c.c_size_t]),
+        "gac_channels": (c.c_int, [c.c_void_p]),
+        "gac_sample_rate": (c.c_int, [c.c_void_p]),
+        "gac_frames": (c.c_int64, [c.c_void_p]),
+        "gac_read_f32": (c.c_int64, [c.c_void_p, c.POINTER(c.c_float), c.c_int64]),
+        "gac_seek": (c.c_int, [c.c_void_p, c.c_int64]),
+        "gac_tell": (c.c_int64, [c.c_void_p]),
+        "gac_close": (None, [c.c_void_p]),
+        "gac_write_wav": (
+            c.c_int,
+            [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
+        ),
+    }
+    for name, (restype, argtypes) in sigs.items():
+        f = getattr(lib, name)
+        f.restype = restype
+        f.argtypes = argtypes
+
+
+def load():
+    """Load (building if needed) the native codec library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            _configure(lib)
+            _lib = lib
+        except OSError:
+            return None
+        return _lib

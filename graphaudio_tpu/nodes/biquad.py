@@ -76,6 +76,12 @@ class BiQuadFilterNode(AudioNode):
         self._channels = c
         return [c]
 
+    def group_key(self, input_channels):
+        if self._params_modulated():
+            return None
+        time_varying = self.frequency._had_events or self.q._had_events
+        return ("biquad", self._type, input_channels[0], time_varying)
+
     def init_state(self, info):
         return {
             "w1": np.zeros((self._channels,), np.float32),

@@ -15,6 +15,11 @@ class GainNode(AudioNode):
             "gain", default_value=1.0, automation_rate=AutomationRate.A_RATE
         )
 
+    def group_key(self, input_channels):
+        if self._params_modulated():
+            return None
+        return ("gain", input_channels[0])
+
     def process(self, state, inputs, params, rc):
         g = params["gain"].per_sample()  # f32[T]
         return state, [inputs[0] * g[None, :]]

@@ -38,6 +38,11 @@ class StereoPannerNode(AudioNode):
     def output_channel_counts(self, input_channels):
         return [2]
 
+    def group_key(self, input_channels):
+        if self._params_modulated():
+            return None
+        return ("stereo-pan", input_channels[0])
+
     def process(self, state, inputs, params, rc):
         x_in = inputs[0]
         pan = jnp.clip(params["pan"].per_sample(), -1.0, 1.0)  # f32[T]

@@ -26,7 +26,7 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.resample import gather_resample
+from graphaudio_tpu.ops.resample import gather_resample, split_positions
 
 _TWO_PI = 2.0 * math.pi
 _INF = float("inf")
@@ -174,6 +174,11 @@ class ConstantSourceNode(ScheduledSourceNode):
     def output_channel_counts(self, input_channels):
         return [1]
 
+    def group_key(self, input_channels):
+        if self._params_modulated():
+            return None
+        return ("const-source",)
+
     def init_state(self, info):
         return self._sched_state()
 
@@ -225,6 +230,11 @@ class OscillatorNode(ScheduledSourceNode):
 
     def output_channel_counts(self, input_channels):
         return [1]
+
+    def group_key(self, input_channels):
+        if self._params_modulated():
+            return None
+        return ("oscillator", self._type)
 
     def init_state(self, info):
         st = self._sched_state()
@@ -354,6 +364,17 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         c = self._buffer.number_of_channels if self._buffer is not None else 1
         return [c]
 
+    def group_key(self, input_channels):
+        if self._buffer is None or self._params_modulated():
+            return None
+        unity = (
+            self._buffer.sample_rate == self.context.sample_rate
+            and not self.playback_rate.touched
+        )
+        # Voices with the same channel count and kernel path share one vmapped
+        # stage over a packed sample arena (buffers concatenated along time).
+        return ("buffer-source", self._buffer.number_of_channels, unity)
+
     # -- state --------------------------------------------------------------------
 
     def init_state(self, info):
@@ -391,22 +412,26 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             and not self.playback_rate.touched
         )
 
-    def _frame_bounds(self, state, buffer_rate: float, length: int):
-        """Loop/duration frame bounds (f64), parity :171-182."""
-        br = jnp.float64(buffer_rate)
+    def _frame_bounds(self, state, buffer_rate, length):
+        """Loop/duration frame bounds (f64), parity :171-182.
+
+        ``buffer_rate``/``length`` are f64 scalars (traced when the source
+        runs as a lane of a batched voice stage over a packed arena).
+        """
+        br = buffer_rate
         lsf = jnp.trunc(state["loop_start"] * br)
         lef = jnp.where(
-            state["loop_end"] > 0.0, jnp.trunc(state["loop_end"] * br), float(length)
+            state["loop_end"] > 0.0, jnp.trunc(state["loop_end"] * br), length
         )
-        lef = jnp.minimum(lef, float(length))
+        lef = jnp.minimum(lef, length)
         lsf = jnp.minimum(lsf, lef)
         llen = lef - lsf
         de = jnp.where(
             jnp.isfinite(state["duration"]),
             jnp.trunc(state["offset"] * br) + jnp.trunc(state["duration"] * br),
-            float(length),
+            length,
         )
-        de = jnp.minimum(de, float(length))
+        de = jnp.minimum(de, length)
         looping = (state["loop"] > 0) & (llen > 0.0)
         return lsf, lef, llen, de, looping
 
@@ -414,29 +439,48 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         if self._buffer is None:
             return state, [jnp.zeros((1, rc.frames), jnp.float32)]
         data = jnp.asarray(self._buffer.data)  # [C, L] closure constant
+        geom = (
+            jnp.float64(0.0),  # arena offset
+            jnp.float64(self._buffer.length),
+            jnp.float64(self._buffer.sample_rate),
+        )
         if self._static_unity_rate(rc):
-            return self._process_unity(state, data, rc)
-        return self._process_resample(state, data, params, rc)
+            return self._process_unity(state, data, geom, rc)
+        return self._process_resample(
+            state, data, geom, params["playbackRate"].per_block(), rc
+        )
 
-    def _process_unity(self, state, data, rc):
+    def _process_unity(self, state, data, geom, rc):
+        # Per-block bookkeeping in f64 (exact integers); per-sample indexing
+        # in int32 — f64 is software-emulated on the VPU.
+        off, length, buffer_rate = geom
         S = rc.superblock
-        C, L = data.shape
+        C = data.shape[0]
         active = self._block_active(state, rc)  # [S]
-        lsf, lef, llen, de, looping = self._frame_bounds(state, self._buffer.sample_rate, L)
+        lsf, lef, llen, de, looping = self._frame_bounds(state, buffer_rate, length)
         loop_flag = state["loop"] > 0
 
         adv = jnp.where(active, float(FRAMES_PER_BLOCK), 0.0)
-        pos_b = state["pos"] + _excl_cumsum(adv)  # [S]
-        g = pos_b[:, None] + jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64)[None, :]
+        pos_b = state["pos"] + _excl_cumsum(adv)  # [S] f64
 
-        safe_llen = jnp.maximum(llen, 1.0)
-        idx = jnp.where(looping & (g >= lef), lsf + jnp.mod(g - lef, safe_llen), g)
+        lsf_i = lsf.astype(jnp.int32)
+        lef_i = lef.astype(jnp.int32)
+        llen_i = jnp.maximum(lef_i - lsf_i, 1)
+        de_i = de.astype(jnp.int32)
+        len_i = length.astype(jnp.int32)
+        off_i = off.astype(jnp.int32)
+        g = (
+            pos_b.astype(jnp.int32)[:, None]
+            + jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.int32)[None, :]
+        )  # [S, 128]
+
+        idx = jnp.where(looping & (g >= lef_i), lsf_i + jnp.mod(g - lef_i, llen_i), g)
         # Non-loop end bound; a loop flag with a degenerate region plays up to
         # loopEnd then starves (reference endFrame = loopEnd when looping).
-        end_bound = jnp.where(loop_flag, jnp.minimum(lef, de), de)
-        valid = jnp.where(looping, idx < lef, g < end_bound)
+        end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
+        valid = jnp.where(looping, idx < lef_i, g < end_bound)
 
-        gather_idx = jnp.clip(idx, 0.0, float(L - 1)).astype(jnp.int32).reshape(-1)
+        gather_idx = (jnp.clip(idx, 0, len_i - 1) + off_i).reshape(-1)
         samples = jnp.take(data, gather_idx, axis=1).reshape(C, S, FRAMES_PER_BLOCK)
         out = jnp.where((active[:, None] & valid)[None], samples, 0.0)
 
@@ -453,7 +497,9 @@ class AudioBufferSourceNode(ScheduledSourceNode):
 
         new_pos = state["pos"] + jnp.sum(adv)
         new_pos = jnp.where(
-            looping & (new_pos >= lef), lsf + jnp.mod(new_pos - lef, safe_llen), new_pos
+            looping & (new_pos >= lef),
+            lsf + jnp.mod(new_pos - lef, jnp.maximum(llen, 1.0)),
+            new_pos,
         )
 
         new_state = dict(state)
@@ -461,34 +507,46 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         new_state["stop_time"] = new_stop
         return new_state, [out.reshape(C, rc.frames)]
 
-    def _process_resample(self, state, data, params, rc):
+    def _process_resample(self, state, data, geom, playback_rate_pb, rc):
+        off, length, buffer_rate = geom
         S = rc.superblock
-        C, L = data.shape
-        buffer_rate = self._buffer.sample_rate
+        C = data.shape[0]
         active = self._block_active(state, rc)  # [S]
-        lsf, lef, llen, de, looping = self._frame_bounds(state, buffer_rate, L)
+        lsf, lef, llen, de, looping = self._frame_bounds(state, buffer_rate, length)
 
-        ratio = jnp.float64(buffer_rate) / jnp.float64(rc.sample_rate)
-        rate_b = ratio * params["playbackRate"].per_block().astype(jnp.float64)  # [S]
+        ratio = buffer_rate / jnp.float64(rc.sample_rate)
+        rate_b = ratio * playback_rate_pb.astype(jnp.float64)  # [S]
 
         # Prime the resampler on first activity: the 4-sample warmup leaves the
         # first output at position pos+1 (CubicResampler.cs:31-38 + :52).
         x0 = jnp.where(state["primed"] > 0, state["x"], state["pos"] + 1.0)
         adv = jnp.where(active, FRAMES_PER_BLOCK * rate_b, 0.0)
-        xb = x0 + _excl_cumsum(adv)  # [S]
-        j = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64)
-        x = xb[:, None] + j[None, :] * rate_b[:, None]  # [S, 128]
-
+        xb = x0 + _excl_cumsum(adv)  # [S] f64 per-block positions
         safe_llen = jnp.maximum(llen, 1.0)
-        xw = jnp.where(looping & (x >= lef), lsf + jnp.mod(x - lef, safe_llen), x)
+        # Wrap per-block into the loop region so the per-sample fraction below
+        # stays small enough for f32 (f64 per-sample math is VPU-emulated).
+        xb_w = jnp.where(looping & (xb >= lef), lsf + jnp.mod(xb - lef, safe_llen), xb)
+        base, frac = split_positions(xb_w, rate_b, FRAMES_PER_BLOCK)
 
-        out = gather_resample(data, xw, looping, lsf, lef, llen)  # [C, S, 128]
+        lsf_i = lsf.astype(jnp.int32)
+        lef_i = lef.astype(jnp.int32)
+        llen_i = jnp.maximum(lef_i - lsf_i, 1)
+        de_i = de.astype(jnp.int32)
+        len_i = length.astype(jnp.int32)
+        base_w = jnp.where(
+            looping & (base >= lef_i), lsf_i + jnp.mod(base - lef_i, llen_i), base
+        )
+
+        out = gather_resample(
+            data, base_w, frac, looping, lsf_i, lef_i, llen_i,
+            arena_offset=off.astype(jnp.int32), length=len_i,
+        )  # [C, S, 128]
 
         # Non-loop validity: the 4-tap window must fit before the end
         # (mirrors the reference's break when input runs out, :277-292).
         loop_flag = state["loop"] > 0
-        end_bound = jnp.where(loop_flag, jnp.minimum(lef, de), de)
-        valid = jnp.where(looping, xw < lef, jnp.floor(xw) + 2.0 <= end_bound - 1.0)
+        end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
+        valid = jnp.where(looping, base_w < lef_i, base_w + 2 <= end_bound - 1)
         gate = active[:, None] & valid
         out = jnp.where(gate[None], out, 0.0)
 

@@ -1,0 +1,256 @@
+"""3-D spatial panner: HRTF binaural rendering + closed-form direct path.
+
+Parity target: GraphAudio.SteamAudio/Nodes/SpatialPannerNode.cs — 17 k-rate
+params (:94-110), listener-relative direction in the listener basis
+(:133-164), cone directivity (:166-204), distance attenuation with
+Linear/Inverse/Exponential model override (:206-216, 263-284), occlusion with
+3-band frequency-dependent transmission (:218-248), and HRTF rendering with
+bilinear interpolation and a SpatialBlend 2D/3D crossfade (:250-260).
+
+The reference delegates DSP to the closed-source Steam Audio (phonon) C++
+library; here everything is closed-form JAX (direct path) plus an analytic
+spherical-head HRTF (ops/hrtf.py) applied as per-quantum MXU FIR matmuls.
+The direct-path formulas are exactly the reference's; the HRIR set is a
+documented substitute for phonon's measured HRTF.
+
+All parameters are k-rate (one value per 128-frame quantum), matching the
+reference (:119-131). Voices batch: many SpatialPannerNodes with the same
+channel layout run as one vmapped stage.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
+from graphaudio_tpu.core.node import AudioNode, ChannelCountMode, ChannelInterpretation
+from graphaudio_tpu.core.params import AutomationRate
+from graphaudio_tpu.ops.biquad import _first_order_scan
+from graphaudio_tpu.ops.hrtf import HRIR_LENGTH, build_hrir_grid, fir_per_block, interp_hrir
+
+_F32MAX = 3.4028235e38
+
+# 3-band transmission crossover frequencies (phonon uses 800 Hz / 8 kHz).
+XOVER_LOW_HZ = 800.0
+XOVER_HIGH_HZ = 8000.0
+
+
+class DistanceModelType(enum.Enum):
+    """Parity: SpatialPannerNode.DistanceModelType (:42-47)."""
+
+    LINEAR = "linear"
+    INVERSE = "inverse"
+    EXPONENTIAL = "exponential"
+
+
+_hrir_cache = {}
+
+
+def _hrir_grid(sample_rate: int) -> np.ndarray:
+    grid = _hrir_cache.get(sample_rate)
+    if grid is None:
+        grid = build_hrir_grid(sample_rate)
+        _hrir_cache[sample_rate] = grid
+    return grid
+
+
+class SpatialPannerNode(AudioNode):
+    def __init__(self, context):
+        super().__init__(context, input_count=1, output_count=1, name="SpatialPanner")
+        self.inputs[0].set_channel_count(2)
+        self.inputs[0].set_channel_count_mode(ChannelCountMode.CLAMPED_MAX)
+        self.inputs[0].set_channel_interpretation(ChannelInterpretation.SPEAKERS)
+        self._distance_model = DistanceModelType.INVERSE
+        self._channels = 2
+
+        k = AutomationRate.K_RATE
+        p = self.create_audio_param
+        self.position_x = p("positionX", 0.0, -_F32MAX, _F32MAX, k)
+        self.position_y = p("positionY", 0.0, -_F32MAX, _F32MAX, k)
+        self.position_z = p("positionZ", 0.0, -_F32MAX, _F32MAX, k)
+        self.orientation_x = p("orientationX", 1.0, -1.0, 1.0, k)
+        self.orientation_y = p("orientationY", 0.0, -1.0, 1.0, k)
+        self.orientation_z = p("orientationZ", 0.0, -1.0, 1.0, k)
+        self.ref_distance = p("refDistance", 1.0, 0.0, _F32MAX, k)
+        self.max_distance = p("maxDistance", 10000.0, 0.0, _F32MAX, k)
+        self.rolloff_factor = p("rolloffFactor", 1.0, 0.0, _F32MAX, k)
+        self.cone_inner_angle = p("coneInnerAngle", 360.0, 0.0, 360.0, k)
+        self.cone_outer_angle = p("coneOuterAngle", 360.0, 0.0, 360.0, k)
+        self.cone_outer_gain = p("coneOuterGain", 0.0, 0.0, 1.0, k)
+        self.spatial_blend = p("spatialBlend", 1.0, 0.0, 1.0, k)
+        self.occlusion = p("occlusion", 0.0, 0.0, 1.0, k)
+        self.transmission_low = p("transmissionLow", 0.0, 0.0, 1.0, k)
+        self.transmission_mid = p("transmissionMid", 0.0, 0.0, 1.0, k)
+        self.transmission_high = p("transmissionHigh", 0.0, 0.0, 1.0, k)
+
+    @property
+    def distance_model(self) -> DistanceModelType:
+        return self._distance_model
+
+    @distance_model.setter
+    def distance_model(self, value: DistanceModelType) -> None:
+        if value != self._distance_model:
+            self._distance_model = value
+            self._graph_changed()  # formula baked into the kernel
+
+    def output_channel_counts(self, input_channels):
+        self._channels = input_channels[0] if input_channels else 2
+        return [2]
+
+    def group_key(self, input_channels):
+        if self._params_modulated():
+            return None
+        return ("spatial-panner", input_channels[0], self._distance_model)
+
+    def init_state(self, info):
+        c = self._channels
+        return {
+            # FIR input history for the binaural render (mono downmix).
+            "fir_hist": np.zeros((HRIR_LENGTH - 1,), np.float32),
+            # One-pole crossover states for 3-band transmission, per channel.
+            "xlow": np.zeros((c,), np.float32),
+            "xhigh": np.zeros((c,), np.float32),
+        }
+
+    # -- direct path (closed-form, parity :133-284) ---------------------------
+
+    def _direct_gains(self, params, listener, rc):
+        """Per-block direction, blend, and 3 band gains. All f32[S]."""
+        pb = lambda name: params[name].per_block()
+        px, py, pz = pb("positionX"), pb("positionY"), pb("positionZ")
+        lp = listener["listener_pos"]
+        wd = jnp.stack([px - lp[0], py - lp[1], pz - lp[2]])  # [3, S] world
+        distance = jnp.sqrt(wd[0] ** 2 + wd[1] ** 2 + wd[2] ** 2)
+
+        near = distance <= 1e-4
+        inv = jnp.where(near, 0.0, 1.0 / jnp.maximum(distance, 1e-9))
+        wdn = wd * inv  # normalized world direction (zero when degenerate)
+
+        right, up, ahead = (
+            listener["listener_right"],
+            listener["listener_up"],
+            listener["listener_ahead"],
+        )
+        # Listener-space direction (SpatialPannerNode.cs:153-158); straight
+        # ahead is (0, 0, -1) when degenerate (:162).
+        dx = wdn[0] * right[0] + wdn[1] * right[1] + wdn[2] * right[2]
+        dy = wdn[0] * up[0] + wdn[1] * up[1] + wdn[2] * up[2]
+        dz = wdn[0] * ahead[0] + wdn[1] * ahead[1] + wdn[2] * ahead[2]
+        dx = jnp.where(near, 0.0, dx)
+        dy = jnp.where(near, 0.0, dy)
+        dz = jnp.where(near, -1.0, dz)
+        distance = jnp.where(near, 0.0, distance)
+
+        # Cone directivity (:166-204).
+        ox, oy, oz = pb("orientationX"), pb("orientationY"), pb("orientationZ")
+        inner, outer = pb("coneInnerAngle"), pb("coneOuterAngle")
+        outer_gain = pb("coneOuterGain")
+        omag = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+        o_ok = omag > 1e-4
+        oinv = jnp.where(o_ok, 1.0 / jnp.maximum(omag, 1e-9), 0.0)
+        dot = jnp.clip(
+            -(ox * wdn[0] + oy * wdn[1] + oz * wdn[2]) * oinv, -1.0, 1.0
+        )
+        angle = jnp.abs(jnp.arccos(dot) * (180.0 / math.pi))
+        half_inner, half_outer = inner * 0.5, outer * 0.5
+        t = (angle - half_inner) / jnp.maximum(half_outer - half_inner, 1e-6)
+        directivity = jnp.where(
+            angle <= half_inner,
+            1.0,
+            jnp.where(angle >= half_outer, outer_gain, 1.0 + t * (outer_gain - 1.0)),
+        )
+        cone_active = ((inner < 360.0) | (outer < 360.0)) & o_ok
+        directivity = jnp.where(cone_active, directivity, 1.0)
+
+        # Distance attenuation (:206-216, 263-284).
+        ref, mx, rolloff = pb("refDistance"), pb("maxDistance"), pb("rolloffFactor")
+        dc = jnp.clip(distance, ref, mx)
+        if self._distance_model == DistanceModelType.LINEAR:
+            atten = 1.0 - rolloff * (dc - ref) / jnp.maximum(mx - ref, 1e-9)
+        elif self._distance_model == DistanceModelType.EXPONENTIAL:
+            atten = jnp.power(jnp.maximum(dc / jnp.maximum(ref, 1e-9), 1e-9), -rolloff)
+        else:  # inverse: phonon's InverseDistance model, minDistance = ref
+            atten = jnp.where(distance <= ref, 1.0, ref / jnp.maximum(distance, 1e-9))
+        atten = jnp.clip(atten, 0.0, 1.0)
+
+        # Occlusion + 3-band transmission (:218-248). Documented semantics:
+        # occlusion 0 = unoccluded, 1 = fully occluded; when occluded, each
+        # band passes (1-occ) + occ*transmission[band].
+        occ = pb("occlusion")
+        tl, tm, th = (
+            pb("transmissionLow"),
+            pb("transmissionMid"),
+            pb("transmissionHigh"),
+        )
+        any_trans = (tl > 0.0) | (tm > 0.0) | (th > 0.0)
+
+        def band(tr):
+            g_trans = (1.0 - occ) + occ * tr
+            g_occl = 1.0 - occ
+            return jnp.where(occ > 0.0, jnp.where(any_trans, g_trans, g_occl), 1.0)
+
+        base = atten * directivity
+        gains = (base * band(tl), base * band(tm), base * band(th))
+        blend = pb("spatialBlend")
+        return dx, dy, dz, gains, blend
+
+    def _split_bands(self, x, state, rc):
+        """3-band split via two one-pole lowpasses (parallel scans)."""
+        sr = rc.sample_rate
+
+        def lp(sig, hist, hz):
+            a = jnp.float32(math.exp(-2.0 * math.pi * hz / sr))
+            xt = jnp.moveaxis(sig, 0, 1).astype(jnp.complex64)  # [T, C]
+            p = jnp.full((xt.shape[0],), a, jnp.complex64)
+            y = _first_order_scan(p, (1.0 - a) * xt, hist.astype(jnp.complex64))
+            y = jnp.real(y)
+            return jnp.moveaxis(y, 0, 1), y[-1]
+
+        low, new_xlow = lp(x, state["xlow"], XOVER_LOW_HZ)
+        lowmid, new_xhigh = lp(x, state["xhigh"], XOVER_HIGH_HZ)
+        mid = lowmid - low
+        high = x - lowmid
+        return (low, mid, high), new_xlow, new_xhigh
+
+    def process(self, state, inputs, params, rc):
+        x = inputs[0]  # [C, T]
+        C = x.shape[0]
+        S = rc.superblock
+        listener = rc.globals
+
+        dx, dy, dz, (gl, gm, gh), blend = self._direct_gains(params, listener, rc)
+
+        # Direct effect: per-band per-block gains (the reference applies the
+        # DirectEffect in place on the input, :247-248).
+        (low, mid, high), new_xlow, new_xhigh = self._split_bands(x, state, rc)
+
+        def expand(g):  # [S] -> [T]
+            return jnp.repeat(g, FRAMES_PER_BLOCK, total_repeat_length=rc.frames)
+
+        direct = (
+            low * expand(gl)[None] + mid * expand(gm)[None] + high * expand(gh)[None]
+        )
+
+        # Binaural render: mono downmix -> per-quantum interpolated HRIR FIR.
+        mono = jnp.mean(direct, axis=0).reshape(S, FRAMES_PER_BLOCK)
+        azimuth = jnp.arctan2(dx, -dz)  # phonon convention: -z is ahead
+        elevation = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
+        grid = jnp.asarray(_hrir_grid(rc.sample_rate))
+        h = interp_hrir(grid, azimuth, elevation)  # [S, 2, L]
+        wet, new_hist = fir_per_block(mono, h, state["fir_hist"])  # [2, S, 128]
+        wet = wet.reshape(2, rc.frames)
+
+        # SpatialBlend crossfade (:250-260): 1 = fully spatialized.
+        from graphaudio_tpu.core.mixing import adapt_channels
+
+        dry = adapt_channels(direct, 2)
+        b = expand(blend)[None]
+        out = wet * b + dry * (1.0 - b)
+
+        new_state = {"fir_hist": new_hist, "xlow": new_xlow, "xhigh": new_xhigh}
+        return new_state, [out]

@@ -1,0 +1,168 @@
+"""Binaural HRTF rendering without Steam Audio.
+
+The reference spatializes via the closed-source phonon library
+(GraphAudio.SteamAudio/Nodes/SpatialPannerNode.cs:250-260: HRTF render with
+bilinear interpolation + SpatialBlend crossfade). On TPU we replace the
+measured HRTF with an analytic **spherical-head model** (Brown & Duda '98):
+
+  * ITD: Woodworth's formula  tau(theta) = (a/c) * (theta + sin theta)
+    baked into each HRIR as a fractional delay;
+  * ILD / head shadow: the one-pole/one-zero spherical-head shadow filter
+    H(w) = (1 + j alpha w / (2 w0)) / (1 + j w / (2 w0)),  w0 = c/a,
+    with alpha(theta) interpolating [alpha_min, 2] by incidence angle;
+  * a raised-cosine pinna-less elevation attenuation.
+
+HRIRs are precomputed on an (elevation x azimuth) grid (host numpy), and at
+render time the 4 neighbouring HRIRs are bilinearly interpolated per render
+quantum (k-rate, matching the reference's per-block params) and applied as a
+per-block FIR via batched MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
+
+SPEED_OF_SOUND = 343.0
+HEAD_RADIUS = 0.0875
+
+HRIR_LENGTH = 64
+N_AZIMUTH = 24  # full circle, 15 degree steps
+N_ELEVATION = 7  # -90..90, 30 degree steps
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _sphere_shadow_ir(theta_inc: float, sample_rate: int, length: int) -> np.ndarray:
+    """Impulse response of the Brown-Duda spherical head-shadow filter for a
+    source at incidence angle ``theta_inc`` from the ear axis (radians)."""
+    w0 = SPEED_OF_SOUND / HEAD_RADIUS  # rad/s
+    alpha_min = 0.1
+    theta_min = np.deg2rad(150.0)
+    alpha = (1.0 + alpha_min / 2.0) + (1.0 - alpha_min / 2.0) * np.cos(
+        theta_inc / theta_min * np.pi
+    )
+    # Bilinear transform of H(s) = (alpha s + w0) / (s + w0).
+    fs = float(sample_rate)
+    k = 2.0 * fs
+    b0 = (alpha * k + w0) / (k + w0)
+    b1 = (w0 - alpha * k) / (k + w0)
+    a1 = (w0 - k) / (k + w0)
+    # IIR -> truncated IR.
+    ir = np.zeros(length)
+    x = np.zeros(length)
+    x[0] = 1.0
+    y1 = 0.0
+    x1 = 0.0
+    for n in range(length):
+        y = b0 * x[n] + b1 * x1 - a1 * y1
+        ir[n] = y
+        x1 = x[n]
+        y1 = y
+    return ir
+
+
+def _fractional_delay(ir: np.ndarray, delay: float, length: int) -> np.ndarray:
+    """Apply a (possibly fractional) delay with linear interpolation."""
+    out = np.zeros(length)
+    d_int = int(np.floor(delay))
+    frac = delay - d_int
+    for n in range(length):
+        src = n - d_int
+        if 0 <= src < length:
+            out[n] += ir[src] * (1.0 - frac)
+        if 0 <= src - 1 < length:
+            out[n] += ir[src - 1] * frac
+    return out
+
+
+def build_hrir_grid(sample_rate: int,
+                    n_azimuth: int = N_AZIMUTH,
+                    n_elevation: int = N_ELEVATION,
+                    length: int = HRIR_LENGTH) -> np.ndarray:
+    """Precompute the HRIR grid: f32[n_elevation, n_azimuth, 2, length].
+
+    Grid coordinates: azimuth in [0, 2pi) measured clockwise from straight
+    ahead toward the right ear; elevation in [-pi/2, pi/2].
+    """
+    grid = np.zeros((n_elevation, n_azimuth, 2, length), np.float32)
+    a_c = HEAD_RADIUS / SPEED_OF_SOUND
+    # Headroom for the near ear's negative ITD lead (up to a/c seconds).
+    base_delay = float(np.ceil(a_c * sample_rate)) + 2.0
+    for ei in range(n_elevation):
+        el = -np.pi / 2 + np.pi * ei / (n_elevation - 1)
+        for ai in range(n_azimuth):
+            az = 2 * np.pi * ai / n_azimuth
+            # Unit direction: x right, y up, z ahead.
+            x = np.cos(el) * np.sin(az)
+            y = np.sin(el)
+            z = np.cos(el) * np.cos(az)
+            for ear, ear_x in ((0, -1.0), (1, 1.0)):  # 0 = left, 1 = right
+                # Incidence angle between direction and this ear's axis.
+                cos_inc = np.clip(ear_x * x, -1.0, 1.0)
+                theta_inc = np.arccos(cos_inc)
+                # Woodworth ITD relative to head centre.
+                if theta_inc <= np.pi / 2:
+                    tau = -a_c * np.cos(theta_inc)
+                else:
+                    tau = a_c * (theta_inc - np.pi / 2)
+                delay = base_delay + tau * sample_rate
+                ir = _sphere_shadow_ir(theta_inc, sample_rate, length)
+                # Gentle elevation rolloff stands in for pinna cues.
+                elev_gain = 1.0 - 0.15 * (1.0 - np.cos(el))
+                grid[ei, ai, ear] = (
+                    _fractional_delay(ir, delay, length) * elev_gain
+                ).astype(np.float32)
+    return grid
+
+
+def interp_hrir(grid, azimuth, elevation):
+    """Bilinear HRIR interpolation (parity: IPL.HrtfInterpolation.Bilinear,
+    SpatialPannerNode.cs:255).
+
+    grid: f32[E, A, 2, L] (jnp); azimuth f32[S] in radians (any range);
+    elevation f32[S] in [-pi/2, pi/2]. Returns f32[S, 2, L].
+    """
+    E, A, _, L = grid.shape
+    az = jnp.mod(azimuth, 2 * jnp.pi) / (2 * jnp.pi) * A  # [0, A)
+    el = (elevation + jnp.pi / 2) / jnp.pi * (E - 1)  # [0, E-1]
+
+    a0 = jnp.floor(az).astype(jnp.int32) % A
+    a1 = (a0 + 1) % A
+    fa = (az - jnp.floor(az))[:, None, None].astype(jnp.float32)
+    e0 = jnp.clip(jnp.floor(el).astype(jnp.int32), 0, E - 1)
+    e1 = jnp.clip(e0 + 1, 0, E - 1)
+    fe = (el - jnp.floor(el))[:, None, None].astype(jnp.float32)
+
+    g00 = grid[e0, a0]  # [S, 2, L]
+    g01 = grid[e0, a1]
+    g10 = grid[e1, a0]
+    g11 = grid[e1, a1]
+    low = g00 * (1 - fa) + g01 * fa
+    high = g10 * (1 - fa) + g11 * fa
+    return low * (1 - fe) + high * fe
+
+
+def fir_per_block(x, h, history):
+    """Apply a per-quantum FIR to a mono signal.
+
+    x: f32[S, 128] input quanta; h: f32[S, 2, L] per-quantum stereo kernels;
+    history: f32[L-1] input samples preceding this superblock.
+
+    Returns (y f32[2, S, 128], new_history f32[L-1]).
+
+    Implementation: im2col windows + one batched MXU matmul
+    (out[s, i, ear] = sum_k w[s, i, k] h[s, ear, k]).
+    """
+    S, F = x.shape
+    L = h.shape[-1]
+    flat = jnp.concatenate([history, x.reshape(-1)])  # [L-1 + S*F]
+    # windows[s, i, k] = x[s*F + i - k] = flat[(L-1) + s*F + i - k]
+    i_idx = jnp.arange(S * F)[:, None]
+    k_idx = jnp.arange(L)[None, :]
+    w = flat[(L - 1) + i_idx - k_idx].reshape(S, F, L)
+    y = jnp.einsum("sfk,sek->esf", w, h, precision=_HIGHEST)
+    return y, flat[-(L - 1):]

@@ -32,27 +32,70 @@ def catmull_rom(s0, s1, s2, s3, t):
     )
 
 
-def gather_resample(data, x, loop_active, loop_start, loop_end, loop_len):
-    """Resample ``data`` at continuous positions ``x`` with loop wrapping.
+SUB_CHUNK = 16
+
+
+def split_positions(xb, rate_b, frames_per_block: int):
+    """Expand per-block f64 positions into per-sample (i32 base, f32 frac).
+
+    xb: f64[S] block-start positions; rate_b: f64[S] per-block rates.
+    f64 anchors are computed every SUB_CHUNK samples, so the f32 intra-chunk
+    offset never exceeds ~SUB_CHUNK*rate and keeps ~1e-6-sample accuracy
+    while per-sample math stays in TPU-native dtypes.
+
+    Returns (base i32[S, frames_per_block], frac f32[S, frames_per_block]).
+    """
+    S = xb.shape[0]
+    n_sub = frames_per_block // SUB_CHUNK
+    sub = jnp.arange(n_sub, dtype=jnp.float64)[None, :] * (
+        SUB_CHUNK * rate_b[:, None]
+    )
+    anchors = xb[:, None] + sub  # [S, n_sub] f64
+    a_int = jnp.floor(anchors)
+    a_frac = (anchors - a_int).astype(jnp.float32)
+    j = jnp.arange(SUB_CHUNK, dtype=jnp.float32)
+    local = (
+        a_frac[:, :, None]
+        + j[None, None, :] * rate_b.astype(jnp.float32)[:, None, None]
+    )  # [S, n_sub, SUB_CHUNK]
+    base_local = jnp.floor(local)
+    frac = (local - base_local).reshape(S, frames_per_block)
+    base = (
+        a_int.astype(jnp.int32)[:, :, None] + base_local.astype(jnp.int32)
+    ).reshape(S, frames_per_block)
+    return base, frac
+
+
+def gather_resample(data, base, frac, loop_active, loop_start, loop_end,
+                    loop_len, arena_offset=0, length=None):
+    """Resample ``data`` at positions base + frac with loop wrapping.
+
+    Positions are split into an int32 integer part and a float32 fraction:
+    per-sample arithmetic stays in TPU-native dtypes (float64 is emulated and
+    ~50x slower on the VPU); callers keep float64 only for per-*block*
+    position bookkeeping.
 
     Args:
-      data: f32[C, L] source samples.
-      x: f64[...] continuous positions (already wrapped into the loop region
-        for the base position; taps crossing the loop end are re-wrapped here,
-        mirroring the reference's 512-sample wrap buffer at the seam,
+      data: f32[C, A] source samples — possibly a packed arena holding many
+        voices' buffers back to back.
+      base: i32[...] integer positions *local to this voice's region* (already
+        wrapped into the loop region; taps crossing the loop boundaries are
+        re-wrapped here, mirroring the reference's wrap buffer at the seam,
         AudioBufferSourceNode.cs:297-313).
+      frac: f32[...] fractional parts in [0, 1).
       loop_active: bool[] or scalar — whether loop wrapping applies.
-      loop_start, loop_end, loop_len: f64 loop region in frames.
+      loop_start, loop_end, loop_len: i32 loop region in frames (local).
+      arena_offset: i32 start of this voice's region within ``data``.
+      length: i32 region length (defaults to the full array).
 
     Returns f32[C, ...] interpolated samples.
     """
-    base = jnp.floor(x)
-    t = (x - base).astype(jnp.float32)
-    length = data.shape[1]
-    safe_len = jnp.maximum(loop_len, 1.0)
+    if length is None:
+        length = jnp.int32(data.shape[1])
+    safe_len = jnp.maximum(loop_len, 1)
 
     taps = []
-    for k in (-1.0, 0.0, 1.0, 2.0):
+    for k in (-1, 0, 1, 2):
         tk = base + k
         # Modular wrap in both directions keeps the 4-tap window continuous
         # across the loop seam (the reference's history carries end-of-loop
@@ -62,9 +105,11 @@ def gather_resample(data, x, loop_active, loop_start, loop_end, loop_len):
             loop_start + jnp.mod(tk - loop_start, safe_len),
             tk,
         )
-        tk = jnp.clip(tk, 0.0, float(length - 1)).astype(jnp.int32)
+        tk = jnp.clip(tk, 0, length - 1) + arena_offset
         taps.append(tk)
 
-    flat = [jnp.take(data, tk.reshape(-1), axis=1).reshape((data.shape[0],) + x.shape)
-            for tk in taps]
-    return catmull_rom(flat[0], flat[1], flat[2], flat[3], t)
+    flat = [
+        jnp.take(data, tk.reshape(-1), axis=1).reshape((data.shape[0],) + base.shape)
+        for tk in taps
+    ]
+    return catmull_rom(flat[0], flat[1], flat[2], flat[3], frac)

@@ -1,0 +1,107 @@
+"""Realtime path: ring buffer invariants + realtime context end-to-end."""
+
+import time
+
+import numpy as np
+import pytest
+
+import graphaudio_tpu as ga
+from graphaudio_tpu.realtime import RealtimeAudioContext, RingBuffer
+
+
+def test_ring_write_read_roundtrip(rng):
+    ring = RingBuffer(2, 1280)
+    x = rng.standard_normal((512, 2)).astype(np.float32)
+    assert ring.available_write() == 1280
+    assert ring.write_interleaved(x) == 512
+    assert ring.available_read() == 512
+    got = ring.read_interleaved(512)
+    assert np.array_equal(got, x)
+    ring.dispose()
+
+
+def test_ring_wraparound(rng):
+    ring = RingBuffer(1, 300)
+    for i in range(10):
+        x = rng.standard_normal((128, 1)).astype(np.float32)
+        assert ring.write_interleaved(x) == 128
+        got = ring.read_interleaved(128)
+        assert np.array_equal(got, x), i
+    ring.dispose()
+
+
+def test_ring_overfill_rejected(rng):
+    ring = RingBuffer(1, 256)
+    x = np.ones((300, 1), np.float32)
+    assert ring.write_interleaved(x) == 256  # clipped to capacity
+    assert ring.write_interleaved(x) == 0
+    ring.dispose()
+
+
+def test_ring_underrun_zero_fills(rng):
+    ring = RingBuffer(1, 256)
+    ring.write_interleaved(np.ones((100, 1), np.float32))
+    got = ring.read_interleaved(128)
+    assert np.allclose(got[:100], 1.0)
+    assert np.allclose(got[100:], 0.0)
+    ring.dispose()
+
+
+def test_ring_wait_for_space():
+    ring = RingBuffer(1, 256)
+    assert ring.wait_for_space(128, 1)
+    ring.write_interleaved(np.zeros((256, 1), np.float32))
+    assert not ring.wait_for_space(128, 10)  # full -> timeout
+    ring.read_interleaved(200)
+    assert ring.wait_for_space(128, 10)
+    ring.dispose()
+
+
+def test_realtime_context_renders_through_device():
+    ctx = RealtimeAudioContext(
+        sample_rate=48000, channels=2, buffer_size=256, superblock=2
+    )
+    try:
+        osc = ga.OscillatorNode(ctx)
+        osc.frequency.value = 440.0
+        osc.connect(ctx.destination)
+        osc.start(0)
+        ctx.start()
+        # First render includes a jit compile; wait on rendered time.
+        deadline = time.time() + 30.0
+        while ctx.current_time < 0.5 and time.time() < deadline:
+            time.sleep(0.05)
+        assert ctx.current_time >= 0.5, "render thread produced no audio in time"
+        assert ctx.frames_played > 0
+        ctx.stop()
+        time.sleep(0.3)
+        played = ctx.frames_played
+        time.sleep(0.2)
+        assert ctx.frames_played == played  # stopped
+    finally:
+        ctx.dispose()
+
+
+def test_realtime_device_enumeration():
+    devices = RealtimeAudioContext.get_available_devices()
+    assert len(devices) >= 1
+    assert devices[0].is_default
+    default = RealtimeAudioContext.get_default_device()
+    assert default.name == devices[0].name
+
+
+def test_realtime_graph_edit_from_other_thread():
+    ctx = RealtimeAudioContext(sample_rate=48000, superblock=2)
+    try:
+        src = ga.ConstantSourceNode(ctx)
+        src.offset.value = 0.5
+        src.connect(ctx.destination)  # posted to render thread
+        src.start(0)
+        ctx.start()
+        deadline = time.time() + 30.0
+        while ctx.current_time < 0.3 and time.time() < deadline:
+            time.sleep(0.05)
+        ctx.stop()
+        assert ctx.current_time >= 0.3  # graph rendered on the render thread
+    finally:
+        ctx.dispose()
