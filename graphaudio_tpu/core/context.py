@@ -29,6 +29,7 @@ from graphaudio_tpu.core.constants import (
     FRAMES_PER_BLOCK,
 )
 from graphaudio_tpu.core.graph import CompiledGraph, StaticRenderInfo
+from graphaudio_tpu.utils.profiling import RenderStats
 
 
 class AudioContextBase:
@@ -54,6 +55,7 @@ class AudioContextBase:
         self._param_versions: Dict = {}
         self._encs = None
         self._current_frame = 0  # host-side absolute frame counter
+        self.stats = RenderStats()
         self._disposed = False
         self._disposing_callbacks: List[Callable] = []
         self._step_count = 0
@@ -187,6 +189,7 @@ class AudioContextBase:
         if self._compiled is not None and self._compiled_version == self._topology_version:
             return
         old_states = self._states
+        self.stats.record_compile()
         self._compiled = CompiledGraph(self)
         self._compiled_version = self._topology_version
         self._render_fn, self._dest_channels = self._compiled.make_render_fn()
@@ -267,6 +270,9 @@ class AudioContextBase:
         """
         if self._disposed:
             raise RuntimeError("context is disposed")
+        import time as _time
+
+        t0 = _time.perf_counter()
         self._drain_commands()
         self._ensure_compiled()
         self._ensure_params_encoded()
@@ -293,6 +299,11 @@ class AudioContextBase:
         self._step_count += n_steps
         out_np = np.asarray(jax.device_get(out))
         self._notify_sources()
+        self.stats.record(
+            frames=out_np.shape[1],
+            quanta=out_np.shape[1] // FRAMES_PER_BLOCK,
+            wall=_time.perf_counter() - t0,
+        )
         return out_np
 
     def _notify_sources(self) -> None:
@@ -354,6 +365,33 @@ def _same_structure(a, b) -> bool:
         np.shape(x) == np.shape(y) and np.asarray(x).dtype == np.asarray(y).dtype
         for x, y in zip(la, lb)
     )
+
+
+    # -- block-level APIs (parity: AudioContextBase.cs:52-186) -----------------
+
+    def process_block(self) -> np.ndarray:
+        """Render exactly one 128-frame quantum -> f32[channels, 128]
+        (parity: ProcessBlock, AudioContextBase.cs:52-81)."""
+        return self.render(FRAMES_PER_BLOCK)
+
+    def process_block_interleaved(self) -> np.ndarray:
+        """One quantum, interleaved f32[128*channels]
+        (parity: ProcessBlockInterleaved, AudioContextBase.cs:88-161)."""
+        out = self.render(FRAMES_PER_BLOCK)
+        return np.ascontiguousarray(out.T).reshape(-1)
+
+    def process_blocks(self, block_count: int) -> np.ndarray:
+        """Render ``block_count`` quanta -> f32[channels, block_count*128]
+        (parity: ProcessBlocks, AudioContextBase.cs:166-186)."""
+        return self.render(block_count * FRAMES_PER_BLOCK)
+
+    def render(self, frame_count: int) -> np.ndarray:
+        raise NotImplementedError  # provided by concrete contexts
+
+    def render_interleaved(self, frame_count: int) -> np.ndarray:
+        """Render and interleave -> f32[frame_count*channels]."""
+        out = self.render(frame_count)
+        return np.ascontiguousarray(out.T).reshape(-1)
 
 
 class OfflineAudioContext(AudioContextBase):

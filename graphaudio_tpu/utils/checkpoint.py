@@ -1,0 +1,106 @@
+"""Checkpoint / resume: serialize the full engine state.
+
+The reference keeps all state (playback positions, filter states, convolver
+delay lines, automation event lists) in-memory only (SURVEY.md §5). Here the
+entire engine state is a pytree, so checkpointing is serialization: node
+states (flattened to numpy), the block clock, and every param's base value +
+event timeline. Restoring into a context with the same graph topology resumes
+rendering bit-exactly where it left off.
+
+Format: a single .npz with a JSON manifest (no pickle — safe to load).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import jax
+import numpy as np
+
+
+def _flatten_states(states):
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(states)[0]
+    arrays = {}
+    manifest = []
+    for i, (path, leaf) in enumerate(leaves_with_paths):
+        key = f"leaf_{i}"
+        arrays[key] = np.asarray(leaf)
+        manifest.append(jax.tree_util.keystr(path))
+    return arrays, manifest
+
+
+def save_context_state(context, path) -> None:
+    """Write a resumable checkpoint of the context's render state."""
+    context._ensure_compiled()
+    states = jax.device_get(context._states)
+    arrays, leaf_paths = _flatten_states(states)
+
+    params = []
+    for node in context._compiled.topo:
+        for name, p in node.params.items():
+            params.append(
+                {
+                    "node_id": node.node_id,
+                    "name": name,
+                    "value": float(p.value),
+                    "events": [
+                        {"time": e[0], "type": e[2], "value": e[3], "tc": e[4]}
+                        for e in p._events
+                    ],
+                }
+            )
+
+    manifest = {
+        "format": "graphaudio-tpu-checkpoint-v1",
+        "sample_rate": context.sample_rate,
+        "superblock": context.superblock,
+        "current_frame": context._current_frame,
+        "leaf_paths": leaf_paths,
+        "params": params,
+    }
+    arrays["__manifest__"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8
+    )
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_context_state(context, path) -> None:
+    """Restore a checkpoint into a context with the same graph topology."""
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["__manifest__"]).decode())
+        leaves = [z[f"leaf_{i}"] for i in range(len(manifest["leaf_paths"]))]
+
+    if manifest["sample_rate"] != context.sample_rate:
+        raise ValueError(
+            f"checkpoint sample rate {manifest['sample_rate']} != context "
+            f"{context.sample_rate}"
+        )
+
+    context._drain_commands()
+    context._ensure_compiled()
+    treedef = jax.tree_util.tree_structure(jax.device_get(context._states))
+    expected = treedef.num_leaves
+    if expected != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} state leaves; the current graph "
+            f"has {expected} (topology mismatch)"
+        )
+    context._states = jax.tree_util.tree_unflatten(treedef, leaves)
+    context._current_frame = int(manifest["current_frame"])
+
+    by_key = {(p["node_id"], p["name"]): p for p in manifest["params"]}
+    for node in context._compiled.topo:
+        for name, p in node.params.items():
+            saved = by_key.get((node.node_id, name))
+            if saved is None:
+                continue
+            p._value = saved["value"]
+            p._events = [
+                (e["time"], i, e["type"], e["value"], e["tc"])
+                for i, e in enumerate(saved["events"])
+            ]
+            p._seq = len(p._events)
+            p._version += 1
+    context._encs = None  # force re-encode from restored event lists

@@ -1,0 +1,66 @@
+"""Render performance statistics.
+
+The TPU analogue of BufferPool.GetStatistics (BufferPool.cs:133-149) plus the
+per-quantum timing probe SURVEY.md §5 calls for. The context records wall
+time per render call; ``RenderStats`` summarizes throughput (xRT), quantum
+timing, and compile counts. For deep kernel analysis use jax.profiler
+(`jax.profiler.trace`) around a render call.
+"""
+
+from __future__ import annotations
+
+import statistics
+from dataclasses import dataclass, field
+from typing import List
+
+
+@dataclass
+class RenderStats:
+    """Aggregated statistics over a context's render calls."""
+
+    render_calls: int = 0
+    quanta_rendered: int = 0
+    frames_rendered: int = 0
+    wall_seconds: float = 0.0
+    compile_count: int = 0
+    _call_quantum_us: List[float] = field(default_factory=list)
+
+    def record(self, frames: int, quanta: int, wall: float) -> None:
+        self.render_calls += 1
+        self.frames_rendered += frames
+        self.quanta_rendered += quanta
+        self.wall_seconds += wall
+        if quanta > 0:
+            self._call_quantum_us.append(wall / quanta * 1e6)
+            if len(self._call_quantum_us) > 4096:
+                del self._call_quantum_us[:2048]
+
+    def record_compile(self) -> None:
+        self.compile_count += 1
+
+    @property
+    def realtime_factor(self) -> float:
+        """Rendered-audio seconds per wall second (xRT), assuming 48 kHz is
+        supplied via audio_seconds()."""
+        return 0.0
+
+    def xrt(self, sample_rate: int) -> float:
+        if self.wall_seconds <= 0:
+            return 0.0
+        return (self.frames_rendered / sample_rate) / self.wall_seconds
+
+    def p50_quantum_us(self) -> float:
+        if not self._call_quantum_us:
+            return 0.0
+        return float(statistics.median(self._call_quantum_us))
+
+    def summary(self, sample_rate: int) -> dict:
+        return {
+            "render_calls": self.render_calls,
+            "quanta_rendered": self.quanta_rendered,
+            "frames_rendered": self.frames_rendered,
+            "wall_seconds": round(self.wall_seconds, 6),
+            "xrt": round(self.xrt(sample_rate), 2),
+            "p50_quantum_us": round(self.p50_quantum_us(), 3),
+            "compile_count": self.compile_count,
+        }

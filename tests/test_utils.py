@@ -1,0 +1,105 @@
+"""Aux subsystems: stats, graph inspection, checkpoint/resume."""
+
+import numpy as np
+
+import graphaudio_tpu as ga
+from graphaudio_tpu.utils import (
+    describe_graph,
+    graph_to_dot,
+    load_context_state,
+    save_context_state,
+)
+
+SR = 48000
+
+
+def _make_graph(superblock=2):
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=superblock)
+    osc = ga.OscillatorNode(ctx)
+    osc.frequency.value = 220.0
+    flt = ga.BiQuadFilterNode(ctx)
+    flt.frequency.value = 800.0
+    osc.connect(flt).connect(ctx.destination)
+    osc.start(0)
+    return ctx
+
+
+def test_render_stats():
+    ctx = _make_graph()
+    ctx.render(1024)
+    ctx.render(1024)
+    s = ctx.stats.summary(SR)
+    assert s["render_calls"] == 2
+    assert s["frames_rendered"] == 2048
+    assert s["quanta_rendered"] == 16
+    assert s["compile_count"] >= 1
+    assert s["wall_seconds"] > 0
+    assert s["xrt"] > 0
+
+
+def test_describe_graph_and_dot():
+    ctx = _make_graph()
+    text = describe_graph(ctx)
+    assert "Oscillator" in text and "BiQuadFilter" in text
+    assert "schedule:" in text and "[sink]" in text
+    dot = graph_to_dot(ctx)
+    assert dot.startswith("digraph") and "->" in dot
+
+
+def test_checkpoint_resume_bit_exact(tmp_path, rng):
+    # Render 1/3, checkpoint, render rest; vs uninterrupted render.
+    def build():
+        ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+        data = rng.standard_normal(48000).astype(np.float32) * 0.3
+        buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+        src = ga.AudioBufferSourceNode(ctx)
+        src.buffer = buf
+        src.loop = True
+        flt = ga.BiQuadFilterNode(ctx)
+        flt.frequency.value = 1200.0
+        dly = ga.DelayNode(ctx, max_delay_time=0.05)
+        dly.delay_time.value = 0.01
+        src.connect(flt).connect(dly).connect(ctx.destination)
+        src.start(0)
+        return ctx
+
+    rng_state = rng.bit_generator.state
+    ctx_a = build()
+    full = ctx_a.render(6144)
+
+    rng.bit_generator.state = rng_state  # identical buffers
+    ctx_b = build()
+    first = ctx_b.render(2048)
+    ckpt = tmp_path / "state.npz"
+    save_context_state(ctx_b, ckpt)
+
+    rng.bit_generator.state = rng_state
+    ctx_c = build()
+    ctx_c.render(512)  # desync on purpose
+    load_context_state(ctx_c, ckpt)
+    assert abs(ctx_c.current_time - 2048 / SR) < 1e-9
+    rest = ctx_c.render(4096)
+
+    got = np.concatenate([first, rest], axis=1)
+    assert np.array_equal(got, full)
+
+
+def test_checkpoint_restores_param_events(tmp_path):
+    ctx = _make_graph()
+    g = ga.GainNode(ctx)
+    # splice the gain between filter and destination
+    flt = [n for n in ctx.get_all_nodes() if n.name == "BiQuadFilter"][0]
+    flt.disconnect(ctx.destination)
+    flt.connect(g).connect(ctx.destination)
+    g.gain.set_value_at_time(1.0, 0.0)
+    g.gain.linear_ramp_to_value_at_time(0.0, 1.0)
+    ctx.render(1024)
+    path = tmp_path / "s.npz"
+    save_context_state(ctx, path)
+
+    # Mutate, then restore.
+    g.gain.value = 0.123
+    assert g.gain.event_count() == 0
+    load_context_state(ctx, path)
+    assert g.gain.event_count() == 2
+    assert g.gain.value == 1.0
