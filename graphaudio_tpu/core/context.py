@@ -193,30 +193,76 @@ class AudioContextBase:
         self._compiled = CompiledGraph(self)
         self._compiled_version = self._topology_version
         self._render_fn, self._dest_channels = self._compiled.make_render_fn()
+        # init_states applies each node's host-side overrides (e.g. start()
+        # called before connect()); then preserve surviving entries — group
+        # entries are keyed by their exact member composition, so a preserved
+        # entry is always shape- and meaning-compatible. When a group's
+        # membership changed, surviving lanes migrate individually so running
+        # voices keep their playback/filter state (parity: state lives on the
+        # node in the reference).
+        old_ref = getattr(self, "_old_state_ref", {})
         new_states = self._compiled.init_states()
-        for node in self._compiled.topo:
-            nid = str(node.node_id)
-            if (
-                old_states
-                and nid in old_states
-                and _same_structure(old_states[nid], new_states[nid])
-            ):
-                # Preserve state of surviving nodes (graph edits must not
-                # reset delay lines / playback positions; parity with the
-                # reference where node state lives on the node).
-                new_states[nid] = old_states[nid]
-            else:
-                # Fresh state: apply any host-side overrides recorded before
-                # the node entered the compiled topology (e.g. start() called
-                # before connect()).
-                overrides = getattr(node, "_state_overrides", None)
-                if overrides:
-                    st = dict(new_states[nid])
-                    for k, v in overrides.items():
-                        if k in st:
-                            st[k] = np.asarray(v, dtype=np.asarray(st[k]).dtype)
-                    new_states[nid] = st
+        if old_states:
+            old_host_cache = {}
+
+            def old_node_state(nid):
+                """Host copy of one node's previous state, or None."""
+                src = old_ref.get(nid)
+                if src is None or src[0] not in old_states:
+                    return None
+                key, lane = src
+                if key not in old_host_cache:
+                    old_host_cache[key] = jax.device_get(old_states[key])
+                entry = old_host_cache[key]
+                if lane is None:
+                    return entry
+                return {k: np.asarray(v)[lane] for k, v in entry.items()}
+
+            def compatible(a, b):
+                return set(a) == set(b) and all(
+                    np.shape(a[k]) == np.shape(b[k])
+                    and np.asarray(a[k]).dtype == np.asarray(b[k]).dtype
+                    for k in a
+                )
+
+            for key, st in list(new_states.items()):
+                if key == "__globals__":
+                    continue
+                if key in old_states and _same_structure(old_states[key], st):
+                    new_states[key] = old_states[key]
+                    continue
+                # Lane-wise migration: surviving voices keep their playback /
+                # filter state even when their stage's composition changed.
+                members = [
+                    (nid, ref[1])
+                    for nid, ref in self._compiled.state_ref.items()
+                    if ref[0] == key
+                ]
+                rebuilt = {k: np.asarray(v).copy() for k, v in st.items()}
+                migrated = False
+                for nid, lane in members:
+                    src_state = old_node_state(nid)
+                    if src_state is None:
+                        continue
+                    proto = (
+                        rebuilt
+                        if lane is None
+                        else {k: v[lane] for k, v in rebuilt.items()}
+                    )
+                    if not compatible(src_state, proto):
+                        continue
+                    migrated = True
+                    if lane is None:
+                        rebuilt = {
+                            k: np.asarray(src_state[k]).copy() for k in rebuilt
+                        }
+                    else:
+                        for k in rebuilt:
+                            rebuilt[k][lane] = np.asarray(src_state[k])
+                if migrated:
+                    new_states[key] = rebuilt
         self._states = new_states
+        self._old_state_ref = dict(self._compiled.state_ref)
         self._encs = None  # force re-encode against (possibly) new capacities
         self._param_versions = {}
 
@@ -247,18 +293,35 @@ class AudioContextBase:
         if not hasattr(node, "_state_overrides"):
             node._state_overrides = {}
         node._state_overrides.update(updates)
-        if self._states is not None and str(node.node_id) in self._states:
-            st = dict(self._states[str(node.node_id)])
-            for k, v in updates.items():
-                if k in st:
-                    st[k] = np.asarray(v, dtype=np.asarray(st[k]).dtype)
-            self._states[str(node.node_id)] = st
+        if self._states is None or self._compiled is None:
+            return
+        ref = self._compiled.state_ref.get(node.node_id)
+        if ref is None or ref[0] not in self._states:
+            return
+        key, lane = ref
+        st = dict(self._states[key])
+        for k, v in updates.items():
+            if k not in st:
+                continue
+            if lane is None:
+                st[k] = np.asarray(v, dtype=np.asarray(st[k]).dtype)
+            else:
+                arr = np.asarray(st[k]).copy()
+                arr[lane] = v
+                st[k] = arr
+        self._states[key] = st
 
     def peek_node_state(self, node) -> Optional[dict]:
         """Host view of a node's current state (device_get; for debugging/events)."""
-        if self._states is None or str(node.node_id) not in self._states:
+        if self._states is None or self._compiled is None:
             return None
-        return jax.device_get(self._states[str(node.node_id)])
+        ref = self._compiled.state_ref.get(node.node_id)
+        if ref is None or ref[0] not in self._states:
+            return None
+        entry = jax.device_get(self._states[ref[0]])
+        if ref[1] is None:
+            return entry
+        return {k: np.asarray(v)[ref[1]] for k, v in entry.items()}
 
     # -- rendering ------------------------------------------------------------
 
@@ -313,21 +376,25 @@ class AudioContextBase:
         transfers over the device tunnel cost tens of ms each.
         """
         end_time = self.current_time
-        wanted = [
-            node
-            for node in self._compiled.topo
-            if getattr(node, "wants_notify", False)
-            and str(node.node_id) in self._states
-        ]
+        wanted = []
+        fetch = {}
+        for node in self._compiled.topo:
+            if not getattr(node, "wants_notify", False):
+                continue
+            ref = self._compiled.state_ref.get(node.node_id)
+            if ref is None or ref[0] not in self._states:
+                continue
+            entry = self._states[ref[0]]
+            if "stop_time" not in entry:
+                continue
+            wanted.append((node, ref))
+            fetch.setdefault(ref[0], entry["stop_time"])
         if not wanted:
             return
-        batch = jax.device_get(
-            {str(n.node_id): self._states[str(n.node_id)]["stop_time"] for n in wanted}
-        )
-        for node in wanted:
-            node.notify_rendered(
-                {"stop_time": batch[str(node.node_id)]}, end_time
-            )
+        batch = jax.device_get(fetch)  # one transfer for all sources
+        for node, (key, lane) in wanted:
+            st = batch[key] if lane is None else np.asarray(batch[key])[lane]
+            node.notify_rendered({"stop_time": st}, end_time)
 
     # -- lifecycle ------------------------------------------------------------
 

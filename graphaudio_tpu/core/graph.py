@@ -228,6 +228,23 @@ class CompiledGraph:
         stages.append(("dest", [dest]))
         self.stages = stages
 
+        # State storage layout: grouped nodes live as ONE stacked pytree entry
+        # (key encodes the member composition so preservation across
+        # recompiles is exact); singles keep per-node entries. This keeps the
+        # scan carry small — per-node leaves made compile time scale linearly
+        # with voice count.
+        self.state_ref: Dict[int, Tuple[str, object]] = {}
+        self.group_keys: Dict[int, str] = {}  # stage index -> state key
+        for si, (kind, nodes) in enumerate(stages):
+            if kind == "group":
+                key = "g(" + ",".join(str(n.node_id) for n in nodes) + ")"
+                self.group_keys[si] = key
+                for lane, n in enumerate(nodes):
+                    self.state_ref[n.node_id] = (key, lane)
+            else:
+                for n in nodes:
+                    self.state_ref[n.node_id] = (str(n.node_id), None)
+
         # Param encoding capacities (pow2 padding keeps jit cache stable while
         # event lists grow). Group members share one capacity so encodings
         # stack.
@@ -247,16 +264,40 @@ class CompiledGraph:
 
     # -- state ------------------------------------------------------------------
 
+    def _init_node_state(self, node) -> dict:
+        st = node.init_state(self.info)
+        overrides = getattr(node, "_state_overrides", None)
+        if overrides:
+            st = dict(st)
+            for k, v in overrides.items():
+                if k in st:
+                    st[k] = np.asarray(v, dtype=np.asarray(st[k]).dtype)
+        return st
+
     def init_states(self) -> Dict:
-        states = {str(n.node_id): n.init_state(self.info) for n in self.topo}
+        states = {}
+        for si, (kind, nodes) in enumerate(self.stages):
+            if kind == "group":
+                members = [self._init_node_state(n) for n in nodes]
+                states[self.group_keys[si]] = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *members
+                )
+            else:
+                for n in nodes:
+                    states[str(n.node_id)] = self._init_node_state(n)
+        # Upstream-only nodes feeding params etc. already appear in stages;
+        # any topo node not staged (none today) would be initialized here.
         # Context-level globals (listener transform) travel in the state
         # pytree so they are data, not recompile triggers.
         states["__globals__"] = self.context.global_state()
         return states
 
     def encode_params(self) -> Dict[str, dict]:
-        """Encode all params' event lists; bumps capacities when outgrown
-        (group members keep equal capacities so their encodings stack)."""
+        """Encode all params' event lists; bumps capacities when outgrown.
+
+        Grouped nodes' encodings stack into one [V, ...] entry per param so
+        the step evaluates each group param with a single vmapped pass.
+        """
         for node in self.topo:
             for name, p in node.params.items():
                 key = (node.node_id, name)
@@ -271,11 +312,25 @@ class CompiledGraph:
                     for n in nodes:
                         self.param_capacity[(n.node_id, name)] = cap
         encs = {}
-        for node in self.topo:
-            for name, p in node.params.items():
-                encs[f"{node.node_id}/{name}"] = p.encode(
-                    self.param_capacity[(node.node_id, name)]
-                )
+        for si, (kind, nodes) in enumerate(self.stages):
+            if kind == "group":
+                gkey = self.group_keys[si]
+                for name in nodes[0].params:
+                    per = [
+                        n.params[name].encode(
+                            self.param_capacity[(n.node_id, name)]
+                        )
+                        for n in nodes
+                    ]
+                    encs[f"{gkey}/{name}"] = {
+                        k: np.stack([e[k] for e in per]) for k in per[0]
+                    }
+            else:
+                for n in nodes:
+                    for name, p in n.params.items():
+                        encs[f"{n.node_id}/{name}"] = p.encode(
+                            self.param_capacity[(n.node_id, name)]
+                        )
         return encs
 
     # -- the step function ---------------------------------------------------
@@ -410,22 +465,19 @@ class CompiledGraph:
 
             def run_group(si, nodes):
                 rep = nodes[0]
-                V = len(nodes)
-                # Stack states and param values along the lane axis.
-                states_stacked = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                    *[states[str(n.node_id)] for n in nodes],
-                )
+                gkey = self.group_keys[si]
+                # States live stacked in the carry; params are pre-stacked
+                # encodings evaluated with ONE vmapped pass per param.
+                states_stacked = states[gkey]
                 pvals = {}
                 rates = {}
                 for name, p in rep.params.items():
-                    vs = []
-                    for n in nodes:
-                        v, a_rate = param_values(
-                            n, name, n.params[name], encs[f"{n.node_id}/{name}"]
-                        )
-                        vs.append(v)
-                    pvals[name] = jnp.stack(vs)
+                    a_rate = p.automation_rate == AutomationRate.A_RATE
+                    times = rc.sample_times if a_rate else rc.block_times
+                    enc = encs[f"{gkey}/{name}"]
+                    pvals[name] = jax.vmap(eval_intrinsic, in_axes=(0, None))(
+                        enc, times
+                    )  # [V, T or S]
                     rates[name] = a_rate
                 inputs_stacked = [
                     stacked_inputs(nodes, i) for i in range(len(rep.inputs))
@@ -464,10 +516,7 @@ class CompiledGraph:
                         states_stacked, tuple(inputs_stacked), pvals
                     )
 
-                for v, n in enumerate(nodes):
-                    new_states[str(n.node_id)] = jax.tree_util.tree_map(
-                        lambda x: x[v], sts
-                    )
+                new_states[gkey] = sts
                 for i, o in enumerate(outs):  # o: [V, C, T]
                     for v, n in enumerate(nodes):
                         out_table[(n.node_id, i)] = ("lane", o, v)
