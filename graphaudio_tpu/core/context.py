@@ -338,6 +338,9 @@ class AudioContextBase:
         t0 = _time.perf_counter()
         self._drain_commands()
         self._ensure_compiled()
+        if self._compiled.static_config_stale():
+            self._invalidate_topology()
+            self._ensure_compiled()
         self._ensure_params_encoded()
 
         frames_per_step = self.superblock * FRAMES_PER_BLOCK

@@ -228,6 +228,14 @@ class CompiledGraph:
         stages.append(("dest", [dest]))
         self.stages = stages
 
+        # Static window bounds compiled into buffer-source kernels; a
+        # playbackRate scheduled beyond its bound forces a recompile.
+        self.bufsrc_bounds = {
+            n.node_id: n.rate_bound()
+            for n in topo
+            if _is_buffer_source(n) and n._buffer is not None
+        }
+
         # State storage layout: grouped nodes live as ONE stacked pytree entry
         # (key encodes the member composition so preservation across
         # recompiles is exact); singles keep per-node entries. This keeps the
@@ -261,6 +269,15 @@ class CompiledGraph:
                     )
                     for n in nodes:
                         self.param_capacity[(n.node_id, name)] = cap
+
+    def static_config_stale(self) -> bool:
+        """True when a param-dependent static choice (e.g. a buffer source's
+        compiled rate bound) no longer covers the current param values."""
+        for nid, bound in self.bufsrc_bounds.items():
+            node = self.context._nodes.get(nid)
+            if node is not None and node.rate_bound() > bound:
+                return True
+        return False
 
     # -- state ------------------------------------------------------------------
 
@@ -342,17 +359,25 @@ class CompiledGraph:
         dest_channels = self.input_channels[(dest.node_id, 0)]
         input_channels = dict(self.input_channels)
 
-        # Pre-build per-group host constants (e.g. source arenas) once.
+        # Pre-build per-group host constants (source arenas + geometry) once.
         group_setup = {}
         for si, (kind, nodes) in enumerate(stages):
             if kind == "group" and _is_buffer_source(nodes[0]):
-                arena = np.concatenate([n._buffer.data for n in nodes], axis=1)
-                lengths = np.array([n._buffer.length for n in nodes], np.float64)
-                offs = np.concatenate([[0.0], np.cumsum(lengths)[:-1]])
-                rates = np.array(
-                    [n._buffer.sample_rate for n in nodes], np.float64
-                )
-                group_setup[si] = (arena, offs, lengths, rates)
+                rep = nodes[0]
+                unity = rep._static_unity_rate_cfg()
+                bound = max(n.rate_bound() for n in nodes)
+                w = type(rep)._window_w(self.info.superblock, bound, unity)
+                built = [n.build_region(w) for n in nodes]
+                regions = [b[0] for b in built]
+                geoms = [b[1] for b in built]
+                widths = [r.shape[1] for r in regions]
+                offs = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+                arena = np.concatenate(regions, axis=1)
+                stacked = {
+                    k: np.stack([g[k] for g in geoms]) for k in geoms[0]
+                }
+                stacked["off"] = offs
+                group_setup[si] = (arena, stacked, w, unity)
 
         def step(states, encs, feeds, frame0):
             rc = RenderContext(info, frame0)
@@ -484,25 +509,18 @@ class CompiledGraph:
                 ]
 
                 if _is_buffer_source(rep):
-                    arena_np, offs, lengths, brates = group_setup[si]
+                    arena_np, geoms_np, w, unity = group_setup[si]
                     arena = jnp.asarray(arena_np)
-                    unity = rep._static_unity_rate(rc)
+                    geoms = {k: jnp.asarray(v) for k, v in geoms_np.items()}
 
-                    def lane(state, off, length, brate, pv):
-                        geom = (off, length, brate)
+                    def lane(state, geom, pv):
                         if unity:
-                            return rep._process_unity(state, arena, geom, rc)
+                            return rep._process_unity(state, arena, geom, rc, w)
                         return rep._process_resample(
-                            state, arena, geom, pv["playbackRate"], rc
+                            state, arena, geom, pv["playbackRate"], rc, w
                         )
 
-                    sts, outs = jax.vmap(lane)(
-                        states_stacked,
-                        jnp.asarray(offs),
-                        jnp.asarray(lengths),
-                        jnp.asarray(brates),
-                        pvals,
-                    )
+                    sts, outs = jax.vmap(lane)(states_stacked, geoms, pvals)
                 else:
 
                     def lane(state, inputs, pv):

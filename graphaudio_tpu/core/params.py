@@ -192,6 +192,14 @@ class AudioParam:
     def has_events(self) -> bool:
         return bool(self._events)
 
+    def max_scheduled_value(self) -> float:
+        """Upper bound on the values this param can reach with the current
+        base value and event list (values are clamped at insert)."""
+        mx = self._value
+        for e in self._events:
+            mx = max(mx, e[3])
+        return mx
+
     def encode(self, capacity: int) -> dict:
         """Encode current base value + events into fixed-shape numpy arrays."""
         events = [(e[2], e[0], e[3], e[4]) for e in self._events]

@@ -20,13 +20,14 @@ import enum
 import math
 from typing import Callable, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.resample import gather_resample, split_positions
+from graphaudio_tpu.ops.resample import catmull_rom, split_positions
 
 _TWO_PI = 2.0 * math.pi
 _INF = float("inf")
@@ -327,8 +328,9 @@ class AudioBufferSourceNode(ScheduledSourceNode):
 
     @loop.setter
     def loop(self, value: bool) -> None:
-        self._loop = bool(value)
-        self._push_loop_state()
+        if bool(value) != self._loop:
+            self._loop = bool(value)
+            self._graph_changed()  # loop layout is baked into the sample region
 
     @property
     def loop_start(self) -> float:
@@ -337,7 +339,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
     @loop_start.setter
     def loop_start(self, value: float) -> None:
         self._loop_start = max(0.0, value)
-        self._push_loop_state()
+        self._graph_changed()
 
     @property
     def loop_end(self) -> float:
@@ -346,43 +348,88 @@ class AudioBufferSourceNode(ScheduledSourceNode):
     @loop_end.setter
     def loop_end(self, value: float) -> None:
         self._loop_end = max(0.0, value)
-        self._push_loop_state()
-
-    def _push_loop_state(self) -> None:
-        def do(ctx):
-            if ctx._states and self.node_id in ctx._states:
-                ctx.update_node_state(
-                    self,
-                    loop=1 if self._loop else 0,
-                    loop_start=self._loop_start,
-                    loop_end=self._loop_end,
-                )
-
-        self.context.execute_or_post(do)
+        self._graph_changed()
 
     def output_channel_counts(self, input_channels):
         c = self._buffer.number_of_channels if self._buffer is not None else 1
         return [c]
 
+    def loop_frames(self):
+        """Static loop bounds in buffer frames (parity trunc semantics,
+        AudioBufferSourceNode.cs:171-177)."""
+        br = self._buffer.sample_rate
+        L = self._buffer.length
+        lsf = int(self._loop_start * br)
+        lef = int(self._loop_end * br) if self._loop_end > 0 else L
+        lef = min(lef, L)
+        lsf = min(lsf, lef)
+        return lsf, lef, lef - lsf
+
+    def rate_bound(self) -> int:
+        """Static pow2 upper bound on the effective resampling rate.
+
+        Sizes the per-superblock read window; outgrowing it (a playbackRate
+        scheduled above the compiled bound) triggers a recompile.
+        """
+        if self._buffer is None or self._static_unity_rate_cfg():
+            return 1
+        mx = self.playback_rate.max_scheduled_value()
+        eff = (self._buffer.sample_rate / self.context.sample_rate) * mx
+        b = 1
+        while b < eff:
+            b *= 2
+        return b
+
+    def _static_unity_rate_cfg(self) -> bool:
+        return (
+            self._buffer is not None
+            and self._buffer.sample_rate == self.context.sample_rate
+            and not self.playback_rate.touched
+        )
+
+    def build_region(self, w_max: int):
+        """Sample region for window-sliced playback: the buffer, followed by
+        either a zero pad (non-loop) or the loop content tiled twice-plus-a-
+        window so any superblock's reads are LINEAR (wraps become reads into
+        the periodic extension). Returns (region f32[C, n], geom dict)."""
+        data = self._buffer.data
+        C, L = data.shape
+        lsf, lef, llen = self.loop_frames()
+        looping = self._loop and llen > 0
+        if looping:
+            n_ext = 2 * llen + w_max + 8
+            reps = -(-n_ext // llen)
+            tiled = np.tile(data[:, lsf:lef], (1, reps))[:, :n_ext]
+            region = np.concatenate([data[:, :lsf], tiled], axis=1)
+        else:
+            pad = np.zeros((C, w_max + 8), np.float32)
+            region = np.concatenate([data, pad], axis=1)
+        geom = {
+            "length": np.float64(L),
+            "rate": np.float64(self._buffer.sample_rate),
+            "lsf": np.float64(lsf),
+            "lef": np.float64(lef),
+            "llen": np.float64(llen),
+            "looping": np.bool_(looping),
+            "loop_flag": np.bool_(self._loop),
+            "region_len": np.int32(region.shape[1]),
+        }
+        return np.ascontiguousarray(region), geom
+
     def group_key(self, input_channels):
         if self._buffer is None or self._params_modulated():
             return None
-        unity = (
-            self._buffer.sample_rate == self.context.sample_rate
-            and not self.playback_rate.touched
-        )
-        # Voices with the same channel count and kernel path share one vmapped
-        # stage over a packed sample arena (buffers concatenated along time).
-        return ("buffer-source", self._buffer.number_of_channels, unity)
+        unity = self._static_unity_rate_cfg()
+        # Voices with the same channel count, kernel path, and window bound
+        # share one vmapped stage over a packed sample arena.
+        return ("buffer-source", self._buffer.number_of_channels, unity,
+                self.rate_bound())
 
     # -- state --------------------------------------------------------------------
 
     def init_state(self, info):
         st = self._sched_state()
         st.update(
-            loop=np.int32(1 if self._loop else 0),
-            loop_start=np.float64(self._loop_start),
-            loop_end=np.float64(self._loop_end),
             offset=np.float64(0.0),
             duration=np.float64(_INF),
             pos=np.float64(0.0),
@@ -404,97 +451,110 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         updates["primed"] = 0
 
     # -- kernel -----------------------------------------------------------------
+    #
+    # Window-sliced playback: per superblock each voice issues ONE
+    # dynamic_slice of size W from the packed arena, then reads taps with
+    # small LOCAL indices. Loop wraps never appear per sample — the region's
+    # periodic extension (build_region) makes every superblock's reads linear.
+    # (Per-sample global gathers were ~19x slower on TPU.)
 
     def _static_unity_rate(self, rc) -> bool:
-        return (
-            self._buffer is not None
-            and self._buffer.sample_rate == rc.sample_rate
-            and not self.playback_rate.touched
-        )
+        return self._static_unity_rate_cfg()
 
-    def _frame_bounds(self, state, buffer_rate, length):
-        """Loop/duration frame bounds (f64), parity :171-182.
-
-        ``buffer_rate``/``length`` are f64 scalars (traced when the source
-        runs as a lane of a batched voice stage over a packed arena).
-        """
-        br = buffer_rate
-        lsf = jnp.trunc(state["loop_start"] * br)
-        lef = jnp.where(
-            state["loop_end"] > 0.0, jnp.trunc(state["loop_end"] * br), length
-        )
-        lef = jnp.minimum(lef, length)
-        lsf = jnp.minimum(lsf, lef)
-        llen = lef - lsf
+    def _duration_end(self, state, buffer_rate, length):
+        """Duration end frame (f64), parity :179-182."""
         de = jnp.where(
             jnp.isfinite(state["duration"]),
-            jnp.trunc(state["offset"] * br) + jnp.trunc(state["duration"] * br),
+            jnp.trunc(state["offset"] * buffer_rate)
+            + jnp.trunc(state["duration"] * buffer_rate),
             length,
         )
-        de = jnp.minimum(de, length)
-        looping = (state["loop"] > 0) & (llen > 0.0)
-        return lsf, lef, llen, de, looping
+        return jnp.minimum(de, length)
+
+    @staticmethod
+    def _window_w(superblock: int, bound: int, unity: bool) -> int:
+        t = superblock * FRAMES_PER_BLOCK
+        return t + 16 if unity else t * bound + 16
+
+    def _map_ext(self, p, geom):
+        """Map an original-coordinate position into the region's periodic
+        extension once per superblock; reads proceed linearly from there."""
+        lsf, llen = geom["lsf"], geom["llen"]
+        looping = geom["looping"]
+        q = jnp.mod(p - lsf, jnp.maximum(llen, 1.0))
+        return jnp.where(looping & (p >= lsf), lsf + llen + q, p)
 
     def process(self, state, inputs, params, rc):
         if self._buffer is None:
             return state, [jnp.zeros((1, rc.frames), jnp.float32)]
-        data = jnp.asarray(self._buffer.data)  # [C, L] closure constant
-        geom = (
-            jnp.float64(0.0),  # arena offset
-            jnp.float64(self._buffer.length),
-            jnp.float64(self._buffer.sample_rate),
-        )
-        if self._static_unity_rate(rc):
-            return self._process_unity(state, data, geom, rc)
+        unity = self._static_unity_rate(rc)
+        w = self._window_w(rc.superblock, self.rate_bound(), unity)
+        cache_key = (w, self._loop, self._loop_start, self._loop_end,
+                     id(self._buffer))
+        if getattr(self, "_region_key", None) != cache_key:
+            region, geom = self.build_region(w)
+            self._region_key = cache_key
+            self._region_cache = (region, geom)
+        region, geom = self._region_cache
+        geom = dict(geom)
+        geom["off"] = np.int32(0)
+        arena = jnp.asarray(region)
+        if unity:
+            return self._process_unity(state, arena, geom, rc, w)
         return self._process_resample(
-            state, data, geom, params["playbackRate"].per_block(), rc
+            state, arena, geom, params["playbackRate"].per_block(), rc, w
         )
 
-    def _process_unity(self, state, data, geom, rc):
-        # Per-block bookkeeping in f64 (exact integers); per-sample indexing
-        # in int32 — f64 is software-emulated on the VPU.
-        off, length, buffer_rate = geom
+    def _process_unity(self, state, arena, geom, rc, w: int):
         S = rc.superblock
-        C = data.shape[0]
+        C = arena.shape[0]
         active = self._block_active(state, rc)  # [S]
-        lsf, lef, llen, de, looping = self._frame_bounds(state, buffer_rate, length)
-        loop_flag = state["loop"] > 0
+        length = geom["length"]
+        de = self._duration_end(state, geom["rate"], length)
+        lef = geom["lef"]
+        looping = geom["looping"]
+        loop_flag = geom["loop_flag"]
+        region_len = geom["region_len"]
+        off = geom["off"]
 
         adv = jnp.where(active, float(FRAMES_PER_BLOCK), 0.0)
-        pos_b = state["pos"] + _excl_cumsum(adv)  # [S] f64
+        pos_b = state["pos"] + _excl_cumsum(adv)  # [S] f64, original coords
+        p0 = state["pos"]
 
-        lsf_i = lsf.astype(jnp.int32)
+        e0 = self._map_ext(p0, geom)
+        start = jnp.clip(e0.astype(jnp.int32), 0, region_len - w)
+        window = jax.lax.dynamic_slice(
+            arena, (jnp.int32(0), off + start), (C, w)
+        )
+
+        delta_b = (pos_b - p0).astype(jnp.int32)  # [S]
+        local0 = e0.astype(jnp.int32) - start
+        i = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.int32)
+        li = jnp.clip(local0 + delta_b[:, None] + i[None, :], 0, w - 1)
+        samples = jnp.take(window, li.reshape(-1), axis=1).reshape(
+            C, S, FRAMES_PER_BLOCK
+        )
+
+        # Validity in ORIGINAL coordinates (duration / degenerate loops).
+        g = p0.astype(jnp.int32) + delta_b[:, None] + i[None, :]
         lef_i = lef.astype(jnp.int32)
-        llen_i = jnp.maximum(lef_i - lsf_i, 1)
         de_i = de.astype(jnp.int32)
-        len_i = length.astype(jnp.int32)
-        off_i = off.astype(jnp.int32)
-        g = (
-            pos_b.astype(jnp.int32)[:, None]
-            + jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.int32)[None, :]
-        )  # [S, 128]
-
-        idx = jnp.where(looping & (g >= lef_i), lsf_i + jnp.mod(g - lef_i, llen_i), g)
-        # Non-loop end bound; a loop flag with a degenerate region plays up to
-        # loopEnd then starves (reference endFrame = loopEnd when looping).
         end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
-        valid = jnp.where(looping, idx < lef_i, g < end_bound)
-
-        gather_idx = (jnp.clip(idx, 0, len_i - 1) + off_i).reshape(-1)
-        samples = jnp.take(data, gather_idx, axis=1).reshape(C, S, FRAMES_PER_BLOCK)
+        valid = jnp.where(looping, jnp.bool_(True), g < end_bound)
         out = jnp.where((active[:, None] & valid)[None], samples, 0.0)
 
-        # Final-block clear + auto-stop (parity :360-368): after pos += 128,
-        # a non-looping source whose position passed durationEnd clears the
-        # whole block and stops at that block's end time.
+        # Final-block clear + auto-stop (parity :360-368).
         pos_after = pos_b + FRAMES_PER_BLOCK
         any_valid = jnp.any(valid, axis=1)
-        cleared = active & jnp.where(looping, ~any_valid, (pos_after >= de) | ~any_valid)
+        cleared = active & jnp.where(
+            looping, ~any_valid, (pos_after >= de) | ~any_valid
+        )
         out = jnp.where(cleared[None, :, None], 0.0, out)
 
         first_stop = jnp.min(jnp.where(cleared, rc.block_end_times, jnp.inf))
         new_stop = jnp.minimum(state["stop_time"], first_stop)
 
+        lsf, llen = geom["lsf"], geom["llen"]
         new_pos = state["pos"] + jnp.sum(adv)
         new_pos = jnp.where(
             looping & (new_pos >= lef),
@@ -507,64 +567,71 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         new_state["stop_time"] = new_stop
         return new_state, [out.reshape(C, rc.frames)]
 
-    def _process_resample(self, state, data, geom, playback_rate_pb, rc):
-        off, length, buffer_rate = geom
+    def _process_resample(self, state, arena, geom, playback_rate_pb, rc, w: int):
         S = rc.superblock
-        C = data.shape[0]
+        C = arena.shape[0]
         active = self._block_active(state, rc)  # [S]
-        lsf, lef, llen, de, looping = self._frame_bounds(state, buffer_rate, length)
+        length = geom["length"]
+        de = self._duration_end(state, geom["rate"], length)
+        lef = geom["lef"]
+        looping = geom["looping"]
+        loop_flag = geom["loop_flag"]
+        region_len = geom["region_len"]
+        off = geom["off"]
 
-        ratio = buffer_rate / jnp.float64(rc.sample_rate)
+        ratio = geom["rate"] / jnp.float64(rc.sample_rate)
         rate_b = ratio * playback_rate_pb.astype(jnp.float64)  # [S]
 
         # Prime the resampler on first activity: the 4-sample warmup leaves the
         # first output at position pos+1 (CubicResampler.cs:31-38 + :52).
         x0 = jnp.where(state["primed"] > 0, state["x"], state["pos"] + 1.0)
-        adv = jnp.where(active, FRAMES_PER_BLOCK * rate_b, 0.0)
-        xb = x0 + _excl_cumsum(adv)  # [S] f64 per-block positions
-        safe_llen = jnp.maximum(llen, 1.0)
-        # Wrap per-block into the loop region so the per-sample fraction below
-        # stays small enough for f32 (f64 per-sample math is VPU-emulated).
-        xb_w = jnp.where(looping & (xb >= lef), lsf + jnp.mod(xb - lef, safe_llen), xb)
-        base, frac = split_positions(xb_w, rate_b, FRAMES_PER_BLOCK)
-
-        lsf_i = lsf.astype(jnp.int32)
-        lef_i = lef.astype(jnp.int32)
-        llen_i = jnp.maximum(lef_i - lsf_i, 1)
-        de_i = de.astype(jnp.int32)
-        len_i = length.astype(jnp.int32)
-        base_w = jnp.where(
-            looping & (base >= lef_i), lsf_i + jnp.mod(base - lef_i, llen_i), base
+        e0 = self._map_ext(x0, geom)
+        start = jnp.clip(
+            jnp.floor(e0).astype(jnp.int32) - 1, 0, region_len - w
+        )
+        window = jax.lax.dynamic_slice(
+            arena, (jnp.int32(0), off + start), (C, w)
         )
 
-        out = gather_resample(
-            data, base_w, frac, looping, lsf_i, lef_i, llen_i,
-            arena_offset=off.astype(jnp.int32), length=len_i,
-        )  # [C, S, 128]
+        adv = jnp.where(active, FRAMES_PER_BLOCK * rate_b, 0.0)
+        du_b = _excl_cumsum(adv)  # [S] f64 offsets from x0
+        ub = (e0 - start.astype(jnp.float64)) + du_b  # local block anchors
+        base_l, frac = split_positions(ub, rate_b, FRAMES_PER_BLOCK)  # [S,128]
 
-        # Non-loop validity: the 4-tap window must fit before the end
-        # (mirrors the reference's break when input runs out, :277-292).
-        loop_flag = state["loop"] > 0
+        taps = []
+        for k in (-1, 0, 1, 2):
+            tk = jnp.clip(base_l + k, 0, w - 1).reshape(-1)
+            taps.append(
+                jnp.take(window, tk, axis=1).reshape(C, S, FRAMES_PER_BLOCK)
+            )
+        out = catmull_rom(taps[0], taps[1], taps[2], taps[3], frac[None])
+
+        # Validity in ORIGINAL coordinates (the positions differ from local
+        # ones by an integer shift; llen/lsf are integers so frac(e0)==frac(x0)).
+        shift = jnp.round(x0 - e0).astype(jnp.int32) + start
+        base_orig = base_l + shift
+        lef_i = lef.astype(jnp.int32)
+        de_i = de.astype(jnp.int32)
         end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
-        valid = jnp.where(looping, base_w < lef_i, base_w + 2 <= end_bound - 1)
+        valid = jnp.where(looping, jnp.bool_(True), base_orig + 2 <= end_bound - 1)
         gate = active[:, None] & valid
         out = jnp.where(gate[None], out, 0.0)
 
-        # Auto-stop on starvation: the first active block producing nothing
-        # sets the stop time to its end (parity :360-368).
+        # Auto-stop on starvation (parity :360-368).
         starved = active & ~jnp.any(valid, axis=1)
         first_stop = jnp.min(jnp.where(starved, rc.block_end_times, jnp.inf))
         new_stop = jnp.minimum(state["stop_time"], first_stop)
 
+        lsf, llen = geom["lsf"], geom["llen"]
         new_x = x0 + jnp.sum(adv)
         new_x = jnp.where(
-            looping & (new_x >= lef), lsf + jnp.mod(new_x - lef, safe_llen), new_x
+            looping & (new_x >= lef),
+            lsf + jnp.mod(new_x - lef, jnp.maximum(llen, 1.0)),
+            new_x,
         )
 
         new_state = dict(state)
         new_state["x"] = new_x
-        new_state["primed"] = jnp.where(
-            jnp.any(active), jnp.int32(1), state["primed"]
-        )
+        new_state["primed"] = jnp.where(jnp.any(active), jnp.int32(1), state["primed"])
         new_state["stop_time"] = new_stop
         return new_state, [out.reshape(C, rc.frames)]
