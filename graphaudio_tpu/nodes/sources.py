@@ -27,7 +27,7 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.resample import catmull_rom, split_positions
+from graphaudio_tpu.ops.resample import catmull_rom, cr_weights, split_positions
 
 _TWO_PI = 2.0 * math.pi
 _INF = float("inf")
@@ -471,10 +471,24 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         )
         return jnp.minimum(de, length)
 
-    @staticmethod
-    def _window_w(superblock: int, bound: int, unity: bool) -> int:
+    # Resample windows tile into overlapping HOP-strided rows so per-block
+    # band extraction is a tiny row gather; interpolation is one batched
+    # matmul against a 4-banded weight matrix (element gathers are ~10x
+    # slower than MXU matmuls on TPU).
+    _HOP = 64
+
+    @classmethod
+    def _tile_len(cls, bound: int) -> int:
+        need = FRAMES_PER_BLOCK * bound + cls._HOP + 8
+        return -(-need // cls._HOP) * cls._HOP
+
+    @classmethod
+    def _window_w(cls, superblock: int, bound: int, unity: bool) -> int:
         t = superblock * FRAMES_PER_BLOCK
-        return t + 16 if unity else t * bound + 16
+        if unity:
+            return t + 16
+        n_tiles = (t * bound) // cls._HOP + 3
+        return (n_tiles - 1) * cls._HOP + cls._tile_len(bound)
 
     def _map_ext(self, p, geom):
         """Map an original-coordinate position into the region's periodic
@@ -527,13 +541,22 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             arena, (jnp.int32(0), off + start), (C, w)
         )
 
-        delta_b = (pos_b - p0).astype(jnp.int32)  # [S]
+        # Reads are linear from the window: active blocks within a superblock
+        # form one contiguous run (start once / stop once), so block b's data
+        # is the (b - first_active)-th static 128-frame chunk — a tiny row
+        # gather instead of a per-sample gather (element gathers are ~10x
+        # slower on TPU).
+        delta_b = (pos_b - p0).astype(jnp.int32)  # [S] = 128*(active before b)
         local0 = e0.astype(jnp.int32) - start
-        i = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.int32)
-        li = jnp.clip(local0 + delta_b[:, None] + i[None, :], 0, w - 1)
-        samples = jnp.take(window, li.reshape(-1), axis=1).reshape(
+        blocks = window[:, :S * FRAMES_PER_BLOCK].reshape(
             C, S, FRAMES_PER_BLOCK
         )
+        bidx = jnp.clip(delta_b // FRAMES_PER_BLOCK, 0, S - 1)
+        samples = jnp.take(blocks, bidx, axis=1)
+        # local0 is 0 except when the window was clamped at the region end
+        # (positions past the buffer, masked below); a roll is unnecessary.
+        del local0
+        i = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.int32)
 
         # Validity in ORIGINAL coordinates (duration / degenerate loops).
         g = p0.astype(jnp.int32) + delta_b[:, None] + i[None, :]
@@ -598,13 +621,35 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         ub = (e0 - start.astype(jnp.float64)) + du_b  # local block anchors
         base_l, frac = split_positions(ub, rate_b, FRAMES_PER_BLOCK)  # [S,128]
 
-        taps = []
-        for k in (-1, 0, 1, 2):
-            tk = jnp.clip(base_l + k, 0, w - 1).reshape(-1)
-            taps.append(
-                jnp.take(window, tk, axis=1).reshape(C, S, FRAMES_PER_BLOCK)
-            )
-        out = catmull_rom(taps[0], taps[1], taps[2], taps[3], frac[None])
+        # ---- banded interpolation matmul over static overlapping tiles ----
+        hop = self._HOP
+        bound = max(1, (w - 16) // (S * FRAMES_PER_BLOCK))
+        tile = self._tile_len(bound)
+        k_per = tile // hop
+        n_tiles = (w - tile) // hop + 1
+        n_chunks = (n_tiles - 1) + k_per
+        chunks = window[:, : n_chunks * hop].reshape(C, n_chunks, hop)
+        tiles = jnp.concatenate(
+            [chunks[:, i : i + n_tiles] for i in range(k_per)], axis=2
+        )  # [C, n_tiles, tile] — static shifted reshapes, no gather
+
+        band_start = jnp.floor(ub).astype(jnp.int32) - 1  # [S]
+        m_b = jnp.clip(band_start // hop, 0, n_tiles - 1)
+        rows = jnp.take(tiles, m_b, axis=1)  # [C, S, tile] tiny row gather
+        base_row = base_l - (m_b * hop)[:, None]  # [S, 128] in [1, tile-3]
+
+        w0, w1, w2, w3 = cr_weights(frac)
+        iota = jnp.arange(tile, dtype=jnp.int32)
+        b = base_row[..., None]
+        A = (
+            w0[..., None] * (iota == b - 1)
+            + w1[..., None] * (iota == b)
+            + w2[..., None] * (iota == b + 1)
+            + w3[..., None] * (iota == b + 2)
+        )  # [S, 128, tile]
+        out = jnp.einsum(
+            "sft,cst->csf", A, rows, precision=jax.lax.Precision.HIGHEST
+        )  # [C, S, 128]
 
         # Validity in ORIGINAL coordinates (the positions differ from local
         # ones by an integer shift; llen/lsf are integers so frac(e0)==frac(x0)).

@@ -19,6 +19,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def cr_weights(t):
+    """Catmull-Rom tap weights (w0..w3) for fraction t (f32).
+
+    Expansion of the reference polynomial (CubicResampler.cs:52-57) in terms
+    of the four taps, used to build banded interpolation matrices for the MXU
+    formulation of resampling.
+    """
+    t = t.astype(jnp.float32)
+    w0 = t * (-0.5 + t * (1.0 - 0.5 * t))
+    w1 = 1.0 + t * t * (-2.5 + 1.5 * t)
+    w2 = t * (0.5 + t * (2.0 - 1.5 * t))
+    w3 = t * t * (-0.5 + 0.5 * t)
+    return w0, w1, w2, w3
+
+
 def catmull_rom(s0, s1, s2, s3, t):
     """The reference's cubic kernel (CubicResampler.cs:52-57), float32.
 
