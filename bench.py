@@ -17,11 +17,13 @@ import time
 import numpy as np
 
 
+import os
+
 SECONDS = 30.0
 SR = 48000
 VOICES = 64
 TARGET_XRT = 500.0
-SUPERBLOCK = 32
+SUPERBLOCK = int(os.environ.get("GA_BENCH_SUPERBLOCK", "64"))
 
 
 def build_graph():
