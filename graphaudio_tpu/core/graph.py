@@ -18,7 +18,6 @@ but happens at compile time.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
@@ -27,11 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
-from graphaudio_tpu.core.mixing import (
-    adapt_channels,
-    mix_inputs,
-    resolve_channel_count,
-)
+from graphaudio_tpu.core.mixing import adapt_channels, resolve_channel_count
 from graphaudio_tpu.core.params import AutomationRate
 from graphaudio_tpu.ops.param_eval import eval_intrinsic
 

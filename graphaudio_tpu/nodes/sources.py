@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import enum
 import math
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.resample import catmull_rom, cr_weights, split_positions
+from graphaudio_tpu.ops.resample import cr_weights, split_positions
 
 _TWO_PI = 2.0 * math.pi
 _INF = float("inf")
