@@ -355,15 +355,31 @@ class AudioContextBase:
         if feeds:
             # Feed arrays are indexed relative to this call's first frame.
             feeds["__base__"] = np.int64(self._current_frame)
-        frame0s = self._current_frame + frames_per_step * np.arange(
-            n_steps, dtype=np.int64
-        )
-        self._states, out = self._render_fn(
-            self._states, self._encs, feeds, frame0s
-        )
+        # Pipeline compute with device->host transfer: launch the next chunk's
+        # scan before materializing the previous chunk's audio (transfers over
+        # the device link are a large fraction of wall time otherwise).
+        chunk = 128  # superblocks per pipelined launch
+        pending = []
+        launched = 0
+        while launched < n_steps:
+            this = min(chunk, n_steps - launched)
+            frame0s = (
+                self._current_frame
+                + frames_per_step * (launched + np.arange(this, dtype=np.int64))
+            )
+            self._states, out = self._render_fn(
+                self._states, self._encs, feeds, frame0s
+            )
+            pending.append(out)
+            launched += this
         self._current_frame += n_steps * frames_per_step
         self._step_count += n_steps
-        out_np = np.asarray(jax.device_get(out))
+        if len(pending) == 1:
+            out_np = np.asarray(jax.device_get(pending[0]))
+        else:
+            out_np = np.concatenate(
+                [np.asarray(jax.device_get(o)) for o in pending], axis=1
+            )
         self._notify_sources()
         self.stats.record(
             frames=out_np.shape[1],
