@@ -17,7 +17,7 @@ render-thread-only mutation discipline (AudioContextBase.cs:266-305).
 
 from __future__ import annotations
 
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -52,6 +52,11 @@ class AudioContextBase:
         self._render_fn = None
         self._dest_channels = None
         self._states = None
+        self._consts = None
+        # Structurally identical graphs (same signature()) reuse an
+        # already-jitted renderer — voice churn (one-shot sounds) then costs
+        # a host rebuild + state migration, not an XLA recompile.
+        self._program_cache: "OrderedDict" = OrderedDict()
         self._param_versions: Dict = {}
         self._encs = None
         self._current_frame = 0  # host-side absolute frame counter
@@ -189,10 +194,27 @@ class AudioContextBase:
         if self._compiled is not None and self._compiled_version == self._topology_version:
             return
         old_states = self._states
-        self.stats.record_compile()
         self._compiled = CompiledGraph(self)
         self._compiled_version = self._topology_version
-        self._render_fn, self._dest_channels = self._compiled.make_render_fn()
+        sig = self._compiled.signature()
+        cached = self._program_cache.get(sig)
+        if cached is not None:
+            # Same structural signature -> the cached renderer computes the
+            # same function of (states, encs, consts, feeds, frame0s).
+            self._render_fn, self._dest_channels = cached
+            self._program_cache.move_to_end(sig)
+            self.stats.record_program_reuse()
+        else:
+            self.stats.record_compile()
+            self._render_fn, self._dest_channels = self._compiled.make_render_fn()
+            self._program_cache[sig] = (self._render_fn, self._dest_channels)
+            while len(self._program_cache) > 8:
+                self._program_cache.popitem(last=False)
+        # Arenas/geometry are device-resident arguments (not closure
+        # constants) so a cache hit replays with the new graph's buffers.
+        self._consts = jax.tree_util.tree_map(
+            jax.device_put, self._compiled.consts
+        )
         # init_states applies each node's host-side overrides (e.g. start()
         # called before connect()); then preserve surviving entries — group
         # entries are keyed by their exact member composition, so a preserved
@@ -201,6 +223,8 @@ class AudioContextBase:
         # voices keep their playback/filter state (parity: state lives on the
         # node in the reference).
         old_ref = getattr(self, "_old_state_ref", {})
+        old_comp = getattr(self, "_old_state_composition", {})
+        new_comp = self._compiled.state_composition
         new_states = self._compiled.init_states()
         if old_states:
             old_host_cache = {}
@@ -228,7 +252,14 @@ class AudioContextBase:
             for key, st in list(new_states.items()):
                 if key == "__globals__":
                     continue
-                if key in old_states and _same_structure(old_states[key], st):
+                # Whole-entry reuse requires the SAME member composition:
+                # state keys are structural ("st<i>"), so an equal-shaped
+                # entry may belong to different nodes after voice churn.
+                if (
+                    key in old_states
+                    and old_comp.get(key) == new_comp.get(key)
+                    and _same_structure(old_states[key], st)
+                ):
                     new_states[key] = old_states[key]
                     continue
                 # Lane-wise migration: surviving voices keep their playback /
@@ -263,6 +294,7 @@ class AudioContextBase:
                     new_states[key] = rebuilt
         self._states = new_states
         self._old_state_ref = dict(self._compiled.state_ref)
+        self._old_state_composition = dict(new_comp)
         self._encs = None  # force re-encode against (possibly) new capacities
         self._param_versions = {}
 
@@ -368,7 +400,7 @@ class AudioContextBase:
                 + frames_per_step * (launched + np.arange(this, dtype=np.int64))
             )
             self._states, out = self._render_fn(
-                self._states, self._encs, feeds, frame0s
+                self._states, self._encs, self._consts, feeds, frame0s
             )
             pending.append(out)
             launched += this

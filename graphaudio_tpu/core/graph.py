@@ -211,16 +211,17 @@ class CompiledGraph:
                 else:
                     by_key.setdefault(key, []).append(n)
             for n in singles:
-                stages.append(("single", [n]))
+                stages.append(("single", [n], None))
+            # Every keyed stage is a "group" even with one member: the state
+            # layout, param encoding, and emitted program then depend only on
+            # the key + lane count — never on node identity — which is what
+            # lets structurally identical graphs share one compiled program.
             for key, nodes in by_key.items():
-                if len(nodes) == 1:
-                    stages.append(("single", nodes))
-                else:
-                    stages.append(("group", nodes))
+                stages.append(("group", nodes, key))
             for n in ready:
                 emitted.add(n.node_id)
             remaining = [n for n in remaining if n.node_id not in emitted]
-        stages.append(("dest", [dest]))
+        stages.append(("dest", [dest], None))
         self.stages = stages
 
         # Static window bounds compiled into buffer-source kernels; a
@@ -231,22 +232,26 @@ class CompiledGraph:
             if _is_buffer_source(n) and n._buffer is not None
         }
 
-        # State storage layout: grouped nodes live as ONE stacked pytree entry
-        # (key encodes the member composition so preservation across
-        # recompiles is exact); singles keep per-node entries. This keeps the
-        # scan carry small — per-node leaves made compile time scale linearly
-        # with voice count.
+        # State storage layout: grouped nodes live as ONE stacked pytree entry;
+        # keys are STRUCTURAL ("st<i>" = stage position), so two graphs with
+        # the same shape produce identical state pytrees and can share a
+        # compiled program. Stacked group entries also keep the scan carry
+        # small — per-node leaves made compile time scale linearly with voice
+        # count. The context preserves state across recompiles by comparing
+        # each key's member composition (``state_composition``) and migrating
+        # surviving lanes individually when it changed.
         self.state_ref: Dict[int, Tuple[str, object]] = {}
         self.group_keys: Dict[int, str] = {}  # stage index -> state key
-        for si, (kind, nodes) in enumerate(stages):
+        self.state_composition: Dict[str, Tuple[int, ...]] = {}
+        for si, (kind, nodes, _) in enumerate(stages):
+            key = f"st{si}"
+            self.state_composition[key] = tuple(n.node_id for n in nodes)
             if kind == "group":
-                key = "g(" + ",".join(str(n.node_id) for n in nodes) + ")"
                 self.group_keys[si] = key
                 for lane, n in enumerate(nodes):
                     self.state_ref[n.node_id] = (key, lane)
             else:
-                for n in nodes:
-                    self.state_ref[n.node_id] = (str(n.node_id), None)
+                self.state_ref[nodes[0].node_id] = (key, None)
 
         # Param encoding capacities (pow2 padding keeps jit cache stable while
         # event lists grow). Group members share one capacity so encodings
@@ -256,7 +261,7 @@ class CompiledGraph:
                 self.param_capacity[(node.node_id, name)] = _next_pow2(
                     max(1, p.event_count())
                 )
-        for kind, nodes in stages:
+        for kind, nodes, _ in stages:
             if kind == "group":
                 for name in nodes[0].params:
                     cap = max(
@@ -264,6 +269,144 @@ class CompiledGraph:
                     )
                     for n in nodes:
                         self.param_capacity[(n.node_id, name)] = cap
+
+        # ---- buffer-source arenas (traced constants) -----------------------
+        # Source sample data travels as ARGUMENTS (one packed arena per
+        # buffer-source stage, width padded to a pow2 bucket) rather than
+        # closure constants, so a cached program replays with new buffers.
+        self.consts: Dict[str, object] = {}
+        self._bufsrc_cfg: Dict[int, Tuple[int, bool, int]] = {}
+        for si, (kind, nodes, _) in enumerate(stages):
+            if kind != "group" or not _is_buffer_source(nodes[0]):
+                continue
+            rep = nodes[0]
+            unity = rep._static_unity_rate_cfg()
+            bound = max(n.rate_bound() for n in nodes)
+            w = type(rep)._window_w(self.info.superblock, bound, unity)
+            built = [n.build_region(w) for n in nodes]
+            regions = [b[0] for b in built]
+            geoms = [b[1] for b in built]
+            widths = [r.shape[1] for r in regions]
+            offs = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+            arena = np.concatenate(regions, axis=1)
+            arena_w = _next_pow2(max(arena.shape[1], w + 8))
+            if arena.shape[1] < arena_w:
+                arena = np.pad(arena, ((0, 0), (0, arena_w - arena.shape[1])))
+            stacked = {k: np.stack([g[k] for g in geoms]) for k in geoms[0]}
+            stacked["off"] = offs
+            self.consts[f"st{si}/arena"] = arena
+            self.consts[f"st{si}/geom"] = stacked
+            self._bufsrc_cfg[si] = (w, unity, arena_w)
+
+        self._build_plan(node_in_counts)
+
+    # -- execution plan ---------------------------------------------------------
+    #
+    # The step function never reads live node objects' connection lists: all
+    # routing is snapshotted here as plain data. That makes a compiled render
+    # function safe to CACHE and to RE-TRACE later (jit retraces on new arg
+    # shapes) even after the host graph that produced it has mutated.
+    # Producers are addressed structurally as (stage, port, lane).
+
+    def _build_plan(self, node_in_counts) -> None:
+        stage_of = {}
+        lane_of = {}
+        for si, (kind, nodes, _) in enumerate(self.stages):
+            for lane, n in enumerate(nodes):
+                stage_of[n.node_id] = si
+                lane_of[n.node_id] = lane if kind == "group" else None
+
+        def producers(connected_outputs):
+            return tuple(
+                (
+                    stage_of[o.owner.node_id],
+                    o.index,
+                    lane_of[o.owner.node_id],
+                    self.output_channels[(o.owner.node_id, o.index)],
+                )
+                for o in connected_outputs
+            )
+
+        plan = []
+        for si, (kind, nodes, gkey) in enumerate(self.stages):
+            rep = nodes[0]
+            if kind == "group":
+                inputs = tuple(
+                    (
+                        self.input_channels[(rep.node_id, i)],
+                        tuple(
+                            producers(n.inputs[i].connected_outputs)
+                            for n in nodes
+                        ),
+                    )
+                    for i in range(len(rep.inputs))
+                )
+                # Grouped nodes never have modulated params (group_key
+                # contract), so the param spec is (name, a_rate) only.
+                params = tuple(
+                    (name, p.automation_rate == AutomationRate.A_RATE)
+                    for name, p in rep.params.items()
+                )
+            else:
+                inputs = tuple(
+                    (
+                        self.input_channels[(rep.node_id, inp.index)],
+                        producers(inp.connected_outputs),
+                    )
+                    for inp in rep.inputs
+                )
+                params = tuple(
+                    (
+                        name,
+                        p.automation_rate == AutomationRate.A_RATE,
+                        float(p.min_value),
+                        float(p.max_value),
+                        producers(p._mod_outputs),
+                    )
+                    for name, p in rep.params.items()
+                )
+            out_counts = tuple(
+                self.output_channels.get((rep.node_id, i))
+                for i in range(len(rep.outputs))
+            )
+            plan.append(
+                {
+                    "kind": kind,
+                    "si": si,
+                    "key": f"st{si}",
+                    "rep": rep,
+                    "n_lanes": len(nodes),
+                    "group_key": gkey,
+                    "inputs": inputs,
+                    "params": params,
+                    "out_counts": out_counts,
+                    "bufsrc": self._bufsrc_cfg.get(si),
+                }
+            )
+        self.plan = plan
+
+    def signature(self):
+        """Structural identity of the emitted program.
+
+        Two CompiledGraphs with equal signatures compute the same function of
+        (states, encs, consts, feeds, frame0s) — the context keys its
+        compiled-program cache on this, so voice churn (e.g. one-shot sounds
+        re-creating structurally identical source+gain chains) reuses the
+        already-jitted renderer instead of recompiling. Single (unbatched)
+        stages key on node identity+config version (``static_fingerprint``)
+        because their kernels may close over arbitrary instance data; group
+        stages key on their batching key, which captures all kernel config.
+        """
+        sig = [("hdr", self.info.sample_rate, self.info.superblock)]
+        for sp in self.plan:
+            if sp["kind"] == "group":
+                ident = ("G", sp["group_key"], sp["n_lanes"], sp["bufsrc"])
+            elif sp["kind"] == "dest":
+                ident = ("D",)
+            else:
+                ident = ("N", sp["rep"].static_fingerprint())
+            sig.append((ident, sp["inputs"], sp["params"], sp["out_counts"]))
+        return tuple(sig)
 
     def static_config_stale(self) -> bool:
         """True when a param-dependent static choice (e.g. a buffer source's
@@ -288,15 +431,14 @@ class CompiledGraph:
 
     def init_states(self) -> Dict:
         states = {}
-        for si, (kind, nodes) in enumerate(self.stages):
+        for si, (kind, nodes, _) in enumerate(self.stages):
             if kind == "group":
                 members = [self._init_node_state(n) for n in nodes]
-                states[self.group_keys[si]] = jax.tree_util.tree_map(
+                states[f"st{si}"] = jax.tree_util.tree_map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs]), *members
                 )
             else:
-                for n in nodes:
-                    states[str(n.node_id)] = self._init_node_state(n)
+                states[f"st{si}"] = self._init_node_state(nodes[0])
         # Upstream-only nodes feeding params etc. already appear in stages;
         # any topo node not staged (none today) would be initialized here.
         # Context-level globals (listener transform) travel in the state
@@ -315,7 +457,7 @@ class CompiledGraph:
                 key = (node.node_id, name)
                 if p.event_count() > self.param_capacity[key]:
                     self.param_capacity[key] = _next_pow2(p.event_count())
-        for kind, nodes in self.stages:
+        for kind, nodes, _ in self.stages:
             if kind == "group":
                 for name in nodes[0].params:
                     cap = max(
@@ -324,9 +466,8 @@ class CompiledGraph:
                     for n in nodes:
                         self.param_capacity[(n.node_id, name)] = cap
         encs = {}
-        for si, (kind, nodes) in enumerate(self.stages):
+        for si, (kind, nodes, _) in enumerate(self.stages):
             if kind == "group":
-                gkey = self.group_keys[si]
                 for name in nodes[0].params:
                     per = [
                         n.params[name].encode(
@@ -334,70 +475,56 @@ class CompiledGraph:
                         )
                         for n in nodes
                     ]
-                    encs[f"{gkey}/{name}"] = {
+                    encs[f"st{si}/{name}"] = {
                         k: np.stack([e[k] for e in per]) for k in per[0]
                     }
             else:
-                for n in nodes:
-                    for name, p in n.params.items():
-                        encs[f"{n.node_id}/{name}"] = p.encode(
-                            self.param_capacity[(n.node_id, name)]
-                        )
+                n = nodes[0]
+                for name, p in n.params.items():
+                    encs[f"st{si}/{name}"] = p.encode(
+                        self.param_capacity[(n.node_id, name)]
+                    )
         return encs
 
     # -- the step function ---------------------------------------------------
 
     def make_step_fn(self):
+        """Emit the pure step function from the snapshotted plan.
+
+        The closure captures only the plan (immutable data) and each stage
+        representative's kernel methods — never live connection lists — so
+        the returned function stays correct if jit re-traces it after the
+        host graph has been edited (the program cache relies on this).
+        """
         info = self.info
-        stages = list(self.stages)
-        dest = self.destination
-        dest_channels = self.input_channels[(dest.node_id, 0)]
-        input_channels = dict(self.input_channels)
+        plan = self.plan
+        dest_channels = self.input_channels[(self.destination.node_id, 0)]
 
-        # Pre-build per-group host constants (source arenas + geometry) once.
-        group_setup = {}
-        for si, (kind, nodes) in enumerate(stages):
-            if kind == "group" and _is_buffer_source(nodes[0]):
-                rep = nodes[0]
-                unity = rep._static_unity_rate_cfg()
-                bound = max(n.rate_bound() for n in nodes)
-                w = type(rep)._window_w(self.info.superblock, bound, unity)
-                built = [n.build_region(w) for n in nodes]
-                regions = [b[0] for b in built]
-                geoms = [b[1] for b in built]
-                widths = [r.shape[1] for r in regions]
-                offs = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
-                arena = np.concatenate(regions, axis=1)
-                stacked = {
-                    k: np.stack([g[k] for g in geoms]) for k in geoms[0]
-                }
-                stacked["off"] = offs
-                group_setup[si] = (arena, stacked, w, unity)
-
-        def step(states, encs, feeds, frame0):
+        def step(states, encs, consts, feeds, frame0):
             rc = RenderContext(info, frame0)
             rc.globals = states.get("__globals__")
             rc.feeds = feeds
-            # out_table values: jnp array [C, T], or ("lane", tensor, v) where
-            # tensor is a stacked group output [V, C, T].
+            # out_table[(si, port)]: [C, T] for singles, stacked [V, C, T]
+            # for groups; producers address lanes as (si, port, lane).
             out_table: Dict[Tuple[int, int], object] = {}
             new_states = {"__globals__": states.get("__globals__")}
+            dest_out = None
 
-            def mixed_signal(sources, dst_c):
-                """Sum arbitrary outputs (direct arrays + group lanes) into
-                one [dst_c, T] block. Lanes of the same group tensor collapse
-                into a single axis-0 reduction — the reference's fan-in
-                summing junction (AudioNodeInput.cs:100-138) as one op."""
+            def mixed_signal(prods, dst_c):
+                """Sum producer outputs into one [dst_c, T] block. Lanes of
+                the same group tensor collapse into a single axis-0 reduction
+                — the reference's fan-in summing junction
+                (AudioNodeInput.cs:100-138) as one op."""
                 direct = []
-                lanes: Dict[int, Tuple[jnp.ndarray, list]] = {}
-                for s in sources:
-                    if isinstance(s, tuple) and s[0] == "lane":
-                        _, tensor, v = s
-                        lanes.setdefault(id(tensor), (tensor, []))[1].append(v)
+                lanes: Dict[Tuple[int, int], list] = {}
+                for psi, pport, plane, _c in prods:
+                    if plane is None:
+                        direct.append(out_table[(psi, pport)])
                     else:
-                        direct.append(s)
+                        lanes.setdefault((psi, pport), []).append(plane)
                 parts = [adapt_channels(d, dst_c) for d in direct]
-                for tensor, vs in lanes.values():
+                for (psi, pport), vs in lanes.items():
+                    tensor = out_table[(psi, pport)]
                     if len(vs) == tensor.shape[0]:
                         summed = jnp.sum(tensor, axis=0)
                     elif len(vs) == 1:
@@ -412,101 +539,75 @@ class CompiledGraph:
                     acc = acc + p
                 return acc
 
-            def port_sources(inp):
-                return [
-                    out_table[(o.owner.node_id, o.index)]
-                    for o in inp.connected_outputs
-                ]
-
-            def mixed_input(node, inp):
-                c = input_channels[(node.node_id, inp.index)]
-                return mixed_signal(port_sources(inp), c)
-
-            def param_values(node, name, p, enc):
-                a_rate = p.automation_rate == AutomationRate.A_RATE
-                times = rc.sample_times if a_rate else rc.block_times
-                intrinsic = eval_intrinsic(enc, times)
-                if p._mod_outputs:
-                    # Hidden mono Explicit modulation input (AudioParam.cs:66-70).
-                    srcs = [
-                        out_table[(o.owner.node_id, o.index)]
-                        for o in p._mod_outputs
-                    ]
-                    mod = mixed_signal(srcs, 1)[0]
-                    if a_rate:
-                        m = mod
-                    else:
-                        # k-rate reads modulation at sample 0 of each block
-                        # (AudioParam.cs:150-156).
-                        m = mod.reshape(info.superblock, FRAMES_PER_BLOCK)[:, 0]
-                    return jnp.clip(
-                        intrinsic + m,
-                        jnp.float32(p.min_value),
-                        jnp.float32(p.max_value),
-                    ), a_rate
-                return intrinsic, a_rate
-
-            def run_single(node):
+            def run_single(sp):
+                si, key = sp["si"], sp["key"]
                 params = {}
-                for name, p in node.params.items():
-                    vals, a_rate = param_values(
-                        node, name, p, encs[f"{node.node_id}/{name}"]
-                    )
+                for name, a_rate, mn, mx, mods in sp["params"]:
+                    times = rc.sample_times if a_rate else rc.block_times
+                    vals = eval_intrinsic(encs[f"{key}/{name}"], times)
+                    if mods:
+                        # Hidden mono Explicit modulation input
+                        # (AudioParam.cs:66-70); k-rate reads modulation at
+                        # sample 0 of each block (AudioParam.cs:150-156).
+                        mod = mixed_signal(mods, 1)[0]
+                        m = (
+                            mod
+                            if a_rate
+                            else mod.reshape(info.superblock, FRAMES_PER_BLOCK)[:, 0]
+                        )
+                        vals = jnp.clip(
+                            vals + m, jnp.float32(mn), jnp.float32(mx)
+                        )
                     params[name] = ParamSignal(vals, a_rate, info.superblock)
-                inputs = [mixed_input(node, inp) for inp in node.inputs]
-                st, outs = node.process(states[str(node.node_id)], inputs, params, rc)
-                new_states[str(node.node_id)] = st
+                inputs = [mixed_signal(prods, c) for c, prods in sp["inputs"]]
+                st, outs = sp["rep"].process(states[key], inputs, params, rc)
+                new_states[key] = st
                 for i, o in enumerate(outs):
-                    out_table[(node.node_id, i)] = o
+                    out_table[(si, i)] = o
 
-            def stacked_inputs(nodes, inp_idx):
+            def stacked_inputs(sp, inp_idx):
                 """[V, C, T] inputs for a group; identity fast path when all
                 lanes chain 1:1 from one upstream group tensor."""
-                dst_c = input_channels[(nodes[0].node_id, inp_idx)]
-                per = [port_sources(n.inputs[inp_idx]) for n in nodes]
-                first = per[0]
+                dst_c, per_lane = sp["inputs"][inp_idx]
+                first = per_lane[0]
                 if (
                     len(first) == 1
-                    and isinstance(first[0], tuple)
+                    and first[0][2] is not None
                     and all(
-                        len(p) == 1
-                        and isinstance(p[0], tuple)
-                        and p[0][1] is first[0][1]
-                        and p[0][2] == v
-                        for v, p in enumerate(per)
+                        len(pl) == 1
+                        and pl[0][:2] == first[0][:2]
+                        and pl[0][2] == v
+                        for v, pl in enumerate(per_lane)
                     )
-                    and first[0][1].shape[0] == len(nodes)
-                    and first[0][1].shape[1] == dst_c
                 ):
-                    return first[0][1]
+                    t = out_table[first[0][:2]]
+                    if t.shape[0] == len(per_lane) and t.shape[1] == dst_c:
+                        return t
                 return jnp.stack(
-                    [mixed_signal(p, dst_c) for p in per], axis=0
+                    [mixed_signal(pl, dst_c) for pl in per_lane], axis=0
                 )
 
-            def run_group(si, nodes):
-                rep = nodes[0]
-                gkey = self.group_keys[si]
+            def run_group(sp):
+                si, key, rep = sp["si"], sp["key"], sp["rep"]
                 # States live stacked in the carry; params are pre-stacked
                 # encodings evaluated with ONE vmapped pass per param.
-                states_stacked = states[gkey]
+                states_stacked = states[key]
                 pvals = {}
                 rates = {}
-                for name, p in rep.params.items():
-                    a_rate = p.automation_rate == AutomationRate.A_RATE
+                for name, a_rate in sp["params"]:
                     times = rc.sample_times if a_rate else rc.block_times
-                    enc = encs[f"{gkey}/{name}"]
                     pvals[name] = jax.vmap(eval_intrinsic, in_axes=(0, None))(
-                        enc, times
+                        encs[f"{key}/{name}"], times
                     )  # [V, T or S]
                     rates[name] = a_rate
                 inputs_stacked = [
-                    stacked_inputs(nodes, i) for i in range(len(rep.inputs))
+                    stacked_inputs(sp, i) for i in range(len(sp["inputs"]))
                 ]
 
-                if _is_buffer_source(rep):
-                    arena_np, geoms_np, w, unity = group_setup[si]
-                    arena = jnp.asarray(arena_np)
-                    geoms = {k: jnp.asarray(v) for k, v in geoms_np.items()}
+                if sp["bufsrc"] is not None:
+                    w, unity, _ = sp["bufsrc"]
+                    arena = jnp.asarray(consts[f"{key}/arena"])
+                    geoms = consts[f"{key}/geom"]
 
                     def lane(state, geom, pv):
                         if unity:
@@ -529,19 +630,19 @@ class CompiledGraph:
                         states_stacked, tuple(inputs_stacked), pvals
                     )
 
-                new_states[gkey] = sts
+                new_states[key] = sts
                 for i, o in enumerate(outs):  # o: [V, C, T]
-                    for v, n in enumerate(nodes):
-                        out_table[(n.node_id, i)] = ("lane", o, v)
+                    out_table[(si, i)] = o
 
-            for si, (kind, nodes) in enumerate(stages):
-                if kind == "single":
-                    run_single(nodes[0])
-                elif kind == "group":
-                    run_group(si, nodes)
+            for sp in plan:
+                if sp["kind"] == "single":
+                    run_single(sp)
+                elif sp["kind"] == "group":
+                    run_group(sp)
                 else:  # destination: passthrough sink (AudioDestinationNode.cs:42-64)
-                    dest_out = mixed_input(dest, dest.inputs[0])
-                    new_states[str(dest.node_id)] = states[str(dest.node_id)]
+                    dst_c, prods = sp["inputs"][0]
+                    dest_out = mixed_signal(prods, dst_c)
+                    new_states[sp["key"]] = states[sp["key"]]
 
             return new_states, dest_out
 
@@ -551,9 +652,9 @@ class CompiledGraph:
         """Jitted multi-superblock renderer: scan step over frame offsets."""
         step, dest_channels = self.make_step_fn()
 
-        def render(states, encs, feeds, frame0s):
+        def render(states, encs, consts, feeds, frame0s):
             def body(carry, frame0):
-                new_states, out = step(carry, encs, feeds, frame0)
+                new_states, out = step(carry, encs, consts, feeds, frame0)
                 return new_states, out
 
             states, outs = jax.lax.scan(body, states, frame0s)

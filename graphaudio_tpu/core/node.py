@@ -215,6 +215,18 @@ class AudioNode:
     def _graph_changed(self) -> None:
         self.context._invalidate_topology()
 
+    def _config_changed(self) -> None:
+        """A compile-time attribute changed (filter type, IR, ...): bump the
+        node's static fingerprint so cached compiled programs can't be reused
+        with stale baked-in configuration."""
+        self._config_version = getattr(self, "_config_version", 0) + 1
+        self._graph_changed()
+
+    def static_fingerprint(self):
+        """Identity + config version; part of the compiled-program cache key
+        for stages whose kernels close over instance data."""
+        return (id(self), getattr(self, "_config_version", 0))
+
     # -- functional kernel interface ------------------------------------------
 
     def init_state(self, rc) -> dict:

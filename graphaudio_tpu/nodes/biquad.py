@@ -69,7 +69,7 @@ class BiQuadFilterNode(AudioNode):
     def type(self, value: FilterType) -> None:
         if value != self._type:
             self._type = value
-            self._graph_changed()  # filter formulas are baked into the kernel
+            self._config_changed()  # filter formulas are baked into the kernel
 
     def output_channel_counts(self, input_channels):
         c = input_channels[0] if input_channels else 2

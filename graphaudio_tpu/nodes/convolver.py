@@ -47,7 +47,7 @@ class ConvolverNode(AudioNode):
             self._is_true_stereo = False
             self._effective_output_channels = 0
             self.inputs[0].set_channel_count_mode(ChannelCountMode.MAX)
-            self._graph_changed()
+            self._config_changed()
             return
         if not value.is_initialized:
             raise RuntimeError(
@@ -81,7 +81,7 @@ class ConvolverNode(AudioNode):
             self._effective_output_channels = channels
             self.inputs[0].set_channel_count(channels)
         self.inputs[0].set_channel_count_mode(ChannelCountMode.EXPLICIT)
-        self._graph_changed()
+        self._config_changed()
 
     def output_channel_counts(self, input_channels):
         if self._H is None:

@@ -227,7 +227,7 @@ class OscillatorNode(ScheduledSourceNode):
     def type(self, value: OscillatorType) -> None:
         if value != self._type:
             self._type = value
-            self._graph_changed()  # waveform is baked into the kernel
+            self._config_changed()  # waveform is baked into the kernel
 
     def output_channel_counts(self, input_channels):
         return [1]
@@ -320,7 +320,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         if self._has_started:
             raise RuntimeError("Cannot change buffer after playback started")
         self._buffer = value
-        self._graph_changed()  # sample data is baked into the kernel
+        self._config_changed()  # sample data is baked into the kernel
 
     @property
     def loop(self) -> bool:
@@ -330,7 +330,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
     def loop(self, value: bool) -> None:
         if bool(value) != self._loop:
             self._loop = bool(value)
-            self._graph_changed()  # loop layout is baked into the sample region
+            self._config_changed()  # loop layout is baked into the sample region
 
     @property
     def loop_start(self) -> float:
@@ -339,7 +339,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
     @loop_start.setter
     def loop_start(self, value: float) -> None:
         self._loop_start = max(0.0, value)
-        self._graph_changed()
+        self._config_changed()
 
     @property
     def loop_end(self) -> float:
@@ -348,7 +348,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
     @loop_end.setter
     def loop_end(self, value: float) -> None:
         self._loop_end = max(0.0, value)
-        self._graph_changed()
+        self._config_changed()
 
     def output_channel_counts(self, input_channels):
         c = self._buffer.number_of_channels if self._buffer is not None else 1

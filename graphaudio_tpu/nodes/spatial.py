@@ -95,7 +95,7 @@ class SpatialPannerNode(AudioNode):
     def distance_model(self, value: DistanceModelType) -> None:
         if value != self._distance_model:
             self._distance_model = value
-            self._graph_changed()  # formula baked into the kernel
+            self._config_changed()  # formula baked into the kernel
 
     def output_channel_counts(self, input_channels):
         self._channels = input_channels[0] if input_channels else 2

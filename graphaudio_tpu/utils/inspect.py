@@ -20,7 +20,7 @@ def describe_graph(context) -> str:
         "",
         "schedule:",
     ]
-    for kind, nodes in cg.stages:
+    for kind, nodes, _gkey in cg.stages:
         rep = nodes[0]
         if kind == "group":
             lines.append(

@@ -23,6 +23,7 @@ class RenderStats:
     frames_rendered: int = 0
     wall_seconds: float = 0.0
     compile_count: int = 0
+    program_reuse_count: int = 0
     _call_quantum_us: List[float] = field(default_factory=list)
 
     def record(self, frames: int, quanta: int, wall: float) -> None:
@@ -37,6 +38,10 @@ class RenderStats:
 
     def record_compile(self) -> None:
         self.compile_count += 1
+
+    def record_program_reuse(self) -> None:
+        """A topology change was served from the compiled-program cache."""
+        self.program_reuse_count += 1
 
     @property
     def realtime_factor(self) -> float:
@@ -63,4 +68,5 @@ class RenderStats:
             "xrt": round(self.xrt(sample_rate), 2),
             "p50_quantum_us": round(self.p50_quantum_us(), 3),
             "compile_count": self.compile_count,
+            "program_reuse_count": self.program_reuse_count,
         }

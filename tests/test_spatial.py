@@ -153,7 +153,7 @@ def test_batched_spatial_voices(rng):
     from graphaudio_tpu.core.graph import CompiledGraph
 
     cg = CompiledGraph(ctx)
-    kinds = {(k, len(ns), type(ns[0]).__name__) for k, ns in cg.stages}
+    kinds = {(k, len(ns), type(ns[0]).__name__) for k, ns, _ in cg.stages}
     assert ("group", 4, "SpatialPannerNode") in kinds
     out = ctx.render(2048)
     assert np.isfinite(out).all() and np.abs(out).max() > 0
