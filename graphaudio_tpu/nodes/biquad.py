@@ -110,6 +110,7 @@ class BiQuadFilterNode(AudioNode):
             or self.q._mod_outputs
         )
         y, w1, w2 = biquad_apply(
-            x, coeffs, state["w1"], state["w2"], time_varying=time_varying
+            x, coeffs, state["w1"], state["w2"], time_varying=time_varying,
+            constant=not time_varying,
         )
         return {"w1": w1, "w2": w2}, [y]

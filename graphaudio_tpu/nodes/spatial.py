@@ -29,8 +29,8 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode, ChannelCountMode, ChannelInterpretation
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.biquad import _first_order_scan
 from graphaudio_tpu.ops.hrtf import HRIR_LENGTH, build_hrir_grid, fir_per_block, interp_hrir
+from graphaudio_tpu.ops.onepole import onepole_lowpass
 
 _F32MAX = 3.4028235e38
 
@@ -199,16 +199,17 @@ class SpatialPannerNode(AudioNode):
         return dx, dy, dz, gains, blend
 
     def _split_bands(self, x, state, rc):
-        """3-band split via two one-pole lowpasses (parallel scans)."""
+        """3-band split via two one-pole lowpasses.
+
+        Crossover frequencies are compile-time constants, so each lowpass is
+        an exact blocked matmul (ops/onepole.py) rather than a per-sample
+        scan — MXU work with no sequential dependency inside a block.
+        """
         sr = rc.sample_rate
 
         def lp(sig, hist, hz):
-            a = jnp.float32(math.exp(-2.0 * math.pi * hz / sr))
-            xt = jnp.moveaxis(sig, 0, 1).astype(jnp.complex64)  # [T, C]
-            p = jnp.full((xt.shape[0],), a, jnp.complex64)
-            y = _first_order_scan(p, (1.0 - a) * xt, hist.astype(jnp.complex64))
-            y = jnp.real(y)
-            return jnp.moveaxis(y, 0, 1), y[-1]
+            a = math.exp(-2.0 * math.pi * hz / sr)
+            return onepole_lowpass(sig, a, hist)
 
         low, new_xlow = lp(x, state["xlow"], XOVER_LOW_HZ)
         lowmid, new_xhigh = lp(x, state["xhigh"], XOVER_HIGH_HZ)

@@ -141,7 +141,66 @@ def _first_order_scan(p, u, s_init):
     return cum_p * s_init[None, :] + cum_b
 
 
-def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False):
+def _first_order_const(p, u, s_init):
+    """``_first_order_scan`` for a CONSTANT (traced c64 scalar) operator.
+
+    s_t = p * s_{t-1} + u_t has the closed form
+        s_t = p^(t+1) s_init + sum_{k<=t} p^(t-k) u_k
+    so each 128-sample block is one matmul against a decay matrix built at
+    runtime from the scalar pole (p^d = |p|^d e^{i d arg p}, elementwise over
+    a static delta grid), and the block-to-block carry is a second tiny
+    matmul over the superblock axis. Replaces the log-depth associative scan
+    on the constant-coefficient path: less compile-time program, pure MXU
+    work at run time. Exact to f32 rounding.
+
+    p: c64 scalar, u: c64[T, C], s_init: c64[C] -> s: c64[T, C].
+    """
+    T, C = u.shape
+    B = 128
+    S = T // B
+    logr = 0.5 * jnp.log(jnp.maximum(jnp.real(p) ** 2 + jnp.imag(p) ** 2, 1e-38))
+    th = jnp.arctan2(jnp.imag(p), jnp.real(p))
+
+    def pole_pow(d, mask, lr, t):
+        """(re, im) of p^d * mask for an integer grid d (f32 arrays)."""
+        mag = jnp.exp(d * lr) * mask
+        return mag * jnp.cos(d * t), mag * jnp.sin(d * t)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def cmatmul(spec, ar, ai, br, bi):
+        rr = jnp.einsum(spec, ar, br, precision=hp) - jnp.einsum(
+            spec, ai, bi, precision=hp
+        )
+        ri = jnp.einsum(spec, ar, bi, precision=hp) + jnp.einsum(
+            spec, ai, br, precision=hp
+        )
+        return rr, ri
+
+    n = jnp.arange(B, dtype=jnp.float32)
+    d = n[:, None] - n[None, :]
+    Mr, Mi = pole_pow(jnp.maximum(d, 0.0), (d >= 0).astype(jnp.float32), logr, th)
+    ub = u.reshape(S, B, C)
+    pr, pi = cmatmul("nk,skc->snc", Mr, Mi, jnp.real(ub), jnp.imag(ub))
+    last_r, last_i = pr[:, -1, :], pi[:, -1, :]  # [S, C] block tails sans carry
+
+    b = jnp.arange(S, dtype=jnp.float32)
+    e = b[:, None] - 1.0 - b[None, :]
+    lr128, th128 = B * logr, B * th
+    Wr, Wi = pole_pow(jnp.maximum(e, 0.0), (e >= 0).astype(jnp.float32), lr128, th128)
+    tr, ti = cmatmul("bj,jc->bc", Wr, Wi, last_r, last_i)
+    powr, powi = pole_pow(b, jnp.float32(1.0), lr128, th128)  # (p^128)^b
+    s0r, s0i = jnp.real(s_init)[None], jnp.imag(s_init)[None]
+    cr = powr[:, None] * s0r - powi[:, None] * s0i + tr
+    ci = powr[:, None] * s0i + powi[:, None] * s0r + ti
+    ar, ai = pole_pow(n + 1.0, jnp.float32(1.0), logr, th)  # p^(n+1)
+    sr = pr + ar[None, :, None] * cr[:, None, :] - ai[None, :, None] * ci[:, None, :]
+    si = pi + ar[None, :, None] * ci[:, None, :] + ai[None, :, None] * cr[:, None, :]
+    return jax.lax.complex(sr, si).reshape(T, C)
+
+
+def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
+                 constant: bool = False):
     """Filter [C, T] samples through a (possibly time-varying) biquad.
 
     Args:
@@ -150,6 +209,10 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False):
         like the reference where coefficients are channel-independent).
       w1, w2: f32[C] carried filter state (transposed DF2: w_{-1}, w_{-2}).
       time_varying: compile the correction pass for automated coefficients.
+      constant: caller guarantees the coefficients are the same at every
+        sample; replaces the associative scans with the blocked-matmul
+        closed form (_first_order_const) — exact, and much cheaper to
+        compile and run. Mutually exclusive with ``time_varying``.
 
     Returns (y f32[C, T], new_w1 f32[C], new_w2 f32[C]).
 
@@ -185,8 +248,14 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False):
     v_init = w_init - p2[0] * w2.astype(jnp.complex64)
 
     def run(inp):
-        v = _first_order_scan(p1, inp, v_init)  # [T, C]
-        w = _first_order_scan(p2, v, w_init)  # [T, C]
+        if constant:
+            # Constant poles: blocked-matmul closed form (exact), far
+            # cheaper to compile and run than the associative scans.
+            v = _first_order_const(p1[0], inp, v_init)
+            w = _first_order_const(p2[0], v, w_init)
+        else:
+            v = _first_order_scan(p1, inp, v_init)  # [T, C]
+            w = _first_order_scan(p2, v, w_init)  # [T, C]
         w_t = jnp.real(w)
         w_tm1 = jnp.concatenate([jnp.broadcast_to(w1, (1, C)), w_t[:-1]], axis=0)
         w_tm2 = jnp.concatenate(
