@@ -28,7 +28,7 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.mixing import adapt_channels, resolve_channel_count
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.param_eval import eval_intrinsic
+from graphaudio_tpu.ops.param_eval import eval_intrinsic_blocked
 
 
 @dataclass(frozen=True)
@@ -543,8 +543,12 @@ class CompiledGraph:
                 si, key = sp["si"], sp["key"]
                 params = {}
                 for name, a_rate, mn, mx, mods in sp["params"]:
-                    times = rc.sample_times if a_rate else rc.block_times
-                    vals = eval_intrinsic(encs[f"{key}/{name}"], times)
+                    vals = eval_intrinsic_blocked(
+                        encs[f"{key}/{name}"],
+                        rc.block_times,
+                        FRAMES_PER_BLOCK if a_rate else 1,
+                        rc.dt,
+                    )
                     if mods:
                         # Hidden mono Explicit modulation input
                         # (AudioParam.cs:66-70); k-rate reads modulation at
@@ -595,10 +599,12 @@ class CompiledGraph:
                 pvals = {}
                 rates = {}
                 for name, a_rate in sp["params"]:
-                    times = rc.sample_times if a_rate else rc.block_times
-                    pvals[name] = jax.vmap(eval_intrinsic, in_axes=(0, None))(
-                        encs[f"{key}/{name}"], times
-                    )  # [V, T or S]
+                    npb = FRAMES_PER_BLOCK if a_rate else 1
+                    pvals[name] = jax.vmap(
+                        lambda e, npb=npb: eval_intrinsic_blocked(
+                            e, rc.block_times, npb, rc.dt
+                        )
+                    )(encs[f"{key}/{name}"])  # [V, T or S]
                     rates[name] = a_rate
                 inputs_stacked = [
                     stacked_inputs(sp, i) for i in range(len(sp["inputs"]))

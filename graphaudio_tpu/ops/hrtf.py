@@ -132,18 +132,30 @@ def interp_hrir(grid, azimuth, elevation):
 
     a0 = jnp.floor(az).astype(jnp.int32) % A
     a1 = (a0 + 1) % A
-    fa = (az - jnp.floor(az))[:, None, None].astype(jnp.float32)
+    fa = (az - jnp.floor(az)).astype(jnp.float32)
     e0 = jnp.clip(jnp.floor(el).astype(jnp.int32), 0, E - 1)
     e1 = jnp.clip(e0 + 1, 0, E - 1)
-    fe = (el - jnp.floor(el))[:, None, None].astype(jnp.float32)
+    fe = (el - jnp.floor(el)).astype(jnp.float32)
 
-    g00 = grid[e0, a0]  # [S, 2, L]
-    g01 = grid[e0, a1]
-    g10 = grid[e1, a0]
-    g11 = grid[e1, a1]
-    low = g00 * (1 - fa) + g01 * fa
-    high = g10 * (1 - fa) + g11 * fa
-    return low * (1 - fe) + high * fe
+    # One-hot bilinear weights -> ONE small matmul against the flattened
+    # grid. The grid is tiny (E*A rows), and a [S, E*A] @ [E*A, 2L] matmul
+    # is far cheaper on TPU than 4 dynamic row gathers per quantum
+    # (per-element gathers bypass the MXU and serialize on this target).
+    iota = jnp.arange(E * A, dtype=jnp.int32)
+
+    def oh(e, a, wgt):  # [S] -> [S, E*A]
+        return (iota[None, :] == (e * A + a)[:, None]) * wgt[:, None]
+
+    W = (
+        oh(e0, a0, (1 - fa) * (1 - fe))
+        + oh(e0, a1, fa * (1 - fe))
+        + oh(e1, a0, (1 - fa) * fe)
+        + oh(e1, a1, fa * fe)
+    )  # [S, E*A]
+    out = jnp.einsum(
+        "sg,gm->sm", W, grid.reshape(E * A, 2 * L), precision=_HIGHEST
+    )
+    return out.reshape(-1, 2, L)
 
 
 def fir_per_block(x, h, history):
@@ -160,9 +172,13 @@ def fir_per_block(x, h, history):
     S, F = x.shape
     L = h.shape[-1]
     flat = jnp.concatenate([history, x.reshape(-1)])  # [L-1 + S*F]
-    # windows[s, i, k] = x[s*F + i - k] = flat[(L-1) + s*F + i - k]
-    i_idx = jnp.arange(S * F)[:, None]
-    k_idx = jnp.arange(L)[None, :]
-    w = flat[(L - 1) + i_idx - k_idx].reshape(S, F, L)
+    # windows[s, i, k] = x[s*F + i - k] = flat[(L-1) + s*F + i - k].
+    # Built from L STATIC shifted slices (k is a compile-time constant per
+    # slice) — a single big dynamic gather here was the hot spot: per-element
+    # gathers are ~10x slower than MXU/vector work on this target.
+    base = L - 1
+    w = jnp.stack(
+        [flat[base - k : base - k + S * F] for k in range(L)], axis=-1
+    ).reshape(S, F, L)
     y = jnp.einsum("sfk,sek->esf", w, h, precision=_HIGHEST)
     return y, flat[-(L - 1):]

@@ -165,6 +165,122 @@ def eval_intrinsic(enc, t):
     return val.astype(jnp.float32)
 
 
+def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt):
+    """``eval_intrinsic`` restructured for TPU: f64 anchors, f32 samples.
+
+    float64 is software-emulated on TPU (~25x slower than f32 vector work),
+    and per-sample curve math in f64 dominated whole-graph render time once
+    voice counts grew. The reference's double clock only matters for
+    ABSOLUTE times; deltas within a 128-frame block are tiny. So: compute
+    each event time RELATIVE to its block start in f64 once per block
+    ([S, capacity] values), round to f32, and do all per-sample selection
+    and curve math ([S, n, capacity] / [S, n]) in f32.
+
+    Accuracy: the relative times are exact to f32 rounding of (time - t0),
+    so curve VALUES match the f64 path to ~1e-7 relative — below the f32
+    arithmetic the reference itself uses for values. The only observable
+    deviation is a potential one-sample snap of an event boundary when the
+    event time is not exactly representable, identical in kind to the
+    reference's own f64->sample-index rounding.
+
+    Args:
+      enc: encoded event dict (see encode_events).
+      block_times: f64[S] absolute start time of each 128-frame block.
+      n_per_block: samples per block (128 for a-rate, 1 for k-rate).
+      sample_dt: f64 scalar seconds per sample.
+
+    Returns f32[S * n_per_block] intrinsic values.
+
+    Parity: AudioParam.ComputeValueAtTime (AudioParam.cs:168-247).
+    """
+    times = enc["times"]  # f64[cap]
+    values = enc["values"]  # f32[cap]
+    tcs = enc["tcs"]  # f64[cap]
+    types = enc["types"]  # i32[cap]
+    boundary = enc["boundary"]  # f32[cap+1]
+    n = enc["n"]
+    base = enc["base"]
+    S = block_times.shape[0]
+    cap = times.shape[0]
+
+    # Per-block f64 -> f32 relative event times (+inf padding -> large
+    # finite so all f32 arithmetic below stays NaN-free).
+    rel = jnp.clip(
+        times[None, :] - block_times[:, None], -3.0e38, 3.0e38
+    ).astype(jnp.float32)  # [S, cap]
+    io = (
+        jnp.arange(n_per_block, dtype=jnp.float64) * sample_dt
+    ).astype(jnp.float32)  # [n]
+
+    # idx = number of events with event.time <= t (reference walks while
+    # `t >= evt.Time`, AudioParam.cs:181): t >= times[k] <=> io >= rel[s,k].
+    ge = io[None, :, None] >= rel[:, None, :]  # [S, n, cap]
+    idx = jnp.minimum(jnp.sum(ge, axis=-1).astype(jnp.int32), n)  # [S, n]
+    prev = jnp.maximum(idx - 1, 0)
+    nxt = jnp.minimum(idx, cap - 1)
+    has_prev = idx > 0
+    has_next = idx < n
+
+    # Event-field lookup via one-hot reductions, NOT jnp.take: per-element
+    # gathers serialize on TPU (~10x slower than vector math) and dominated
+    # render time; capacity is small, so a masked sum over it is cheap.
+    k_iota = jnp.arange(cap, dtype=jnp.int32)
+    oh_prev = (prev[..., None] == k_iota).astype(jnp.float32)  # [S, n, cap]
+    oh_nxt = (nxt[..., None] == k_iota).astype(jnp.float32)
+
+    def by_prev(vec):  # f32[cap] -> f32[S, n]
+        return jnp.sum(oh_prev * vec, axis=-1)
+
+    def by_nxt(vec):
+        return jnp.sum(oh_nxt * vec, axis=-1)
+
+    t0r = jnp.sum(oh_prev * rel[:, None, :], axis=-1)  # [S, n]
+    t1r = jnp.sum(oh_nxt * rel[:, None, :], axis=-1)
+    v0 = by_prev(values)
+    v1 = by_nxt(values)
+    next_is_lin = by_nxt((types == EVT_LINEAR_RAMP).astype(jnp.float32)) > 0.5
+    next_is_exp = (
+        by_nxt((types == EVT_EXPONENTIAL_RAMP).astype(jnp.float32)) > 0.5
+    )
+    prev_is_tgt = by_prev((types == EVT_SET_TARGET).astype(jnp.float32)) > 0.5
+
+    # Linear interpolation (AudioParam.cs:219-225): u clamped to [0,1].
+    denom = t1r - t0r
+    safe_denom = jnp.where(denom == 0.0, 1.0, denom)
+    u = jnp.clip((io[None, :] - t0r) / safe_denom, 0.0, 1.0)
+    lin = v0 + (v1 - v0) * u
+
+    # Exponential interpolation (AudioParam.cs:227-237); falls back to
+    # linear when either endpoint is <= 0.
+    exp_ok = (v0 > 0.0) & (v1 > 0.0)
+    safe_v0 = jnp.where(exp_ok, v0, 1.0)
+    safe_v1 = jnp.where(exp_ok, v1, 1.0)
+    expv = safe_v0 * jnp.power(safe_v1 / safe_v0, u)
+    exp_val = jnp.where(exp_ok, expv, lin)
+
+    # SetTarget decay from the boundary value (AudioParam.cs:239-247).
+    k1_iota = jnp.arange(cap + 1, dtype=jnp.int32)
+    oh_idx = (jnp.minimum(idx, cap)[..., None] == k1_iota).astype(jnp.float32)
+    bl = jnp.sum(oh_idx * boundary, axis=-1)  # f32[S, n]
+    elapsed = io[None, :] - t0r
+    tc = jnp.maximum(by_prev(tcs.astype(jnp.float32)), 0.001)
+    decay = v0 + (bl - v0) * jnp.exp(-jnp.maximum(elapsed, 0.0) / tc)
+    settarget_val = jnp.where(elapsed <= 0.0, bl, decay)
+
+    val = jnp.where(
+        has_next & next_is_lin,
+        lin,
+        jnp.where(
+            has_next & next_is_exp,
+            exp_val,
+            jnp.where(prev_is_tgt, settarget_val, v0),
+        ),
+    )
+    val = jnp.where(has_prev, val, base)
+    val = jnp.where(n > 0, val, base)
+    return val.reshape(-1).astype(jnp.float32)
+
+
 def apply_modulation(intrinsic, modulation, min_value, max_value):
     """Add an audio-rate modulation signal and clamp.
 
