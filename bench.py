@@ -23,7 +23,7 @@ SECONDS = 30.0
 SR = 48000
 VOICES = 64
 TARGET_XRT = 500.0
-SUPERBLOCK = int(os.environ.get("GA_BENCH_SUPERBLOCK", "64"))
+SUPERBLOCK = int(os.environ.get("GA_BENCH_SUPERBLOCK", "32"))
 
 
 def build_graph():

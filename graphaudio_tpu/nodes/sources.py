@@ -246,25 +246,44 @@ class OscillatorNode(ScheduledSourceNode):
         updates["phase"] = 0.0  # parity: OscillatorNode.cs:63
 
     def process(self, state, inputs, params, rc):
-        gate = self._sample_gate(state, rc).reshape(-1)  # [T]
-        f = params["frequency"].per_sample().astype(jnp.float64)
-        inc = jnp.where(gate, _TWO_PI * f / rc.sample_rate, 0.0)
-        phase = jnp.mod(state["phase"] + _excl_cumsum(inc), _TWO_PI)
+        # Phase accumulation uses f64 anchors once per 128-frame block and
+        # f32 within the block: per-sample f64 is software-emulated on TPU
+        # (~25x slower) and f32 in-block phase error (~1e-7 rad) is far
+        # below audibility while the f64 cross-block carry prevents drift.
+        S = rc.superblock
+        gate = self._sample_gate(state, rc)  # [S, 128]
+        f = params["frequency"].per_sample().reshape(S, FRAMES_PER_BLOCK)
+        inc = jnp.where(
+            gate, jnp.float32(_TWO_PI / rc.sample_rate) * f, 0.0
+        ).astype(jnp.float32)
+        # Block phase sums in f64 (one f64 reduction per sample) so the
+        # f32 increment's rounding bias cannot accumulate across blocks:
+        # the f32 error is bounded by one block (~5e-7 rad), not the render.
+        fgated = jnp.where(gate, f, 0.0).astype(jnp.float64)
+        bsum = jnp.sum(fgated, axis=1) * (_TWO_PI / rc.sample_rate)  # [S]
+        anchors = state["phase"] + jnp.concatenate(
+            [jnp.zeros((1,), jnp.float64), jnp.cumsum(bsum)[:-1]]
+        )
+        anch32 = jnp.mod(anchors, _TWO_PI).astype(jnp.float32)  # [S]
+        local = jnp.cumsum(inc, axis=1) - inc  # exclusive in-block cumsum
+        phase = jnp.mod(
+            anch32[:, None] + local, jnp.float32(_TWO_PI)
+        ).reshape(-1)  # f32[T]
 
         t = self._type
         if t == OscillatorType.SINE:
             wave = jnp.sin(phase)
         elif t == OscillatorType.SQUARE:
-            wave = jnp.where(phase < math.pi, 1.0, -1.0)
+            wave = jnp.where(phase < jnp.float32(math.pi), 1.0, -1.0)
         elif t == OscillatorType.SAWTOOTH:
-            wave = 2.0 * (phase / _TWO_PI) - 1.0
+            wave = 2.0 * (phase / jnp.float32(_TWO_PI)) - 1.0
         else:  # TRIANGLE
-            u = phase / _TWO_PI
+            u = phase / jnp.float32(_TWO_PI)
             wave = 4.0 * jnp.abs(u - jnp.floor(u + 0.5)) - 1.0
 
-        out = jnp.where(gate, wave, 0.0).astype(jnp.float32)[None, :]
+        out = jnp.where(gate.reshape(-1), wave, 0.0).astype(jnp.float32)[None, :]
         new_state = dict(state)
-        new_state["phase"] = jnp.mod(state["phase"] + jnp.sum(inc), _TWO_PI)
+        new_state["phase"] = jnp.mod(state["phase"] + jnp.sum(bsum), _TWO_PI)
         return new_state, [out]
 
 
