@@ -134,9 +134,13 @@ class ScheduledSourceNode(AudioNode):
             jnp.clip(jnp.floor((stop - t0) * sr), 0, FRAMES_PER_BLOCK),
             float(FRAMES_PER_BLOCK),
         )
-        i = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64)
-        return active[:, None] & (i[None, :] >= start_f[:, None]) & (
-            i[None, :] < end_f[:, None]
+        # Per-block boundaries are small integers (exact in f32), so the
+        # per-sample comparisons run in f32 — f64 is emulated on TPU.
+        i = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float32)
+        sf = start_f.astype(jnp.float32)
+        ef = end_f.astype(jnp.float32)
+        return active[:, None] & (i[None, :] >= sf[:, None]) & (
+            i[None, :] < ef[:, None]
         )
 
     # -- host-side ended handling ------------------------------------------------
