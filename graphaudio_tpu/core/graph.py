@@ -488,16 +488,21 @@ class CompiledGraph:
 
     # -- the step function ---------------------------------------------------
 
-    def make_step_fn(self):
+    def make_step_fn(self, stage_limit: int = None):
         """Emit the pure step function from the snapshotted plan.
 
         The closure captures only the plan (immutable data) and each stage
         representative's kernel methods — never live connection lists — so
         the returned function stays correct if jit re-traces it after the
         host graph has been edited (the program cache relies on this).
+
+        ``stage_limit`` (profiling aid; see benchmarks/ablate.py) truncates
+        execution to the first N stages and returns the sum of every
+        produced output as the step result, so XLA cannot dead-code-
+        eliminate the work being timed.
         """
         info = self.info
-        plan = self.plan
+        plan = self.plan if stage_limit is None else self.plan[:stage_limit]
         dest_channels = self.input_channels[(self.destination.node_id, 0)]
 
         def step(states, encs, consts, feeds, frame0):
@@ -650,6 +655,11 @@ class CompiledGraph:
                     dest_out = mixed_signal(prods, dst_c)
                     new_states[sp["key"]] = states[sp["key"]]
 
+            if dest_out is None:  # stage_limit probe: keep all work live
+                dest_out = sum(jnp.sum(o) for o in out_table.values())
+                for k in states:  # pass skipped stages' states through
+                    if k not in new_states:
+                        new_states[k] = states[k]
             return new_states, dest_out
 
         return step, dest_channels
