@@ -29,7 +29,12 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode, ChannelCountMode, ChannelInterpretation
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.hrtf import HRIR_LENGTH, build_hrir_grid, fir_per_block, interp_hrir
+from graphaudio_tpu.ops.hrtf import (
+    build_hrir_grid,
+    fir_freq_per_block,
+    hrir_grid_spectra,
+    interp_hrir,
+)
 from graphaudio_tpu.ops.onepole import onepole_lowpass
 
 _F32MAX = 3.4028235e38
@@ -109,8 +114,9 @@ class SpatialPannerNode(AudioNode):
     def init_state(self, info):
         c = self._channels
         return {
-            # FIR input history for the binaural render (mono downmix).
-            "fir_hist": np.zeros((HRIR_LENGTH - 1,), np.float32),
+            # Overlap-add tail of the binaural render (frequency-domain
+            # per-quantum HRIR filter; see ops/hrtf.fir_freq_per_block).
+            "ola": np.zeros((2, FRAMES_PER_BLOCK), np.float32),
             # One-pole crossover states for 3-band transmission, per channel.
             "xlow": np.zeros((c,), np.float32),
             "xhigh": np.zeros((c,), np.float32),
@@ -236,13 +242,16 @@ class SpatialPannerNode(AudioNode):
             low * expand(gl)[None] + mid * expand(gm)[None] + high * expand(gh)[None]
         )
 
-        # Binaural render: mono downmix -> per-quantum interpolated HRIR FIR.
+        # Binaural render: mono downmix -> per-quantum interpolated HRIR,
+        # applied in the FREQUENCY domain (interpolating precomputed grid
+        # spectra == spectrum of the interpolated HRIR, both linear).
         mono = jnp.mean(direct, axis=0).reshape(S, FRAMES_PER_BLOCK)
         azimuth = jnp.arctan2(dx, -dz)  # phonon convention: -z is ahead
         elevation = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
-        grid = jnp.asarray(_hrir_grid(rc.sample_rate))
-        h = interp_hrir(grid, azimuth, elevation)  # [S, 2, L]
-        wet, new_hist = fir_per_block(mono, h, state["fir_hist"])  # [2, S, 128]
+        sr_grid, si_grid = hrir_grid_spectra(_hrir_grid(rc.sample_rate))
+        hr = interp_hrir(jnp.asarray(sr_grid), azimuth, elevation)  # [S,2,129]
+        hi = interp_hrir(jnp.asarray(si_grid), azimuth, elevation)
+        wet, new_ola = fir_freq_per_block(mono, hr, hi, state["ola"])
         wet = wet.reshape(2, rc.frames)
 
         # SpatialBlend crossfade (:250-260): 1 = fully spatialized.
@@ -252,5 +261,5 @@ class SpatialPannerNode(AudioNode):
         b = expand(blend)[None]
         out = wet * b + dry * (1.0 - b)
 
-        new_state = {"fir_hist": new_hist, "xlow": new_xlow, "xhigh": new_xhigh}
+        new_state = {"ola": new_ola, "xlow": new_xlow, "xhigh": new_xhigh}
         return new_state, [out]

@@ -158,6 +158,64 @@ def interp_hrir(grid, azimuth, elevation):
     return out.reshape(-1, 2, L)
 
 
+_spectra_cache = {}
+
+
+def hrir_grid_spectra(grid):
+    """256-pt spectra of an HRIR grid: (Sr, Si) f32[E, A, 2, 129].
+
+    Since bilinear interpolation is linear and the DFT is linear, the
+    spectrum of the interpolated HRIR equals the interpolation of these
+    per-node spectra — so frequency-domain rendering is EXACT vs the
+    time-domain FIR (to DFT roundoff)."""
+    key = id(grid)
+    got = _spectra_cache.get(key)
+    if got is None:
+        g = np.asarray(grid, dtype=np.float64)  # [E, A, 2, L]
+        padded = np.zeros(g.shape[:-1] + (2 * FRAMES_PER_BLOCK,))
+        padded[..., : g.shape[-1]] = g
+        spec = np.fft.rfft(padded, axis=-1)  # [E, A, 2, 129]
+        got = (
+            spec.real.astype(np.float32),
+            spec.imag.astype(np.float32),
+        )
+        _spectra_cache[key] = got
+    return got
+
+
+def fir_freq_per_block(x, hr, hi, overlap):
+    """Per-quantum stereo HRIR filter in the frequency domain.
+
+    x: f32[S, 128] mono quanta; hr, hi: f32[S, 2, 129] per-quantum kernel
+    spectra; overlap: f32[2, 128] carried tail of the previous quantum.
+    Returns (y f32[2, S, 128], overlap' f32[2, 128]).
+
+    Equivalent to the im2col FIR (HRIR length <= 128 so 256-pt overlap-add
+    is exact) but with NO [S, 128, L] window materialization — the im2col
+    buffer's HBM traffic dominated the spatializer once voices were
+    batched. Everything here is DFT matmuls (MXU) + tiny elementwise MACs.
+    """
+    from graphaudio_tpu.ops.fft import RealDft
+
+    dft = RealDft(FRAMES_PER_BLOCK, 2 * FRAMES_PER_BLOCK)
+    xr, xi = dft.forward(x)  # [S, 129]
+    # Complex multiply per ear: Y = X * H.
+    yr = xr[:, None, :] * hr - xi[:, None, :] * hi  # [S, 2, 129]
+    yi = xr[:, None, :] * hi + xi[:, None, :] * hr
+    S = x.shape[0]
+    y_full = dft.inverse(
+        yr.reshape(S * 2, NUM_SPEC_BINS), yi.reshape(S * 2, NUM_SPEC_BINS)
+    ).reshape(S, 2, 2 * FRAMES_PER_BLOCK)
+    first = y_full[..., :FRAMES_PER_BLOCK]  # [S, 2, 128]
+    second = y_full[..., FRAMES_PER_BLOCK:]
+    prev = jnp.concatenate([overlap[None], second[:-1]], axis=0)
+    y = first + prev  # [S, 2, 128]
+    return jnp.moveaxis(y, 1, 0), second[-1]
+
+
+NUM_SPEC_BINS = FRAMES_PER_BLOCK + 1  # 129 for the 256-pt transform
+
+
 def fir_per_block(x, h, history):
     """Apply a per-quantum FIR to a mono signal.
 
