@@ -1,12 +1,28 @@
 """Audio IO: decoding (native codec) and streaming source nodes.
 
-Parity: GraphAudio.IO — libsndfile-backed AudioDecoder
+Parity: GraphAudio.IO — libsndfile-backed AudioDecoder (ours decodes
+WAV/AIFF natively plus MP3/Ogg-Vorbis through the system's
+libmpg123/libvorbisfile, dlopen'd at runtime; see codec_capabilities())
 (LibsndfileDecoder.cs) and the double-buffered decoder-thread streaming node
 (AudioDecoderStreamNode.cs). The native backend here is our own C++ codec
 (native/gacodec.cpp, WAV/AIFF) with a pure-Python WAV fallback.
 """
 
-from graphaudio_tpu.io.decode import AudioDecoder, write_wav
+from graphaudio_tpu.io.decode import (
+    AudioDecoder,
+    codec_capabilities,
+    write_mp3,
+    write_ogg,
+    write_wav,
+)
 from graphaudio_tpu.io.stream import AudioDecoderStreamNode, StreamState
 
-__all__ = ["AudioDecoder", "write_wav", "AudioDecoderStreamNode", "StreamState"]
+__all__ = [
+    "AudioDecoder",
+    "codec_capabilities",
+    "write_mp3",
+    "write_ogg",
+    "write_wav",
+    "AudioDecoderStreamNode",
+    "StreamState",
+]

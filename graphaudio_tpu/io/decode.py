@@ -230,3 +230,65 @@ def write_wav(path, data: np.ndarray, sample_rate: int, float32: bool = False) -
         w.setframerate(int(sample_rate))
         pcm = np.clip(inter * 32767.0, -32768, 32767).astype(np.int16)
         w.writeframes(pcm.tobytes())
+
+
+def codec_capabilities() -> dict:
+    """Which compressed codecs resolved on this machine.
+
+    WAV/AIFF always decode (native parser + pure-Python fallback); MP3 and
+    Ogg/Vorbis ride the system's libmpg123/libvorbisfile via the native
+    layer (parity: the reference fails open when its shipped libsndfile is
+    missing a format)."""
+    lib = native.load()
+    if lib is None:
+        return {"wav": True, "aiff": False, "mp3": False, "ogg": False,
+                "mp3_encode": False, "ogg_encode": False}
+    return {
+        "wav": True,
+        "aiff": True,
+        "mp3": bool(lib.gac_has_mp3()),
+        "ogg": bool(lib.gac_has_vorbis()),
+        "mp3_encode": bool(lib.gac_has_mp3_encode()),
+        "ogg_encode": bool(lib.gac_has_vorbis_encode()),
+    }
+
+
+def _interleave(data: np.ndarray):
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None]
+    return data, np.ascontiguousarray(data.T).reshape(-1)
+
+
+def write_mp3(path, data: np.ndarray, sample_rate: int, bitrate_kbps: int = 192) -> None:
+    """Encode planar f32[channels, n] audio as MP3 (system libmp3lame).
+
+    Raises RuntimeError when the encoder is unavailable."""
+    data, inter = _interleave(data)
+    lib = native.load()
+    if lib is None or not lib.gac_has_mp3_encode():
+        raise RuntimeError("MP3 encoding unavailable (libmp3lame not found)")
+    r = lib.gac_write_mp3(
+        os.fspath(path).encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[1], data.shape[0], int(sample_rate), int(bitrate_kbps),
+    )
+    if r != 0:
+        raise RuntimeError("MP3 encoding failed")
+
+
+def write_ogg(path, data: np.ndarray, sample_rate: int, quality: float = 0.5) -> None:
+    """Encode planar f32[channels, n] audio as Ogg/Vorbis (system libvorbisenc).
+
+    Raises RuntimeError when the encoder is unavailable."""
+    data, inter = _interleave(data)
+    lib = native.load()
+    if lib is None or not lib.gac_has_vorbis_encode():
+        raise RuntimeError("Ogg encoding unavailable (libvorbisenc not found)")
+    r = lib.gac_write_ogg(
+        os.fspath(path).encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[1], data.shape[0], int(sample_rate), float(quality),
+    )
+    if r != 0:
+        raise RuntimeError("Ogg encoding failed")

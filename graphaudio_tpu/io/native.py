@@ -38,6 +38,21 @@ def _configure(lib) -> None:
             c.c_int,
             [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
         ),
+        # Compressed codecs ride the system's mpg123/vorbis/lame libraries
+        # (dlopen'd by the native layer); the gac_has_* probes report which
+        # resolved on this machine.
+        "gac_has_mp3": (c.c_int, []),
+        "gac_has_vorbis": (c.c_int, []),
+        "gac_has_mp3_encode": (c.c_int, []),
+        "gac_has_vorbis_encode": (c.c_int, []),
+        "gac_write_mp3": (
+            c.c_int,
+            [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
+        ),
+        "gac_write_ogg": (
+            c.c_int,
+            [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_float],
+        ),
     }
     for name, (restype, argtypes) in sigs.items():
         f = getattr(lib, name)

@@ -6,8 +6,14 @@
 // minimal C ABI consumed via ctypes.
 //
 // Formats: RIFF/WAVE (PCM u8/s16/s24/s32, float32/float64, WAVE_FORMAT_EXTENSIBLE)
-// and AIFF/AIFC (PCM s8/s16/s24/s32). Decoding converts to interleaved
-// float32 frames, with sample-accurate seeking.
+// and AIFF/AIFC (PCM s8/s16/s24/s32) parsed natively; MP3 (via the system's
+// libmpg123) and Ogg/Vorbis (via libvorbisfile), both loaded lazily with
+// dlopen so there are NO link-time codec dependencies — opening a compressed
+// file fails cleanly where the system library is absent (parity: the
+// reference ships libsndfile per-RID and fails open when missing).
+// Decoding converts to interleaved float32 frames with sample-accurate
+// seeking. Encoders: WAV (native), MP3 (libmp3lame), Ogg/Vorbis
+// (libvorbisenc), the latter two also dlopen'd.
 //
 // Build: g++ -O2 -shared -fPIC -o libgacodec.so gacodec.cpp
 
@@ -17,6 +23,9 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+
+#include <dlfcn.h>
+#include <sys/types.h>
 
 namespace {
 
@@ -34,6 +43,13 @@ struct Decoder {
     int64_t data_start = 0;  // byte offset of sample data
     int64_t total_frames = 0;
     int64_t frame_pos = 0;   // current frame position
+
+    // compressed backends (0 = raw pcm parser, 1 = mpg123, 2 = vorbisfile)
+    int backend = 0;
+    void* mh = nullptr;           // mpg123 handle
+    void* vf = nullptr;           // OggVorbis_File storage
+    std::vector<float> carry;     // interleaved overflow from block decodes
+    size_t carry_pos = 0;
 
     size_t bytes_per_frame() const { return size_t(channels) * (bits / 8); }
 };
@@ -194,6 +210,430 @@ inline float cvt_sample(const uint8_t* p, int bits, int format) {
     return 0.0f;
 }
 
+// ---- shared raw-stream helpers for the dlopen'd backends --------------------
+
+size_t dread_some(Decoder* d, void* out, size_t n) {
+    if (d->file) return fread(out, 1, n, d->file);
+    size_t avail = d->mem_size - d->mem_pos;
+    if (n > avail) n = avail;
+    memcpy(out, d->mem + d->mem_pos, n);
+    d->mem_pos += n;
+    return n;
+}
+
+int64_t dsize(Decoder* d) {
+    if (d->file) {
+        int64_t cur = ftello(d->file);
+        fseeko(d->file, 0, SEEK_END);
+        int64_t sz = ftello(d->file);
+        fseeko(d->file, cur, SEEK_SET);
+        return sz;
+    }
+    return int64_t(d->mem_size);
+}
+
+// ---- MP3 via libmpg123 (dlopen) ---------------------------------------------
+
+struct Mpg123Api {
+    void* lib = nullptr;
+    int (*init_)() = nullptr;
+    void* (*new_)(const char*, int*) = nullptr;
+    int (*param)(void*, int, long, double) = nullptr;
+    int (*replace_reader_handle)(void*, ssize_t (*)(void*, void*, size_t),
+                                 off_t (*)(void*, off_t, int),
+                                 void (*)(void*)) = nullptr;
+    int (*open_handle)(void*, void*) = nullptr;
+    int (*scan)(void*) = nullptr;
+    off_t (*length)(void*) = nullptr;
+    int (*getformat)(void*, long*, int*, int*) = nullptr;
+    int (*format_none)(void*) = nullptr;
+    int (*format)(void*, long, int, int) = nullptr;
+    int (*read)(void*, unsigned char*, size_t, size_t*) = nullptr;
+    off_t (*seek)(void*, off_t, int) = nullptr;
+    int (*close)(void*) = nullptr;
+    void (*delete_)(void*) = nullptr;
+    bool ok = false;
+};
+
+// mpg123.h constants (stable public ABI)
+enum { MPG123_FLAGS_PARAM = 1 };
+enum { MPG123_QUIET = 0x20, MPG123_GAPLESS = 0x40, MPG123_FORCE_FLOAT = 0x400 };
+enum { MPG123_ENC_FLOAT_32 = 0x200 };
+enum { MPG123_OK = 0, MPG123_DONE = -12 };
+
+Mpg123Api& mpg123_api() {
+    static Mpg123Api a;
+    static bool tried = false;
+    if (tried) return a;
+    tried = true;
+    a.lib = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!a.lib) a.lib = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    if (!a.lib) return a;
+#define SYM(field, name) \
+    a.field = reinterpret_cast<decltype(a.field)>(dlsym(a.lib, name)); \
+    if (!a.field) return a;
+    SYM(init_, "mpg123_init")
+    SYM(new_, "mpg123_new")
+    SYM(param, "mpg123_param")
+    SYM(replace_reader_handle, "mpg123_replace_reader_handle")
+    SYM(open_handle, "mpg123_open_handle")
+    SYM(scan, "mpg123_scan")
+    SYM(length, "mpg123_length")
+    SYM(getformat, "mpg123_getformat")
+    SYM(format_none, "mpg123_format_none")
+    SYM(format, "mpg123_format")
+    SYM(read, "mpg123_read")
+    SYM(seek, "mpg123_seek")
+    SYM(close, "mpg123_close")
+    SYM(delete_, "mpg123_delete")
+#undef SYM
+    a.init_();
+    a.ok = true;
+    return a;
+}
+
+ssize_t mp_read_cb(void* h, void* buf, size_t n) {
+    return ssize_t(dread_some(static_cast<Decoder*>(h), buf, n));
+}
+
+off_t mp_seek_cb(void* h, off_t off, int whence) {
+    Decoder* d = static_cast<Decoder*>(h);
+    int64_t base = (whence == SEEK_SET) ? 0
+                 : (whence == SEEK_CUR) ? dtell(d)
+                                        : dsize(d);
+    int64_t target = base + int64_t(off);
+    if (!dseek(d, target)) return -1;
+    return off_t(target);
+}
+
+bool open_mp3(Decoder* d) {
+    Mpg123Api& a = mpg123_api();
+    if (!a.ok) return false;
+    int err = 0;
+    void* mh = a.new_(nullptr, &err);
+    if (!mh) return false;
+    a.param(mh, MPG123_FLAGS_PARAM,
+            MPG123_QUIET | MPG123_GAPLESS | MPG123_FORCE_FLOAT, 0.0);
+    a.replace_reader_handle(mh, mp_read_cb, mp_seek_cb, nullptr);
+    dseek(d, 0);
+    if (a.open_handle(mh, d) != MPG123_OK) {
+        a.delete_(mh);
+        return false;
+    }
+    long rate = 0;
+    int channels = 0, enc = 0;
+    if (a.getformat(mh, &rate, &channels, &enc) != MPG123_OK || rate <= 0 ||
+        channels <= 0) {
+        a.close(mh);
+        a.delete_(mh);
+        return false;
+    }
+    a.format_none(mh);
+    a.format(mh, rate, channels, MPG123_ENC_FLOAT_32);
+    a.scan(mh);
+    off_t frames = a.length(mh);
+    d->backend = 1;
+    d->mh = mh;
+    d->channels = channels;
+    d->sample_rate = int(rate);
+    d->bits = 32;
+    d->total_frames = (frames > 0) ? int64_t(frames) : 0;
+    d->frame_pos = 0;
+    return true;
+}
+
+int64_t read_mp3(Decoder* d, float* out, int64_t frames) {
+    Mpg123Api& a = mpg123_api();
+    size_t want = size_t(frames) * d->channels * sizeof(float);
+    size_t got = 0;
+    while (got < want) {
+        size_t done = 0;
+        int r = a.read(d->mh, reinterpret_cast<unsigned char*>(out) + got,
+                       want - got, &done);
+        got += done;
+        if (r == MPG123_DONE || done == 0) break;
+        if (r != MPG123_OK && done == 0) break;
+    }
+    int64_t n = int64_t(got / (size_t(d->channels) * sizeof(float)));
+    d->frame_pos += n;
+    return n;
+}
+
+// ---- Ogg/Vorbis via libvorbisfile (dlopen) ----------------------------------
+
+struct OvCallbacks {
+    size_t (*read)(void*, size_t, size_t, void*);
+    int (*seek)(void*, int64_t, int);
+    int (*close)(void*);
+    long (*tell)(void*);
+};
+
+struct VorbisInfoHead {  // leading fields of vorbis_info (stable ABI)
+    int version;
+    int channels;
+    long rate;
+};
+
+struct VorbisApi {
+    void* lib = nullptr;
+    int (*open_callbacks)(void*, void*, const char*, long, OvCallbacks) = nullptr;
+    void* (*info)(void*, int) = nullptr;
+    int64_t (*pcm_total)(void*, int) = nullptr;
+    long (*read_float)(void*, float***, int, int*) = nullptr;
+    int (*pcm_seek)(void*, int64_t) = nullptr;
+    int (*clear)(void*) = nullptr;
+    bool ok = false;
+};
+
+// sizeof(OggVorbis_File) is ~944 on 64-bit; allocate with a wide margin since
+// we never include the header.
+constexpr size_t kOvFileSize = 8192;
+
+VorbisApi& vorbis_api() {
+    static VorbisApi a;
+    static bool tried = false;
+    if (tried) return a;
+    tried = true;
+    a.lib = dlopen("libvorbisfile.so.3", RTLD_NOW | RTLD_GLOBAL);
+    if (!a.lib) a.lib = dlopen("libvorbisfile.so", RTLD_NOW | RTLD_GLOBAL);
+    if (!a.lib) return a;
+#define SYM(field, name) \
+    a.field = reinterpret_cast<decltype(a.field)>(dlsym(a.lib, name)); \
+    if (!a.field) return a;
+    SYM(open_callbacks, "ov_open_callbacks")
+    SYM(info, "ov_info")
+    SYM(pcm_total, "ov_pcm_total")
+    SYM(read_float, "ov_read_float")
+    SYM(pcm_seek, "ov_pcm_seek")
+    SYM(clear, "ov_clear")
+#undef SYM
+    a.ok = true;
+    return a;
+}
+
+size_t ov_read_cb(void* ptr, size_t size, size_t nmemb, void* h) {
+    if (size == 0) return 0;
+    size_t got = dread_some(static_cast<Decoder*>(h), ptr, size * nmemb);
+    return got / size;
+}
+
+int ov_seek_cb(void* h, int64_t off, int whence) {
+    Decoder* d = static_cast<Decoder*>(h);
+    int64_t base = (whence == SEEK_SET) ? 0
+                 : (whence == SEEK_CUR) ? dtell(d)
+                                        : dsize(d);
+    return dseek(d, base + off) ? 0 : -1;
+}
+
+long ov_tell_cb(void* h) { return long(dtell(static_cast<Decoder*>(h))); }
+
+bool open_vorbis(Decoder* d) {
+    VorbisApi& a = vorbis_api();
+    if (!a.ok) return false;
+    dseek(d, 0);
+    void* vf = calloc(1, kOvFileSize);
+    OvCallbacks cb{ov_read_cb, ov_seek_cb, nullptr, ov_tell_cb};
+    if (a.open_callbacks(d, vf, nullptr, 0, cb) != 0) {
+        free(vf);
+        return false;
+    }
+    const VorbisInfoHead* vi =
+        static_cast<const VorbisInfoHead*>(a.info(vf, -1));
+    if (!vi || vi->channels <= 0 || vi->rate <= 0) {
+        a.clear(vf);
+        free(vf);
+        return false;
+    }
+    d->backend = 2;
+    d->vf = vf;
+    d->channels = vi->channels;
+    d->sample_rate = int(vi->rate);
+    d->bits = 32;
+    int64_t total = a.pcm_total(vf, -1);
+    d->total_frames = (total > 0) ? total : 0;
+    d->frame_pos = 0;
+    return true;
+}
+
+int64_t read_vorbis(Decoder* d, float* out, int64_t frames) {
+    VorbisApi& a = vorbis_api();
+    int ch = d->channels;
+    int64_t filled = 0;
+    // Drain carried-over samples from the previous oversized chunk first.
+    while (filled < frames && d->carry_pos < d->carry.size()) {
+        for (int c = 0; c < ch; c++) out[filled * ch + c] = d->carry[d->carry_pos + c];
+        d->carry_pos += ch;
+        filled++;
+    }
+    if (d->carry_pos >= d->carry.size()) {
+        d->carry.clear();
+        d->carry_pos = 0;
+    }
+    while (filled < frames) {
+        float** pcm = nullptr;
+        int bitstream = 0;
+        long got = a.read_float(d->vf, &pcm, int(frames - filled), &bitstream);
+        if (got <= 0) break;
+        for (long i = 0; i < got && filled < frames; i++, filled++) {
+            for (int c = 0; c < ch; c++) out[filled * ch + c] = pcm[c][i];
+        }
+    }
+    d->frame_pos += filled;
+    return filled;
+}
+
+// ---- encoders: MP3 (libmp3lame) and Ogg/Vorbis (libvorbisenc) ---------------
+
+struct LameApi {
+    void* lib = nullptr;
+    void* (*init_)() = nullptr;
+    int (*set_in_samplerate)(void*, int) = nullptr;
+    int (*set_num_channels)(void*, int) = nullptr;
+    int (*set_brate)(void*, int) = nullptr;
+    int (*init_params)(void*) = nullptr;
+    int (*encode_buffer_ieee_float)(void*, const float*, const float*, int,
+                                    unsigned char*, int) = nullptr;
+    int (*encode_flush)(void*, unsigned char*, int) = nullptr;
+    size_t (*get_lametag_frame)(void*, unsigned char*, size_t) = nullptr;
+    int (*close)(void*) = nullptr;
+    bool ok = false;
+};
+
+LameApi& lame_api() {
+    static LameApi a;
+    static bool tried = false;
+    if (tried) return a;
+    tried = true;
+    a.lib = dlopen("libmp3lame.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!a.lib) a.lib = dlopen("libmp3lame.so", RTLD_NOW | RTLD_LOCAL);
+    if (!a.lib) return a;
+#define SYM(field, name) \
+    a.field = reinterpret_cast<decltype(a.field)>(dlsym(a.lib, name)); \
+    if (!a.field) return a;
+    SYM(init_, "lame_init")
+    SYM(set_in_samplerate, "lame_set_in_samplerate")
+    SYM(set_num_channels, "lame_set_num_channels")
+    SYM(set_brate, "lame_set_brate")
+    SYM(init_params, "lame_init_params")
+    SYM(encode_buffer_ieee_float, "lame_encode_buffer_ieee_float")
+    SYM(encode_flush, "lame_encode_flush")
+    SYM(get_lametag_frame, "lame_get_lametag_frame")
+    SYM(close, "lame_close")
+#undef SYM
+    a.ok = true;
+    return a;
+}
+
+// vorbis encode: caller-allocated opaque structs, sized with wide margins.
+constexpr size_t kViSize = 1024;   // vorbis_info
+constexpr size_t kVcSize = 1024;   // vorbis_comment
+constexpr size_t kVdSize = 8192;   // vorbis_dsp_state
+constexpr size_t kVbSize = 8192;   // vorbis_block
+constexpr size_t kOsSize = 4096;   // ogg_stream_state
+
+struct OggPacket {  // stable libogg ABI
+    unsigned char* packet;
+    long bytes;
+    long b_o_s;
+    long e_o_s;
+    int64_t granulepos;
+    int64_t packetno;
+};
+
+struct OggPage {
+    unsigned char* header;
+    long header_len;
+    unsigned char* body;
+    long body_len;
+};
+
+struct VorbisEncApi {
+    void* enc = nullptr;
+    void* vorbis = nullptr;
+    void* ogg = nullptr;
+    void (*info_init)(void*) = nullptr;
+    int (*encode_init_vbr)(void*, long, long, float) = nullptr;
+    void (*comment_init)(void*) = nullptr;
+    int (*analysis_init)(void*, void*) = nullptr;
+    int (*block_init)(void*, void*) = nullptr;
+    int (*analysis_headerout)(void*, void*, OggPacket*, OggPacket*, OggPacket*) = nullptr;
+    float** (*analysis_buffer)(void*, int) = nullptr;
+    int (*analysis_wrote)(void*, int) = nullptr;
+    int (*analysis_blockout)(void*, void*) = nullptr;
+    int (*analysis)(void*, OggPacket*) = nullptr;
+    int (*bitrate_addblock)(void*) = nullptr;
+    int (*bitrate_flushpacket)(void*, OggPacket*) = nullptr;
+    int (*block_clear)(void*) = nullptr;
+    void (*dsp_clear)(void*) = nullptr;
+    void (*comment_clear)(void*) = nullptr;
+    void (*info_clear)(void*) = nullptr;
+    int (*stream_init)(void*, int) = nullptr;
+    int (*stream_packetin)(void*, OggPacket*) = nullptr;
+    int (*stream_pageout)(void*, OggPage*) = nullptr;
+    int (*stream_flush)(void*, OggPage*) = nullptr;
+    int (*stream_clear)(void*) = nullptr;
+    bool ok = false;
+};
+
+VorbisEncApi& vorbisenc_api() {
+    static VorbisEncApi a;
+    static bool tried = false;
+    if (tried) return a;
+    tried = true;
+    a.ogg = dlopen("libogg.so.0", RTLD_NOW | RTLD_GLOBAL);
+    a.vorbis = dlopen("libvorbis.so.0", RTLD_NOW | RTLD_GLOBAL);
+    a.enc = dlopen("libvorbisenc.so.2", RTLD_NOW | RTLD_GLOBAL);
+    if (!a.ogg || !a.vorbis || !a.enc) return a;
+#define VSYM(field, lib, name) \
+    a.field = reinterpret_cast<decltype(a.field)>(dlsym(a.lib, name)); \
+    if (!a.field) return a;
+    VSYM(info_init, vorbis, "vorbis_info_init")
+    VSYM(encode_init_vbr, enc, "vorbis_encode_init_vbr")
+    VSYM(comment_init, vorbis, "vorbis_comment_init")
+    VSYM(analysis_init, vorbis, "vorbis_analysis_init")
+    VSYM(block_init, vorbis, "vorbis_block_init")
+    VSYM(analysis_headerout, vorbis, "vorbis_analysis_headerout")
+    VSYM(analysis_buffer, vorbis, "vorbis_analysis_buffer")
+    VSYM(analysis_wrote, vorbis, "vorbis_analysis_wrote")
+    VSYM(analysis_blockout, vorbis, "vorbis_analysis_blockout")
+    VSYM(analysis, vorbis, "vorbis_analysis")
+    VSYM(bitrate_addblock, vorbis, "vorbis_bitrate_addblock")
+    VSYM(bitrate_flushpacket, vorbis, "vorbis_bitrate_flushpacket")
+    VSYM(block_clear, vorbis, "vorbis_block_clear")
+    VSYM(dsp_clear, vorbis, "vorbis_dsp_clear")
+    VSYM(comment_clear, vorbis, "vorbis_comment_clear")
+    VSYM(info_clear, vorbis, "vorbis_info_clear")
+    VSYM(stream_init, ogg, "ogg_stream_init")
+    VSYM(stream_packetin, ogg, "ogg_stream_packetin")
+    VSYM(stream_pageout, ogg, "ogg_stream_pageout")
+    VSYM(stream_flush, ogg, "ogg_stream_flush")
+    VSYM(stream_clear, ogg, "ogg_stream_clear")
+#undef VSYM
+    a.ok = true;
+    return a;
+}
+
+// ---- format sniffing + unified open -----------------------------------------
+
+bool open_any(Decoder* d) {
+    uint8_t magic[4] = {0, 0, 0, 0};
+    dseek(d, 0);
+    dread_some(d, magic, 4);
+    if (memcmp(magic, "RIFF", 4) == 0 || memcmp(magic, "FORM", 4) == 0) {
+        if (!parse(d)) return false;
+        dseek(d, d->data_start);
+        return true;
+    }
+    if (memcmp(magic, "OggS", 4) == 0) return open_vorbis(d);
+    // MP3: ID3 tag or an MPEG audio sync word right at the start. (mpg123
+    // itself would resync into arbitrary junk, so gate on the magic.)
+    if (memcmp(magic, "ID3", 3) == 0 ||
+        (magic[0] == 0xFF && (magic[1] & 0xE0) == 0xE0)) {
+        return open_mp3(d);
+    }
+    return false;
+}
+
 }  // namespace
 
 extern "C" {
@@ -201,26 +641,26 @@ extern "C" {
 void* gac_open_file(const char* path) {
     Decoder* d = new Decoder();
     d->file = fopen(path, "rb");
-    if (!d->file || !parse(d)) {
-        if (d->file) fclose(d->file);
-        delete d;
-        return nullptr;
-    }
-    dseek(d, d->data_start);
-    return d;
+    if (d->file && open_any(d)) return d;
+    if (d->file) fclose(d->file);
+    delete d;
+    return nullptr;
 }
 
 void* gac_open_memory(const uint8_t* data, size_t size) {
     Decoder* d = new Decoder();
     d->mem = data;
     d->mem_size = size;
-    if (!parse(d)) {
-        delete d;
-        return nullptr;
-    }
-    dseek(d, d->data_start);
-    return d;
+    if (open_any(d)) return d;
+    delete d;
+    return nullptr;
 }
+
+// Capability probes (which system codec libraries resolved).
+int gac_has_mp3() { return mpg123_api().ok ? 1 : 0; }
+int gac_has_vorbis() { return vorbis_api().ok ? 1 : 0; }
+int gac_has_mp3_encode() { return lame_api().ok ? 1 : 0; }
+int gac_has_vorbis_encode() { return vorbisenc_api().ok ? 1 : 0; }
 
 int gac_channels(void* h) { return ((Decoder*)h)->channels; }
 int gac_sample_rate(void* h) { return ((Decoder*)h)->sample_rate; }
@@ -229,6 +669,8 @@ int64_t gac_frames(void* h) { return ((Decoder*)h)->total_frames; }
 // Read up to `frames` interleaved float32 frames; returns frames read.
 int64_t gac_read_f32(void* h, float* out, int64_t frames) {
     Decoder* d = (Decoder*)h;
+    if (d->backend == 1) return read_mp3(d, out, frames);
+    if (d->backend == 2) return read_vorbis(d, out, frames);
     int64_t avail = d->total_frames - d->frame_pos;
     if (frames > avail) frames = avail;
     if (frames <= 0) return 0;
@@ -253,6 +695,18 @@ int gac_seek(void* h, int64_t frame) {
     Decoder* d = (Decoder*)h;
     if (frame < 0) frame = 0;
     if (frame > d->total_frames) frame = d->total_frames;
+    if (d->backend == 1) {
+        if (mpg123_api().seek(d->mh, off_t(frame), SEEK_SET) < 0) return -1;
+        d->frame_pos = frame;
+        return 0;
+    }
+    if (d->backend == 2) {
+        d->carry.clear();
+        d->carry_pos = 0;
+        if (vorbis_api().pcm_seek(d->vf, frame) != 0) return -1;
+        d->frame_pos = frame;
+        return 0;
+    }
     if (!dseek(d, d->data_start + frame * int64_t(d->bytes_per_frame()))) return -1;
     d->frame_pos = frame;
     return 0;
@@ -262,6 +716,14 @@ int64_t gac_tell(void* h) { return ((Decoder*)h)->frame_pos; }
 
 void gac_close(void* h) {
     Decoder* d = (Decoder*)h;
+    if (d->backend == 1 && d->mh) {
+        mpg123_api().close(d->mh);
+        mpg123_api().delete_(d->mh);
+    }
+    if (d->backend == 2 && d->vf) {
+        vorbis_api().clear(d->vf);
+        free(d->vf);
+    }
     if (d->file) fclose(d->file);
     delete d;
 }
@@ -312,6 +774,132 @@ int gac_write_wav(const char* path, const float* data, int64_t frames,
         fwrite(pcm.data(), 2, size_t(n), f);
     }
     fclose(f);
+    return 0;
+}
+
+// Encode interleaved float32 frames as MP3 (CBR, bitrate_kbps). Returns 0 on
+// success, -1 if libmp3lame is unavailable or encoding fails.
+int gac_write_mp3(const char* path, const float* data, int64_t frames,
+                  int channels, int sample_rate, int bitrate_kbps) {
+    LameApi& a = lame_api();
+    if (!a.ok || channels < 1 || channels > 2) return -1;
+    void* gf = a.init_();
+    if (!gf) return -1;
+    a.set_in_samplerate(gf, sample_rate);
+    a.set_num_channels(gf, channels);
+    a.set_brate(gf, bitrate_kbps > 0 ? bitrate_kbps : 192);
+    if (a.init_params(gf) < 0) {
+        a.close(gf);
+        return -1;
+    }
+    FILE* f = fopen(path, "wb");
+    if (!f) {
+        a.close(gf);
+        return -1;
+    }
+    std::vector<float> left(static_cast<size_t>(frames));
+    std::vector<float> right(static_cast<size_t>(frames));
+    for (int64_t i = 0; i < frames; i++) {
+        left[size_t(i)] = data[i * channels];
+        right[size_t(i)] = data[i * channels + (channels > 1 ? 1 : 0)];
+    }
+    std::vector<unsigned char> out(size_t(frames) * 5 / 4 + 7200);
+    int n = a.encode_buffer_ieee_float(gf, left.data(), right.data(),
+                                       int(frames), out.data(),
+                                       int(out.size()));
+    if (n < 0) {
+        fclose(f);
+        a.close(gf);
+        return -1;
+    }
+    fwrite(out.data(), 1, size_t(n), f);
+    n = a.encode_flush(gf, out.data(), int(out.size()));
+    if (n > 0) fwrite(out.data(), 1, size_t(n), f);
+    // LAME/Xing gapless tag: rewrite the reserved first frame so decoders
+    // (mpg123 included) trim the codec delay and report exact length.
+    size_t tag = a.get_lametag_frame(gf, out.data(), out.size());
+    if (tag > 0 && tag <= out.size()) {
+        fseeko(f, 0, SEEK_SET);
+        fwrite(out.data(), 1, tag, f);
+    }
+    fclose(f);
+    a.close(gf);
+    return 0;
+}
+
+// Encode interleaved float32 frames as Ogg/Vorbis (VBR quality in [-0.1, 1]).
+// Returns 0 on success, -1 if the system vorbis encoder is unavailable.
+int gac_write_ogg(const char* path, const float* data, int64_t frames,
+                  int channels, int sample_rate, float quality) {
+    VorbisEncApi& a = vorbisenc_api();
+    if (!a.ok || channels < 1) return -1;
+    std::vector<uint8_t> vi(kViSize), vc(kVcSize), vd(kVdSize), vb(kVbSize),
+        os(kOsSize);
+    a.info_init(vi.data());
+    if (a.encode_init_vbr(vi.data(), channels, sample_rate, quality) != 0) {
+        a.info_clear(vi.data());
+        return -1;
+    }
+    a.comment_init(vc.data());
+    a.analysis_init(vd.data(), vi.data());
+    a.block_init(vd.data(), vb.data());
+    a.stream_init(os.data(), 0x67616f);  // arbitrary stream serial
+
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+
+    OggPage page;
+    auto write_pages = [&](bool flush) {
+        while ((flush ? a.stream_flush(os.data(), &page)
+                      : a.stream_pageout(os.data(), &page)) != 0) {
+            fwrite(page.header, 1, size_t(page.header_len), f);
+            fwrite(page.body, 1, size_t(page.body_len), f);
+        }
+    };
+
+    OggPacket hdr, hdr_comm, hdr_code;
+    a.analysis_headerout(vd.data(), vc.data(), &hdr, &hdr_comm, &hdr_code);
+    a.stream_packetin(os.data(), &hdr);
+    a.stream_packetin(os.data(), &hdr_comm);
+    a.stream_packetin(os.data(), &hdr_code);
+    write_pages(true);  // headers must end their own page
+
+    const int64_t kChunk = 4096;
+    int64_t pos = 0;
+    bool done = false;
+    while (!done) {
+        int64_t n = frames - pos;
+        if (n > kChunk) n = kChunk;
+        if (n <= 0) {
+            a.analysis_wrote(vd.data(), 0);  // end-of-stream marker
+            done = true;
+        } else {
+            float** buf = a.analysis_buffer(vd.data(), int(n));
+            for (int c = 0; c < channels; c++) {
+                for (int64_t i = 0; i < n; i++) {
+                    buf[c][i] = data[(pos + i) * channels + c];
+                }
+            }
+            a.analysis_wrote(vd.data(), int(n));
+            pos += n;
+        }
+        while (a.analysis_blockout(vd.data(), vb.data()) == 1) {
+            a.analysis(vb.data(), nullptr);
+            a.bitrate_addblock(vb.data());
+            OggPacket op;
+            while (a.bitrate_flushpacket(vd.data(), &op) == 1) {
+                a.stream_packetin(os.data(), &op);
+                write_pages(false);
+            }
+        }
+    }
+    write_pages(true);
+    fclose(f);
+    a.stream_clear(os.data());
+    a.block_clear(vb.data());
+    a.dsp_clear(vd.data());
+    a.comment_clear(vc.data());
+    a.info_clear(vi.data());
     return 0;
 }
 

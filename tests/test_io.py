@@ -127,3 +127,67 @@ def test_stream_node_loop(tmp_path, rng):
     out = ctx.render(9216)[0]
     expect = sig[np.arange(9216) % 3000]
     assert np.array_equal(out, expect)
+
+
+# -- compressed codecs (system libmpg123 / libvorbis via the native layer) ----
+
+def _tone(frames, hz=(440.0, 880.0)):
+    t = np.arange(frames) / SR
+    return np.stack([np.sin(2 * np.pi * h * t) for h in hz]).astype(np.float32) * 0.5
+
+
+def _codec_roundtrip(path, writer, decode_exact):
+    from graphaudio_tpu.io import codec_capabilities
+    sig = _tone(SR)
+    writer(path, sig, SR)
+    with AudioDecoder(str(path)) as dec:
+        assert dec.channels == 2 and dec.sample_rate == SR
+        if decode_exact:
+            assert dec.frames == SR  # gapless / sample-accurate length
+        out = dec.decode(dec.frames).T  # [2, n]
+    m = min(out.shape[1], SR)
+    for c in range(2):
+        a = out[c, :m] - out[c, :m].mean()
+        b = sig[c, :m] - sig[c, :m].mean()
+        corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert corr > 0.99, f"channel {c} decorrelated: {corr}"
+    # seek + re-read stays in bounds and keeps playing
+    with AudioDecoder(str(path)) as dec:
+        assert dec.try_seek(0.5)
+        chunk = dec.decode(256)
+        assert chunk.shape[0] == 256
+
+
+def test_mp3_roundtrip(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_mp3
+    caps = codec_capabilities()
+    if not (caps["mp3"] and caps["mp3_encode"]):
+        pytest.skip("system mp3 codec unavailable")
+    _codec_roundtrip(tmp_path / "t.mp3", lambda p, d, sr: write_mp3(p, d, sr), True)
+
+
+def test_ogg_roundtrip(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_ogg
+    caps = codec_capabilities()
+    if not (caps["ogg"] and caps["ogg_encode"]):
+        pytest.skip("system vorbis codec unavailable")
+    _codec_roundtrip(tmp_path / "t.ogg", lambda p, d, sr: write_ogg(p, d, sr), True)
+
+
+def test_mp3_stream_node(tmp_path):
+    """Compressed formats feed the streaming node end-to-end."""
+    from graphaudio_tpu.io import codec_capabilities, write_mp3
+    caps = codec_capabilities()
+    if not (caps["mp3"] and caps["mp3_encode"]):
+        pytest.skip("system mp3 codec unavailable")
+    sig = _tone(SR)
+    path = tmp_path / "s.mp3"
+    write_mp3(path, sig, SR)
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    node = AudioDecoderStreamNode.from_file(ctx, str(path))
+    node.connect(ctx.destination)
+    node.play()
+    out = ctx.render(8192)
+    spec = np.abs(np.fft.rfft(out[0]))
+    peak_hz = spec.argmax() * SR / out.shape[1]
+    assert abs(peak_hz - 440.0) < 10.0
