@@ -240,14 +240,22 @@ class CompiledGraph:
         # count. The context preserves state across recompiles by comparing
         # each key's member composition (``state_composition``) and migrating
         # surviving lanes individually when it changed.
+        #
+        # Group lane counts PAD to the next power of two with PHANTOM lanes
+        # (fresh-init state -> scheduled sources stay gated off; zero inputs
+        # -> linear kernels emit silence), so one-shot voice churn that only
+        # changes the voice count within a bucket reuses the cached program
+        # instead of recompiling.
         self.state_ref: Dict[int, Tuple[str, object]] = {}
         self.group_keys: Dict[int, str] = {}  # stage index -> state key
         self.state_composition: Dict[str, Tuple[int, ...]] = {}
+        self.stage_pad: Dict[int, Tuple[int, int]] = {}  # si -> (real, padded)
         for si, (kind, nodes, _) in enumerate(stages):
             key = f"st{si}"
             self.state_composition[key] = tuple(n.node_id for n in nodes)
             if kind == "group":
                 self.group_keys[si] = key
+                self.stage_pad[si] = (len(nodes), _next_pow2(len(nodes)))
                 for lane, n in enumerate(nodes):
                     self.state_ref[n.node_id] = (key, lane)
             else:
@@ -287,13 +295,22 @@ class CompiledGraph:
             regions = [b[0] for b in built]
             geoms = [b[1] for b in built]
             widths = [r.shape[1] for r in regions]
-            offs = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32)
+            offs = list(np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32))
             arena = np.concatenate(regions, axis=1)
-            arena_w = _next_pow2(max(arena.shape[1], w + 8))
+            # Size the arena as if the phantom pad lanes had regions too, so
+            # the padded width (a program-cache shape) is the same for every
+            # real voice count within the bucket when assets repeat.
+            real, padded = self.stage_pad[si]
+            virtual_w = arena.shape[1] + (padded - real) * widths[0]
+            arena_w = _next_pow2(max(virtual_w, w + 8))
             if arena.shape[1] < arena_w:
                 arena = np.pad(arena, ((0, 0), (0, arena_w - arena.shape[1])))
+            # Phantom lanes duplicate lane 0's geometry: reads are valid data,
+            # outputs are forced silent by the fresh (never-started) state.
+            geoms = geoms + [geoms[0]] * (padded - real)
+            offs = offs + [offs[0]] * (padded - real)
             stacked = {k: np.stack([g[k] for g in geoms]) for k in geoms[0]}
-            stacked["off"] = offs
+            stacked["off"] = np.asarray(offs, np.int32)
             self.consts[f"st{si}/arena"] = arena
             self.consts[f"st{si}/geom"] = stacked
             self._bufsrc_cfg[si] = (w, unity, arena_w)
@@ -311,13 +328,16 @@ class CompiledGraph:
     def _build_plan(self, node_in_counts) -> None:
         stage_of = {}
         lane_of = {}
+        stage_real = {}  # si -> real lane count for groups
         for si, (kind, nodes, _) in enumerate(self.stages):
+            if kind == "group":
+                stage_real[si] = len(nodes)
             for lane, n in enumerate(nodes):
                 stage_of[n.node_id] = si
                 lane_of[n.node_id] = lane if kind == "group" else None
 
         def producers(connected_outputs):
-            return tuple(
+            prods = tuple(
                 (
                     stage_of[o.owner.node_id],
                     o.index,
@@ -326,17 +346,72 @@ class CompiledGraph:
                 )
                 for o in connected_outputs
             )
+            # Canonicalize "every lane of one group" fan-ins to a single
+            # marker: the sum then runs over the PADDED tensor (phantom
+            # lanes are silent), and the routing — hence the program
+            # signature — no longer depends on the exact voice count.
+            by_src: Dict[Tuple[int, int], list] = {}
+            for p in prods:
+                if p[2] is not None:
+                    by_src.setdefault((p[0], p[1]), []).append(p)
+            out = []
+            consumed = set()
+            for (psi, pport), ps in by_src.items():
+                lanes = sorted(p[2] for p in ps)
+                if lanes == list(range(stage_real.get(psi, -1))):
+                    out.append(("ALL", psi, pport, ps[0][3]))
+                    consumed.update(ps)
+            for p in prods:
+                if p not in consumed:
+                    out.append(p)
+            return tuple(out)
+
+        def chain_or_lanes(nodes, i, dst_c, pad):
+            """Group input routing: a pure 1:1 chain from one group
+            canonicalizes to ("CHAIN", src_si, src_port) — count-independent
+            when the source group pads to the same width."""
+            per_lane = [
+                tuple(
+                    (
+                        stage_of[o.owner.node_id],
+                        o.index,
+                        lane_of[o.owner.node_id],
+                        self.output_channels[(o.owner.node_id, o.index)],
+                    )
+                    for o in n.inputs[i].connected_outputs
+                )
+                for n in nodes
+            ]
+            first = per_lane[0]
+            if (
+                len(first) == 1
+                and first[0][2] is not None
+                and all(
+                    len(pl) == 1
+                    and pl[0][:2] == first[0][:2]
+                    and pl[0][2] == v
+                    for v, pl in enumerate(per_lane)
+                )
+            ):
+                src_si = first[0][0]
+                src_pad = self.stage_pad.get(src_si, (0, -1))[1]
+                if src_pad == pad and stage_real.get(src_si) == len(nodes):
+                    return ("CHAIN", src_si, first[0][1], first[0][3])
+            # Fallback: explicit per-lane routing, phantom lanes silent.
+            return tuple(
+                producers(n.inputs[i].connected_outputs) for n in nodes
+            ) + ((),) * (pad - len(nodes))
 
         plan = []
         for si, (kind, nodes, gkey) in enumerate(self.stages):
             rep = nodes[0]
             if kind == "group":
+                pad = self.stage_pad[si][1]
                 inputs = tuple(
                     (
                         self.input_channels[(rep.node_id, i)],
-                        tuple(
-                            producers(n.inputs[i].connected_outputs)
-                            for n in nodes
+                        chain_or_lanes(
+                            nodes, i, self.input_channels[(rep.node_id, i)], pad
                         ),
                     )
                     for i in range(len(rep.inputs))
@@ -375,7 +450,7 @@ class CompiledGraph:
                     "si": si,
                     "key": f"st{si}",
                     "rep": rep,
-                    "n_lanes": len(nodes),
+                    "n_lanes": self.stage_pad[si][1] if kind == "group" else 1,
                     "group_key": gkey,
                     "inputs": inputs,
                     "params": params,
@@ -434,6 +509,11 @@ class CompiledGraph:
         for si, (kind, nodes, _) in enumerate(self.stages):
             if kind == "group":
                 members = [self._init_node_state(n) for n in nodes]
+                real, padded = self.stage_pad[si]
+                # Phantom pad lanes: fresh init (never started -> silent).
+                members += [
+                    nodes[0].init_state(self.info) for _ in range(padded - real)
+                ]
                 states[f"st{si}"] = jax.tree_util.tree_map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs]), *members
                 )
@@ -468,6 +548,7 @@ class CompiledGraph:
         encs = {}
         for si, (kind, nodes, _) in enumerate(self.stages):
             if kind == "group":
+                real, padded = self.stage_pad[si]
                 for name in nodes[0].params:
                     per = [
                         n.params[name].encode(
@@ -475,6 +556,9 @@ class CompiledGraph:
                         )
                         for n in nodes
                     ]
+                    # Phantom lanes duplicate lane 0's encoding — guaranteed
+                    # finite values; outputs are silenced by state/input.
+                    per += [per[0]] * (padded - real)
                     encs[f"st{si}/{name}"] = {
                         k: np.stack([e[k] for e in per]) for k in per[0]
                     }
@@ -519,15 +603,23 @@ class CompiledGraph:
                 """Sum producer outputs into one [dst_c, T] block. Lanes of
                 the same group tensor collapse into a single axis-0 reduction
                 — the reference's fan-in summing junction
-                (AudioNodeInput.cs:100-138) as one op."""
+                (AudioNodeInput.cs:100-138) as one op. ("ALL", si, port, c)
+                markers sum a group's whole padded tensor (phantom lanes are
+                silent), keeping the program independent of the voice count."""
                 direct = []
                 lanes: Dict[Tuple[int, int], list] = {}
-                for psi, pport, plane, _c in prods:
+                parts = []
+                for p in prods:
+                    if p[0] == "ALL":
+                        tensor = out_table[(p[1], p[2])]
+                        parts.append(adapt_channels(jnp.sum(tensor, axis=0), dst_c))
+                        continue
+                    psi, pport, plane, _c = p
                     if plane is None:
                         direct.append(out_table[(psi, pport)])
                     else:
                         lanes.setdefault((psi, pport), []).append(plane)
-                parts = [adapt_channels(d, dst_c) for d in direct]
+                parts.extend(adapt_channels(d, dst_c) for d in direct)
                 for (psi, pport), vs in lanes.items():
                     tensor = out_table[(psi, pport)]
                     if len(vs) == tensor.shape[0]:
@@ -575,25 +667,17 @@ class CompiledGraph:
                     out_table[(si, i)] = o
 
             def stacked_inputs(sp, inp_idx):
-                """[V, C, T] inputs for a group; identity fast path when all
-                lanes chain 1:1 from one upstream group tensor."""
-                dst_c, per_lane = sp["inputs"][inp_idx]
-                first = per_lane[0]
-                if (
-                    len(first) == 1
-                    and first[0][2] is not None
-                    and all(
-                        len(pl) == 1
-                        and pl[0][:2] == first[0][:2]
-                        and pl[0][2] == v
-                        for v, pl in enumerate(per_lane)
-                    )
-                ):
-                    t = out_table[first[0][:2]]
-                    if t.shape[0] == len(per_lane) and t.shape[1] == dst_c:
-                        return t
+                """[V, C, T] inputs for a group: ("CHAIN", si, port) is the
+                identity fast path (1:1 from an equally-padded group tensor);
+                otherwise per-lane mixing, phantom pad lanes silent."""
+                dst_c, routing = sp["inputs"][inp_idx]
+                if routing and routing[0] == "CHAIN":
+                    t = out_table[(routing[1], routing[2])]
+                    if routing[3] != dst_c:
+                        t = jax.vmap(lambda x: adapt_channels(x, dst_c))(t)
+                    return t
                 return jnp.stack(
-                    [mixed_signal(pl, dst_c) for pl in per_lane], axis=0
+                    [mixed_signal(pl, dst_c) for pl in routing], axis=0
                 )
 
             def run_group(sp):

@@ -137,3 +137,39 @@ def test_program_cache_preserves_surviving_voice_state():
     # restarts at 0 -> first sample of the mix ~= 0.5 * n/sr.
     expected = 0.5 * (n / sr)
     assert abs(float(out[0, 0]) - expected) < 1e-3
+
+
+def test_program_cache_pow2_voice_buckets():
+    """Voice counts within one pow2 bucket share a compiled program; phantom
+    pad lanes must be exactly silent."""
+    sr = 48000
+    buf = ga.PlayableAudioBuffer.from_mono_array(
+        np.sin(np.arange(4800) * 0.05).astype(np.float32), sr
+    )
+
+    def shot(c):
+        src = ga.AudioBufferSourceNode(c)
+        src.buffer = buf
+        g = ga.GainNode(c)
+        g.gain.value = 0.5
+        src.connect(g).connect(c.destination)
+        src.start(0)
+
+    ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=4)
+    for _ in range(3):
+        shot(ctx)
+    out3 = ctx.render(2048)
+    assert ctx.stats.compile_count == 1
+    shot(ctx)  # V=4: same bucket -> cached program
+    ctx.render(2048)
+    assert ctx.stats.compile_count == 1
+    assert ctx.stats.program_reuse_count >= 1
+    shot(ctx)  # V=5: next bucket (8) -> one new compile
+    ctx.render(2048)
+    assert ctx.stats.compile_count == 2
+
+    # Phantom-lane silence: a fresh 3-voice scene renders bit-identically.
+    ctx2 = ga.OfflineAudioContext(sample_rate=sr, superblock=4)
+    for _ in range(3):
+        shot(ctx2)
+    assert np.array_equal(ctx2.render(2048), out3)
