@@ -60,6 +60,7 @@ class AudioContextBase:
         self._param_versions: Dict = {}
         self._encs = None
         self._current_frame = 0  # host-side absolute frame counter
+        self.mesh = None  # multi-chip voice sharding (set_mesh)
         self.stats = RenderStats()
         self._disposed = False
         self._disposing_callbacks: List[Callable] = []
@@ -189,6 +190,25 @@ class AudioContextBase:
     @property
     def static_info(self) -> StaticRenderInfo:
         return StaticRenderInfo(self.sample_rate, self.superblock)
+
+    def set_mesh(self, mesh) -> None:
+        """Shard voice groups across a device mesh for multi-chip rendering.
+
+        ``mesh`` must carry a 'voice' axis with a power-of-two size (group
+        lanes pad to it). Graphs whose routing is per-voice chains plus
+        whole-group bus fan-ins (the standard voice-scene shape) run inside
+        ``shard_map`` with one psum per fan-in; other topologies fall back
+        to single-device execution automatically. Pass None to unshard.
+        """
+        if mesh is not None:
+            if "voice" not in mesh.shape:
+                raise ValueError("mesh must have a 'voice' axis")
+            n = int(mesh.shape["voice"])
+            if n & (n - 1):
+                raise ValueError("'voice' axis size must be a power of two")
+        self.mesh = mesh
+        self._program_cache.clear()
+        self._invalidate_topology()
 
     def _ensure_compiled(self) -> None:
         if self._compiled is not None and self._compiled_version == self._topology_version:

@@ -115,6 +115,9 @@ class CompiledGraph:
         self.context = context
         self.info = StaticRenderInfo(context.sample_rate, context.superblock)
         self.destination = context.destination
+        # Multi-chip: when the context carries a Mesh with a 'voice' axis,
+        # group stages shard their lane axis across it (set_mesh()).
+        self.mesh = getattr(context, "mesh", None)
         self.topo: List = []
         self.input_channels: Dict[Tuple[int, int], int] = {}  # (nid, in_idx) -> c
         self.output_channels: Dict[Tuple[int, int], int] = {}  # (nid, out_idx) -> c
@@ -316,6 +319,7 @@ class CompiledGraph:
             self._bufsrc_cfg[si] = (w, unity, arena_w)
 
         self._build_plan(node_in_counts)
+        self._compute_sharding()
 
     # -- execution plan ---------------------------------------------------------
     #
@@ -460,6 +464,64 @@ class CompiledGraph:
             )
         self.plan = plan
 
+    def _compute_sharding(self) -> None:
+        """Decide PER STAGE whether its lane axis shards over the mesh.
+
+        Candidates: groups whose padded lane count divides by the mesh's
+        'voice' axis. Demotions (to replicated, computed identically on
+        every device): any lane-indexed reference to the group's output
+        (would need a cross-device gather), per-lane input routing (the plan
+        enumerates GLOBAL lanes), and CHAIN endpoints with mismatched
+        sharding — iterated to a fixpoint. Whole-group (ALL) fan-ins of a
+        sharded group complete with a psum; of a replicated group, with a
+        plain local sum.
+        """
+        self.sharded_stages = set()
+        if self.mesh is None:
+            return
+        n = int(self.mesh.shape["voice"])
+        cand = {
+            sp["si"]
+            for sp in self.plan
+            if sp["kind"] == "group" and sp["n_lanes"] % n == 0
+        }
+
+        changed = True
+        while changed:
+            changed = False
+
+            def demote(si):
+                nonlocal changed
+                if si in cand:
+                    cand.discard(si)
+                    changed = True
+
+            def scan_prods(prods):
+                for p in prods:
+                    if p[0] != "ALL" and p[2] is not None:
+                        demote(p[0])
+
+            for sp in self.plan:
+                if sp["kind"] == "group":
+                    for _c, routing in sp["inputs"]:
+                        if routing and routing[0] == "CHAIN":
+                            src = routing[1]
+                            if (sp["si"] in cand) != (src in cand):
+                                demote(sp["si"])
+                                demote(src)
+                        else:
+                            if any(pl for pl in routing):
+                                demote(sp["si"])
+                            for pl in routing:
+                                scan_prods(pl)
+                else:
+                    for _c, prods in sp["inputs"]:
+                        scan_prods(prods)
+                    for p in sp["params"]:
+                        if len(p) == 5:
+                            scan_prods(p[4])
+        self.sharded_stages = cand
+
     def signature(self):
         """Structural identity of the emitted program.
 
@@ -472,7 +534,10 @@ class CompiledGraph:
         because their kernels may close over arbitrary instance data; group
         stages key on their batching key, which captures all kernel config.
         """
-        sig = [("hdr", self.info.sample_rate, self.info.superblock)]
+        mesh_id = None
+        if self.mesh is not None:
+            mesh_id = (tuple(self.mesh.shape.items()), id(self.mesh))
+        sig = [("hdr", self.info.sample_rate, self.info.superblock, mesh_id)]
         for sp in self.plan:
             if sp["kind"] == "group":
                 ident = ("G", sp["group_key"], sp["n_lanes"], sp["bufsrc"])
@@ -572,7 +637,7 @@ class CompiledGraph:
 
     # -- the step function ---------------------------------------------------
 
-    def make_step_fn(self, stage_limit: int = None):
+    def make_step_fn(self, stage_limit: int = None, axis_name: str = None):
         """Emit the pure step function from the snapshotted plan.
 
         The closure captures only the plan (immutable data) and each stage
@@ -584,7 +649,12 @@ class CompiledGraph:
         execution to the first N stages and returns the sum of every
         produced output as the step result, so XLA cannot dead-code-
         eliminate the work being timed.
+
+        ``axis_name``: when running inside shard_map with group lanes
+        sharded over that mesh axis, whole-group (ALL) fan-ins of stages in
+        ``sharded_stages`` complete their local sums with a psum over ICI.
         """
+        sharded_stages = self.sharded_stages if axis_name else set()
         info = self.info
         plan = self.plan if stage_limit is None else self.plan[:stage_limit]
         dest_channels = self.input_channels[(self.destination.node_id, 0)]
@@ -612,7 +682,12 @@ class CompiledGraph:
                 for p in prods:
                     if p[0] == "ALL":
                         tensor = out_table[(p[1], p[2])]
-                        parts.append(adapt_channels(jnp.sum(tensor, axis=0), dst_c))
+                        summed = jnp.sum(tensor, axis=0)
+                        if p[1] in sharded_stages:
+                            # lanes live sharded over the mesh: the bus
+                            # fan-in completes over ICI.
+                            summed = jax.lax.psum(summed, axis_name)
+                        parts.append(adapt_channels(summed, dst_c))
                         continue
                     psi, pport, plane, _c = p
                     if plane is None:
@@ -749,8 +824,18 @@ class CompiledGraph:
         return step, dest_channels
 
     def make_render_fn(self):
-        """Jitted multi-superblock renderer: scan step over frame offsets."""
-        step, dest_channels = self.make_step_fn()
+        """Jitted multi-superblock renderer: scan step over frame offsets.
+
+        With a context mesh and a shardable plan, the WHOLE scan runs inside
+        ``shard_map``: every group's lane axis is split over the mesh's
+        'voice' axis (states, encodings, and source geometry sharded; the
+        sample arena and single-node state replicated), voices mix locally,
+        and each whole-group fan-in finishes with one psum over ICI.
+        """
+        sharded = self.mesh is not None and bool(self.sharded_stages)
+        step, dest_channels = self.make_step_fn(
+            axis_name="voice" if sharded else None
+        )
 
         def render(states, encs, consts, feeds, frame0s):
             def body(carry, frame0):
@@ -762,4 +847,36 @@ class CompiledGraph:
             outs = jnp.swapaxes(outs, 0, 1).reshape(outs.shape[1], -1)
             return states, outs
 
-        return jax.jit(render, donate_argnums=(0,)), dest_channels
+        if not sharded:
+            return jax.jit(render, donate_argnums=(0,)), dest_channels
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        voice = PartitionSpec("voice")
+        rep = PartitionSpec()
+        sharded_keys = {f"st{si}" for si in self.sharded_stages}
+        states_spec = {
+            key: (voice if key in sharded_keys else rep)
+            for key in self.state_composition
+        }
+        states_spec["__globals__"] = rep
+        encs_spec = {}
+        for sp in self.plan:
+            for p in sp["params"]:
+                encs_spec[f"{sp['key']}/{p[0]}"] = (
+                    voice if sp["si"] in self.sharded_stages else rep
+                )
+        consts_spec = {}
+        for si in self._bufsrc_cfg:
+            consts_spec[f"st{si}/arena"] = rep
+            consts_spec[f"st{si}/geom"] = (
+                voice if si in self.sharded_stages else rep
+            )
+        sharded_render = shard_map(
+            render,
+            mesh=self.mesh,
+            in_specs=(states_spec, encs_spec, consts_spec, rep, rep),
+            out_specs=(states_spec, rep),
+        )
+        return jax.jit(sharded_render, donate_argnums=(0,)), dest_channels

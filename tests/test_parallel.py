@@ -62,3 +62,45 @@ def test_mesh_factorization():
         assert m.shape["voice"] * m.shape["part"] == 8
     m1 = make_mesh(devs[:1])
     assert m1.shape["voice"] * m1.shape["part"] == 1
+
+
+def test_context_mesh_sharding_matches_single_device(rng):
+    """OfflineAudioContext.set_mesh: voice groups shard over the mesh and the
+    rendered audio matches single-device execution (psum reorder rounding)."""
+    from jax.sharding import Mesh
+
+    import graphaudio_tpu as ga
+
+    sr = 48000
+
+    def build(mesh):
+        ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=4)
+        if mesh is not None:
+            ctx.set_mesh(mesh)
+        sink = ga.GainNode(ctx)
+        sink.gain.value = 0.8
+        sink.connect(ctx.destination)
+        r = np.random.default_rng(7)
+        for v in range(8):
+            buf = ga.PlayableAudioBuffer.from_mono_array(
+                (r.standard_normal(4800) * 0.1).astype(np.float32), sr
+            )
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = buf
+            src.loop = True
+            g = ga.GainNode(ctx)
+            g.gain.value = 1.0 / (v + 1)
+            src.connect(g).connect(sink)
+            src.start(0)
+        return ctx
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(devs[:4]).reshape(4), axis_names=("voice",))
+    ref_ctx, ctx = build(None), build(mesh)
+    ref, out = ref_ctx.render(4096), ctx.render(4096)
+    assert ctx._compiled.sharded_stages, "voice groups did not shard"
+    assert np.abs(out - ref).max() < 1e-6
+    # continuity across steps under sharding
+    assert np.abs(ctx.render(4096) - ref_ctx.render(4096)).max() < 1e-6
