@@ -23,9 +23,32 @@ clock arithmetic). All library arrays are explicitly dtyped, so f32 audio
 paths are unaffected.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: graph compiles are seconds-to-minutes on
+# TPU, and identical programs recur across processes (services restart, CLIs
+# rerun). Default on, under the user cache dir; point GA_COMPILE_CACHE at a
+# different path or set it empty to disable. Never overrides an explicit
+# jax_compilation_cache_dir the embedding application already set.
+_cache_dir = _os.environ.get(
+    "GA_COMPILE_CACHE",
+    _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+        "graphaudio_tpu",
+        "xla",
+    ),
+)
+if _cache_dir and not _jax.config.jax_compilation_cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # caching is an optimization; never block import
 
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK, DEFAULT_SAMPLE_RATE, MAX_CHANNELS
 from graphaudio_tpu.core.buffer import PlayableAudioBuffer
