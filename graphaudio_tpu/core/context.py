@@ -377,11 +377,14 @@ class AudioContextBase:
 
     # -- rendering ------------------------------------------------------------
 
-    def _render_steps(self, n_steps: int) -> np.ndarray:
-        """Render ``n_steps`` superblocks; returns f32[channels, n_steps*S*128].
+    def _render_steps_launch(self, n_steps: int):
+        """Drain commands, compile if needed, and LAUNCH ``n_steps``
+        superblocks on device; returns an opaque pending handle.
 
-        Drains pending commands first (parity: DrainCommands at block start,
-        AudioContextBase.cs:272), then runs the jitted scan on device.
+        Splitting launch from ``_render_steps_finish`` lets callers pipeline
+        device latency: the realtime render thread launches step n+1 before
+        materializing step n's audio, hiding one round trip per step on
+        link-attached accelerators.
         """
         if self._disposed:
             raise RuntimeError("context is disposed")
@@ -426,6 +429,17 @@ class AudioContextBase:
             launched += this
         self._current_frame += n_steps * frames_per_step
         self._step_count += n_steps
+        return pending, _time.perf_counter() - t0
+
+    def _render_steps_finish(self, handle) -> np.ndarray:
+        """Materialize a launch's audio, fire source notifications, record
+        stats. Handles must finish in launch order. Recorded wall time is
+        launch work + finish work (idle time between the two, e.g. while a
+        pipelined caller overlaps other steps, is excluded)."""
+        import time as _time
+
+        pending, launch_wall = handle
+        t0 = _time.perf_counter()
         if len(pending) == 1:
             out_np = np.asarray(jax.device_get(pending[0]))
         else:
@@ -436,9 +450,17 @@ class AudioContextBase:
         self.stats.record(
             frames=out_np.shape[1],
             quanta=out_np.shape[1] // FRAMES_PER_BLOCK,
-            wall=_time.perf_counter() - t0,
+            wall=launch_wall + (_time.perf_counter() - t0),
         )
         return out_np
+
+    def _render_steps(self, n_steps: int) -> np.ndarray:
+        """Render ``n_steps`` superblocks; returns f32[channels, n_steps*S*128].
+
+        Drains pending commands first (parity: DrainCommands at block start,
+        AudioContextBase.cs:272), then runs the jitted scan on device.
+        """
+        return self._render_steps_finish(self._render_steps_launch(n_steps))
 
     def _notify_sources(self) -> None:
         """Fire ended-events / self-disposal on scheduled sources.

@@ -156,18 +156,37 @@ class RealtimeAudioContext(AudioContextBase):
     def _render_loop(self) -> None:
         self._render_thread_id = threading.get_ident()
         frames_per_step = self.superblock * FRAMES_PER_BLOCK
+        # Two-deep pipeline: launch step n+1 BEFORE materializing step n's
+        # audio, so device round-trip latency overlaps compute (essential on
+        # link-attached accelerators where each call costs a round trip).
+        pending = None
+
+        def flush(p):
+            try:
+                out = self._render_steps_finish(p)  # [C, T]
+            except Exception:
+                if self._thread_quit or self._disposed:
+                    return None
+                raise
+            self.ring.write_interleaved(np.ascontiguousarray(out.T))
+            return None
+
         while not self._thread_quit:
             if not self._running:
+                if pending is not None:
+                    pending = flush(pending)
                 threading.Event().wait(0.002)
                 continue
             if self.ring.available_write() >= frames_per_step:
                 try:
-                    out = self._render_steps(1)  # [C, T]
+                    nxt = self._render_steps_launch(1)
                 except Exception:
                     if self._thread_quit or self._disposed:
                         return
                     raise
-                self.ring.write_interleaved(np.ascontiguousarray(out.T))
+                if pending is not None:
+                    flush(pending)
+                pending = nxt
             else:
                 self.ring.wait_for_space(frames_per_step, 5)
 
