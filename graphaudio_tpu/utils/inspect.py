@@ -20,11 +20,14 @@ def describe_graph(context) -> str:
         "",
         "schedule:",
     ]
-    for kind, nodes, _gkey in cg.stages:
+    for si, (kind, nodes, _gkey) in enumerate(cg.stages):
         rep = nodes[0]
         if kind == "group":
+            real, padded = cg.stage_pad[si]
+            pad = f" pad->{padded}" if padded != real else ""
+            shard = " sharded" if si in getattr(cg, "sharded_stages", ()) else ""
             lines.append(
-                f"  [group x{len(nodes)}] {type(rep).__name__} "
+                f"  [group x{len(nodes)}{pad}{shard}] {type(rep).__name__} "
                 f"(vmapped, key={rep.group_key([cg.input_channels.get((rep.node_id, i.index)) for i in rep.inputs])})"
             )
         elif kind == "dest":

@@ -191,3 +191,26 @@ def test_mp3_stream_node(tmp_path):
     spec = np.abs(np.fft.rfft(out[0]))
     peak_hz = spec.argmax() * SR / out.shape[1]
     assert abs(peak_hz - 440.0) < 10.0
+
+
+def test_aiff_decode(tmp_path, rng):
+    """Native AIFF parser: hand-built AIFF-PCM16 big-endian file."""
+    import struct
+    sig = (rng.standard_normal(2000) * 0.4).astype(np.float32)
+    pcm = np.clip(sig * 32767.0, -32768, 32767).astype(">i2")
+    frames, ch, bits = len(sig), 1, 16
+    # 80-bit IEEE extended sample rate (48000 = 0x400E BB80...)
+    ext = struct.pack(">HQ", 0x400E, 0xBB80000000000000)
+    comm = struct.pack(">hIh", ch, frames, bits) + ext
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    data = b"FORM" + struct.pack(">I", 4 + len(body) - 4) + body
+    path = tmp_path / "t.aiff"
+    path.write_bytes(data)
+    with AudioDecoder(str(path)) as dec:
+        assert dec.channels == 1 and dec.sample_rate == 48000
+        assert dec.frames == frames
+        out = dec.decode(frames)[:, 0]
+    assert np.abs(out - pcm.astype(np.float32) / 32768.0).max() < 1e-6
