@@ -60,6 +60,7 @@ class AudioContextBase:
         self._param_versions: Dict = {}
         self._encs = None
         self._current_frame = 0  # host-side absolute frame counter
+        self._carry: Optional[np.ndarray] = None  # [C, n] leftover rendered frames
         self.mesh = None  # multi-chip voice sharding (set_mesh)
         self.stats = RenderStats()
         self._disposed = False
@@ -513,21 +514,14 @@ class AudioContextBase:
         self.dispose()
         return False
 
-
-def _same_structure(a, b) -> bool:
-    ta = jax.tree_util.tree_structure(a)
-    tb = jax.tree_util.tree_structure(b)
-    if ta != tb:
-        return False
-    la = jax.tree_util.tree_leaves(a)
-    lb = jax.tree_util.tree_leaves(b)
-    return all(
-        np.shape(x) == np.shape(y) and np.asarray(x).dtype == np.asarray(y).dtype
-        for x, y in zip(la, lb)
-    )
-
-
     # -- block-level APIs (parity: AudioContextBase.cs:52-186) -----------------
+    #
+    # ``render`` lives on the BASE context: every context can pull frames
+    # synchronously (the reference's ProcessBlock family is likewise defined
+    # on AudioContextBase and works for any concrete context). Rendering
+    # happens in superblocks; excess frames are carried in a host-side cache
+    # and served first on the next call, mirroring the reference's
+    # partial-block carry (OfflineAudioContext.cs:55-101).
 
     def process_block(self) -> np.ndarray:
         """Render exactly one 128-frame quantum -> f32[channels, 128]
@@ -544,32 +538,6 @@ def _same_structure(a, b) -> bool:
         """Render ``block_count`` quanta -> f32[channels, block_count*128]
         (parity: ProcessBlocks, AudioContextBase.cs:166-186)."""
         return self.render(block_count * FRAMES_PER_BLOCK)
-
-    def render(self, frame_count: int) -> np.ndarray:
-        raise NotImplementedError  # provided by concrete contexts
-
-    def render_interleaved(self, frame_count: int) -> np.ndarray:
-        """Render and interleave -> f32[frame_count*channels]."""
-        out = self.render(frame_count)
-        return np.ascontiguousarray(out.T).reshape(-1)
-
-
-class OfflineAudioContext(AudioContextBase):
-    """Non-realtime renderer (parity: GraphAudio.Core/OfflineAudioContext.cs:8).
-
-    ``render(frame_count)`` pulls exactly ``frame_count`` frames through the
-    graph. Rendering happens in superblocks; any excess frames are carried in
-    a host-side cache and served first on the next call, mirroring the
-    reference's partial-block carry (OfflineAudioContext.cs:55-101).
-    """
-
-    def __init__(
-        self,
-        sample_rate: int = DEFAULT_SAMPLE_RATE,
-        superblock: int = DEFAULT_SUPERBLOCK,
-    ):
-        super().__init__(sample_rate=sample_rate, superblock=superblock)
-        self._carry: Optional[np.ndarray] = None  # [C, n] leftover frames
 
     def render(self, frame_count: int) -> np.ndarray:
         """Render ``frame_count`` frames; returns f32[channels, frame_count]."""
@@ -609,6 +577,41 @@ class OfflineAudioContext(AudioContextBase):
                 c = np.vstack([c, np.zeros((width - c.shape[0], c.shape[1]), np.float32)])
             padded.append(c)
         return np.concatenate(padded, axis=1)
+
+    def render_interleaved(self, frame_count: int) -> np.ndarray:
+        """Render and interleave -> f32[frame_count*channels]
+        (parity: the interleaving of ProcessBlockInterleaved applied to an
+        arbitrary frame count)."""
+        out = self.render(frame_count)
+        return np.ascontiguousarray(out.T).reshape(-1)
+
+
+def _same_structure(a, b) -> bool:
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    if ta != tb:
+        return False
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return all(
+        np.shape(x) == np.shape(y) and np.asarray(x).dtype == np.asarray(y).dtype
+        for x, y in zip(la, lb)
+    )
+
+
+class OfflineAudioContext(AudioContextBase):
+    """Non-realtime renderer (parity: GraphAudio.Core/OfflineAudioContext.cs:8).
+
+    ``render(frame_count)`` pulls exactly ``frame_count`` frames through the
+    graph (implementation on the base context, shared with realtime's
+    block-level pulls)."""
+
+    def __init__(
+        self,
+        sample_rate: int = DEFAULT_SAMPLE_RATE,
+        superblock: int = DEFAULT_SUPERBLOCK,
+    ):
+        super().__init__(sample_rate=sample_rate, superblock=superblock)
 
     def render_seconds(self, seconds: float) -> np.ndarray:
         return self.render(int(round(seconds * self.sample_rate)))

@@ -1,0 +1,183 @@
+"""Executable parity surface: every API PARITY.md claims must exist.
+
+Round-1 verdict found `process_block`/`process_blocks`/... defined but
+orphaned (never attached to AudioContextBase) while PARITY.md claimed them.
+This test makes such claims executable: it getattr-checks each claimed
+member on the class that PARITY.md maps it to, and exercises the
+block-level render APIs end to end (parity: AudioContextBase.cs:52-186).
+"""
+
+import numpy as np
+import pytest
+
+import graphaudio_tpu as ga
+from graphaudio_tpu.core.context import AudioContextBase, OfflineAudioContext
+from graphaudio_tpu.core.node import AudioNode
+from graphaudio_tpu.core.params import AudioParam
+from graphaudio_tpu.core.buffer import PlayableAudioBuffer
+from graphaudio_tpu.nodes.sources import (
+    AudioBufferSourceNode,
+    ConstantSourceNode,
+    OscillatorNode,
+    ScheduledSourceNode,
+)
+
+
+# Claimed API surface: (class, [member names]). Each row corresponds to a
+# PARITY.md claim; keep in sync when PARITY.md grows.
+SURFACE = [
+    (
+        AudioContextBase,
+        [
+            "current_time",
+            "current_block",
+            "process_block",
+            "process_block_interleaved",
+            "process_blocks",
+            "render",
+            "render_interleaved",
+            "post",
+            "execute_or_post",
+            "get_all_nodes",
+            "on_disposing",
+            "dispose",
+            "set_listener",
+        ],
+    ),
+    (OfflineAudioContext, ["render", "render_seconds"]),
+    (
+        AudioNode,
+        [
+            "connect",
+            "disconnect",
+            "dispose",
+            "inputs",
+            "outputs",
+            "params",
+            "node_id",
+            "name",
+            "create_audio_param",
+        ],
+    ),
+    (
+        AudioParam,
+        [
+            "value",
+            "set_value_at_time",
+            "linear_ramp_to_value_at_time",
+            "exponential_ramp_to_value_at_time",
+            "set_target_at_time",
+            "cancel_scheduled_values",
+            "min_value",
+            "max_value",
+        ],
+    ),
+    (
+        PlayableAudioBuffer,
+        [
+            "from_channel_arrays",
+            "from_mono_array",
+            "from_stereo_arrays",
+            "from_interleaved",
+            "sample_rate",
+            "length",
+            "number_of_channels",
+            "duration",
+            "is_initialized",
+        ],
+    ),
+    (
+        ScheduledSourceNode,
+        ["start", "stop", "on_ended", "is_playing"],
+    ),
+    (AudioBufferSourceNode, ["buffer", "loop", "loop_start", "loop_end"]),
+    (OscillatorNode, ["type"]),
+    (ConstantSourceNode, []),
+]
+
+
+@pytest.mark.parametrize(
+    "cls,member",
+    [(cls, m) for cls, members in SURFACE for m in members],
+    ids=lambda x: x if isinstance(x, str) else x.__name__,
+)
+def test_member_exists(cls, member):
+    if hasattr(cls, member):
+        return
+    # Instance attributes (ports, params, node_id, ...) are set in __init__;
+    # probe a representative live instance.
+    ctx = OfflineAudioContext(superblock=1)
+    try:
+        if cls is AudioNode:
+            inst = ga.GainNode(ctx)
+        elif cls is AudioParam:
+            inst = ga.GainNode(ctx).gain
+        elif issubclass(cls, AudioContextBase):
+            inst = ctx
+        elif cls is PlayableAudioBuffer:
+            inst = PlayableAudioBuffer.from_mono_array(
+                np.zeros(16, np.float32), 48000
+            )
+        else:
+            inst = cls(ctx)
+        assert hasattr(inst, member), (
+            f"{cls.__name__}.{member} missing (PARITY.md claims it)"
+        )
+    finally:
+        ctx.dispose()
+
+
+def _sine_context():
+    ctx = OfflineAudioContext(sample_rate=48000, superblock=4)
+    osc = OscillatorNode(ctx)
+    osc.connect(ctx.destination)
+    osc.start(0)
+    return ctx
+
+
+def test_process_block_returns_one_quantum():
+    ctx = _sine_context()
+    out = ctx.process_block()
+    assert out.shape == (2, 128)
+    assert out.dtype == np.float32
+    assert np.any(out != 0.0)
+    # Block clock advanced by exactly one quantum's worth of frames served.
+    assert ctx.process_block().shape == (2, 128)
+
+
+def test_process_block_interleaved_layout():
+    ctx = _sine_context()
+    planar_ctx = _sine_context()
+    inter = ctx.process_block_interleaved()
+    planar = planar_ctx.process_block()
+    assert inter.shape == (2 * 128,)
+    np.testing.assert_array_equal(inter.reshape(128, 2).T, planar)
+
+
+def test_process_blocks_batch():
+    ctx = _sine_context()
+    out = ctx.process_blocks(7)
+    assert out.shape == (2, 7 * 128)
+    # Equal to seven single blocks rendered back to back.
+    ctx2 = _sine_context()
+    seq = np.concatenate([ctx2.process_block() for _ in range(7)], axis=1)
+    np.testing.assert_allclose(out, seq, atol=0.0)
+
+
+def test_render_interleaved_matches_render():
+    ctx = _sine_context()
+    ctx2 = _sine_context()
+    inter = ctx.render_interleaved(300)
+    planar = ctx2.render(300)
+    assert inter.shape == (300 * 2,)
+    np.testing.assert_array_equal(inter.reshape(300, 2).T, planar)
+
+
+def test_block_apis_on_realtime_context():
+    """The block APIs live on the BASE context, so realtime contexts have
+    them too (the reference defines ProcessBlock on AudioContextBase)."""
+    from graphaudio_tpu.realtime.context import RealtimeAudioContext
+
+    assert hasattr(RealtimeAudioContext, "process_block")
+    assert hasattr(RealtimeAudioContext, "process_block_interleaved")
+    assert hasattr(RealtimeAudioContext, "process_blocks")
