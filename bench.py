@@ -76,8 +76,21 @@ def main():
 
     rendered_seconds = out.shape[1] / SR
     xrt = rendered_seconds / elapsed
-    n_quanta = out.shape[1] // 128
-    quantum_us = elapsed / n_quanta * 1e6
+
+    # Latency phase: synchronized single-superblock steps give TRUE per-step
+    # wall-time percentiles (the throughput render above pipelines launches,
+    # so only the aggregate is observable there).
+    ctx._render_steps(1)  # untimed: compiles the single-step scan length
+    step_walls = []
+    for _ in range(48):
+        t1 = time.perf_counter()
+        ctx._render_steps(1)
+        step_walls.append(time.perf_counter() - t1)
+    sw = np.sort(np.asarray(step_walls))
+    q_us = sw / SUPERBLOCK * 1e6  # per-quantum, sorted
+
+    def pct(a, q):
+        return float(np.percentile(a, q))
 
     result = {
         "metric": "offline_render_xrt_64voice_reverb",
@@ -87,7 +100,11 @@ def main():
         "extra": {
             "rendered_seconds": rendered_seconds,
             "wall_seconds": round(elapsed, 4),
-            "p50_quantum_us": round(quantum_us, 3),
+            "p50_quantum_us": round(pct(q_us, 50), 3),
+            "p99_quantum_us": round(pct(q_us, 99), 3),
+            "p50_step_ms": round(pct(sw, 50) * 1e3, 3),
+            "p99_step_ms": round(pct(sw, 99) * 1e3, 3),
+            "latency_steps_timed": len(step_walls),
             "voices": VOICES,
             "ir_seconds": 2.0,
             "superblock": SUPERBLOCK,

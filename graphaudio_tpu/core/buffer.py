@@ -9,6 +9,8 @@ gathers read from a single arena.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 
 from graphaudio_tpu.core.constants import MAX_CHANNELS
@@ -23,9 +25,12 @@ class PlayableAudioBuffer:
     to the device lazily by consumers.
     """
 
-    __slots__ = ("_data", "_sample_rate", "_initialized")
+    __slots__ = ("_data", "_sample_rate", "_initialized", "_uid")
+
+    _uids = itertools.count(1)
 
     def __init__(self, number_of_channels: int, length: int, sample_rate: int):
+        self._uid = next(PlayableAudioBuffer._uids)
         if not (1 <= number_of_channels <= MAX_CHANNELS):
             raise ValueError(
                 f"number_of_channels must be in [1, {MAX_CHANNELS}], got {number_of_channels}"
@@ -56,6 +61,13 @@ class PlayableAudioBuffer:
         return self
 
     # -- properties --------------------------------------------------------
+
+    @property
+    def uid(self) -> int:
+        """Monotonic identity token (never recycled, unlike ``id(self)``);
+        used as a cache key by consumers that bake sample data into compiled
+        regions."""
+        return self._uid
 
     @property
     def is_initialized(self) -> bool:

@@ -536,7 +536,13 @@ class CompiledGraph:
         """
         mesh_id = None
         if self.mesh is not None:
-            mesh_id = (tuple(self.mesh.shape.items()), id(self.mesh))
+            # Stable topology key (axis layout + physical device ids), not
+            # id(mesh): object ids are recycled by the GC.
+            mesh_id = (
+                tuple(self.mesh.shape.items()),
+                tuple(self.mesh.axis_names),
+                tuple(d.id for d in self.mesh.devices.flat),
+            )
         sig = [("hdr", self.info.sample_rate, self.info.superblock, mesh_id)]
         for sp in self.plan:
             if sp["kind"] == "group":

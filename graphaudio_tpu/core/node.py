@@ -224,8 +224,11 @@ class AudioNode:
 
     def static_fingerprint(self):
         """Identity + config version; part of the compiled-program cache key
-        for stages whose kernels close over instance data."""
-        return (id(self), getattr(self, "_config_version", 0))
+        for stages whose kernels close over instance data. Uses the monotonic
+        ``node_id`` (never recycled), NOT ``id(self)`` — CPython reuses object
+        ids after GC, which could alias a dead node's cached program onto a
+        new node with different baked-in config."""
+        return (self.node_id, getattr(self, "_config_version", 0))
 
     # -- functional kernel interface ------------------------------------------
 

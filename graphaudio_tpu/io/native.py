@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
+
+from graphaudio_tpu.utils.nativebuild import load_or_build
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "gacodec.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libgacodec.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -67,21 +67,11 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-        ):
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
-                return None
+        so = load_or_build(_SRC)
+        if so is None:
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
             _configure(lib)
             _lib = lib
         except OSError:

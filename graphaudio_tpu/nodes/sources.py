@@ -527,7 +527,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         unity = self._static_unity_rate(rc)
         w = self._window_w(rc.superblock, self.rate_bound(), unity)
         cache_key = (w, self._loop, self._loop_start, self._loop_end,
-                     id(self._buffer))
+                     self._buffer.uid)
         if getattr(self, "_region_key", None) != cache_key:
             region, geom = self.build_region(w)
             self._region_key = cache_key

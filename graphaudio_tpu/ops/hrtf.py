@@ -168,19 +168,22 @@ def hrir_grid_spectra(grid):
     spectrum of the interpolated HRIR equals the interpolation of these
     per-node spectra — so frequency-domain rendering is EXACT vs the
     time-domain FIR (to DFT roundoff)."""
+    # Keyed on id(grid) but the cache HOLDS the grid, so the id can never be
+    # recycled while the entry lives (ids of collected objects are reused).
     key = id(grid)
-    got = _spectra_cache.get(key)
-    if got is None:
+    entry = _spectra_cache.get(key)
+    if entry is None or entry[0] is not grid:
         g = np.asarray(grid, dtype=np.float64)  # [E, A, 2, L]
         padded = np.zeros(g.shape[:-1] + (2 * FRAMES_PER_BLOCK,))
         padded[..., : g.shape[-1]] = g
         spec = np.fft.rfft(padded, axis=-1)  # [E, A, 2, 129]
-        got = (
+        entry = (
+            grid,
             spec.real.astype(np.float32),
             spec.imag.astype(np.float32),
         )
-        _spectra_cache[key] = got
-    return got
+        _spectra_cache[key] = entry
+    return entry[1], entry[2]
 
 
 def fir_freq_per_block(x, hr, hi, overlap):

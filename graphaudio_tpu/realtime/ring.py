@@ -10,14 +10,14 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
 
+from graphaudio_tpu.utils.nativebuild import load_or_build
+
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "garing.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libgaring.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -30,18 +30,11 @@ def load_native():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-        ):
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except Exception:
-                return None
+        so = load_or_build(_SRC, extra_flags=["-pthread"])
+        if so is None:
+            return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError:
             return None
         c = ctypes

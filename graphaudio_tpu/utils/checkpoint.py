@@ -70,23 +70,53 @@ def load_context_state(context, path) -> None:
     """Restore a checkpoint into a context with the same graph topology."""
     with np.load(path) as z:
         manifest = json.loads(bytes(z["__manifest__"]).decode())
+        if manifest.get("format") != "graphaudio-tpu-checkpoint-v1":
+            raise ValueError(
+                f"not a graphaudio-tpu checkpoint (format tag: "
+                f"{manifest.get('format')!r})"
+            )
         leaves = [z[f"leaf_{i}"] for i in range(len(manifest["leaf_paths"]))]
-
     if manifest["sample_rate"] != context.sample_rate:
         raise ValueError(
             f"checkpoint sample rate {manifest['sample_rate']} != context "
             f"{context.sample_rate}"
         )
+    if manifest["superblock"] != context.superblock:
+        raise ValueError(
+            f"checkpoint superblock {manifest['superblock']} != context "
+            f"{context.superblock} (state shapes depend on it)"
+        )
 
     context._drain_commands()
     context._ensure_compiled()
-    treedef = jax.tree_util.tree_structure(jax.device_get(context._states))
+    cur_flat, treedef = jax.tree_util.tree_flatten_with_path(
+        jax.device_get(context._states)
+    )
     expected = treedef.num_leaves
     if expected != len(leaves):
         raise ValueError(
             f"checkpoint has {len(leaves)} state leaves; the current graph "
             f"has {expected} (topology mismatch)"
         )
+    # Leaf counts can coincide across different topologies — require each
+    # leaf's PATH, shape, and dtype to match so restored arrays can't land
+    # in the wrong state slots silently.
+    for (path, cur), saved, saved_path in zip(
+        cur_flat, leaves, manifest["leaf_paths"]
+    ):
+        cur_path = jax.tree_util.keystr(path)
+        if cur_path != saved_path:
+            raise ValueError(
+                f"checkpoint state layout mismatch: leaf {saved_path!r} vs "
+                f"current graph's {cur_path!r} (different topology?)"
+            )
+        cur_arr = np.asarray(cur)
+        if np.shape(saved) != cur_arr.shape or saved.dtype != cur_arr.dtype:
+            raise ValueError(
+                f"checkpoint leaf {saved_path!r} is {np.shape(saved)}/"
+                f"{saved.dtype}; current graph expects "
+                f"{cur_arr.shape}/{cur_arr.dtype}"
+            )
     context._states = jax.tree_util.tree_unflatten(treedef, leaves)
     context._current_frame = int(manifest["current_frame"])
 

@@ -54,10 +54,33 @@ class RenderStats:
             return 0.0
         return (self.frames_rendered / sample_rate) / self.wall_seconds
 
-    def p50_quantum_us(self) -> float:
+    def _percentile(self, q: float) -> float:
+        """True percentile over recorded per-call quantum times.
+
+        Each sample is one render call's wall time divided by the quanta it
+        produced; a caller that renders one superblock per call (the realtime
+        render thread, or bench.py's latency phase) therefore gets honest
+        per-step percentiles. NOT a mean: tail latency is visible.
+        """
         if not self._call_quantum_us:
             return 0.0
-        return float(statistics.median(self._call_quantum_us))
+        data = sorted(self._call_quantum_us)
+        if len(data) == 1:
+            return float(data[0])
+        # Nearest-rank with linear interpolation (numpy 'linear' method).
+        pos = q * (len(data) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(data) - 1)
+        return float(data[lo] + (data[hi] - data[lo]) * (pos - lo))
+
+    def p50_quantum_us(self) -> float:
+        return self._percentile(0.5)
+
+    def p99_quantum_us(self) -> float:
+        return self._percentile(0.99)
+
+    def max_quantum_us(self) -> float:
+        return max(self._call_quantum_us) if self._call_quantum_us else 0.0
 
     def summary(self, sample_rate: int) -> dict:
         return {
@@ -67,6 +90,8 @@ class RenderStats:
             "wall_seconds": round(self.wall_seconds, 6),
             "xrt": round(self.xrt(sample_rate), 2),
             "p50_quantum_us": round(self.p50_quantum_us(), 3),
+            "p99_quantum_us": round(self.p99_quantum_us(), 3),
+            "max_quantum_us": round(self.max_quantum_us(), 3),
             "compile_count": self.compile_count,
             "program_reuse_count": self.program_reuse_count,
         }

@@ -103,3 +103,59 @@ def test_checkpoint_restores_param_events(tmp_path):
     load_context_state(ctx, path)
     assert g.gain.event_count() == 2
     assert g.gain.value == 1.0
+
+
+def test_checkpoint_rejects_mismatched_geometry(tmp_path):
+    ctx = _make_graph()
+    ctx.render(256)
+    ckpt = tmp_path / "state.npz"
+    save_context_state(ctx, ckpt)
+
+    # Different superblock -> state shapes differ; must fail loudly.
+    ctx2 = _make_graph()
+    ctx2.superblock = ctx.superblock * 2
+    import pytest
+
+    with pytest.raises(ValueError, match="superblock"):
+        load_context_state(ctx2, ckpt)
+
+
+def test_checkpoint_rejects_different_topology(tmp_path):
+    import pytest
+
+    ctx = _make_graph()
+    ctx.render(256)
+    ckpt = tmp_path / "state.npz"
+    save_context_state(ctx, ckpt)
+
+    ctx2 = ga.OfflineAudioContext(sample_rate=SR, superblock=ctx.superblock)
+    g = ga.GainNode(ctx2)
+    g.connect(ctx2.destination)
+    with pytest.raises(ValueError, match="leaves|layout|topology"):
+        load_context_state(ctx2, ckpt)
+
+
+def test_checkpoint_rejects_foreign_file(tmp_path):
+    import pytest
+
+    path = tmp_path / "foreign.npz"
+    np.savez(
+        path,
+        __manifest__=np.frombuffer(b'{"format": "something-else"}', dtype=np.uint8),
+    )
+    ctx = _make_graph()
+    with pytest.raises(ValueError, match="format"):
+        load_context_state(ctx, path)
+
+
+def test_static_fingerprint_not_id_based():
+    """Cache-key hygiene: fingerprints use the monotonic node_id, so a dead
+    node's fingerprint can never alias a new node's (object ids recycle)."""
+    ctx = _make_graph()
+    a = ga.GainNode(ctx)
+    fp_a = a.static_fingerprint()
+    assert fp_a[0] == a.node_id
+    a.dispose()
+    del a
+    b = ga.GainNode(ctx)
+    assert b.static_fingerprint()[0] != fp_a[0]
