@@ -95,6 +95,24 @@ double read_extended(const uint8_t* p) {
     return sign * double(mantissa) * pow(2.0, exponent - 16383 - 63);
 }
 
+int64_t dsize(Decoder* d);  // defined below
+
+// Every file-supplied field is validated BEFORE it reaches arithmetic:
+// chunk sizes before fixed-offset reads (heap overread otherwise),
+// channels/bits before bytes_per_frame() (division by zero otherwise),
+// and bit depths against what cvt_sample actually implements per format
+// (float bits must be 32/64; a smaller stride would overread the buffer).
+const uint32_t kMaxHeaderChunk = 1u << 20;
+const int kMaxChannels = 1024;
+const int kMaxSampleRate = 10000000;
+
+bool valid_layout(const Decoder* d) {
+    if (d->channels < 1 || d->channels > kMaxChannels) return false;
+    if (d->sample_rate < 1 || d->sample_rate > kMaxSampleRate) return false;
+    if (d->format == 3) return d->bits == 32 || d->bits == 64;
+    return d->bits == 8 || d->bits == 16 || d->bits == 24 || d->bits == 32;
+}
+
 bool parse_wav(Decoder* d) {
     uint8_t hdr[12];
     if (!dseek(d, 0) || !dread(d, hdr, 12)) return false;
@@ -106,27 +124,33 @@ bool parse_wav(Decoder* d) {
         if (!dread(d, ch, 8)) break;
         uint32_t size = rd_u32le(ch + 4);
         if (memcmp(ch, "fmt ", 4) == 0) {
+            if (size < 16 || size > kMaxHeaderChunk) return false;
             std::vector<uint8_t> fmt(size);
             if (!dread(d, fmt.data(), size)) return false;
             uint16_t tag = rd_u16le(fmt.data());
             d->channels = rd_u16le(fmt.data() + 2);
             d->sample_rate = int(rd_u32le(fmt.data() + 4));
             d->bits = rd_u16le(fmt.data() + 14);
-            if (tag == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+            if (tag == 0xFFFE) {  // WAVE_FORMAT_EXTENSIBLE
+                if (size < 40) return false;
                 tag = rd_u16le(fmt.data() + 24);
             }
             if (tag == 1) d->format = 1;       // PCM
             else if (tag == 3) d->format = 3;  // IEEE float
             else return false;
+            if (!valid_layout(d)) return false;
             have_fmt = true;
             if (size & 1) dseek(d, dtell(d) + 1);
         } else if (memcmp(ch, "data", 4) == 0) {
             if (!have_fmt) return false;
             d->data_start = dtell(d);
-            d->total_frames = int64_t(size) / int64_t(d->bytes_per_frame());
-            return d->channels > 0 && d->sample_rate > 0 &&
-                   (d->bits == 8 || d->bits == 16 || d->bits == 24 ||
-                    d->bits == 32 || d->bits == 64);
+            // Clamp to the bytes actually present: a lying data-chunk size
+            // must not promise frames past EOF.
+            int64_t avail = dsize(d) - d->data_start;
+            if (avail < 0) avail = 0;
+            int64_t bytes = int64_t(size) < avail ? int64_t(size) : avail;
+            d->total_frames = bytes / int64_t(d->bytes_per_frame());
+            return true;
         } else {
             if (!dseek(d, dtell(d) + size + (size & 1))) return false;
         }
@@ -147,26 +171,37 @@ bool parse_aiff(Decoder* d) {
         if (!dread(d, ch, 8)) break;
         uint32_t size = rd_u32be(ch + 4);
         if (memcmp(ch, "COMM", 4) == 0) {
+            if (size < 18 || size > kMaxHeaderChunk) return false;
             std::vector<uint8_t> comm(size);
             if (!dread(d, comm.data(), size)) return false;
             d->channels = rd_u16be(comm.data());
             d->total_frames = int64_t(rd_u32be(comm.data() + 2));
             d->bits = rd_u16be(comm.data() + 6);
-            d->sample_rate = int(read_extended(comm.data() + 8));
+            // read_extended can yield NaN/inf/huge values from hostile
+            // bytes; range-check as double BEFORE the int cast (UB on
+            // overflow otherwise).
+            double sr = read_extended(comm.data() + 8);
+            if (!(sr >= 1.0 && sr <= double(kMaxSampleRate))) return false;
+            d->sample_rate = int(sr);
             if (size >= 22 && memcmp(comm.data() + 18, "NONE", 4) != 0 &&
                 memcmp(comm.data() + 18, "sowt", 4) != 0)
                 return false;  // compressed AIFC unsupported
             d->format = 4;  // big-endian pcm
+            if (!valid_layout(d)) return false;
             have_comm = true;
             if (size & 1) dseek(d, dtell(d) + 1);
         } else if (memcmp(ch, "SSND", 4) == 0) {
-            if (!have_comm) return false;
+            if (!have_comm || size < 8) return false;
             uint8_t ssnd[8];
             if (!dread(d, ssnd, 8)) return false;
             uint32_t offset = rd_u32be(ssnd);
             d->data_start = dtell(d) + offset;
-            return d->channels > 0 && d->sample_rate > 0 &&
-                   (d->bits == 8 || d->bits == 16 || d->bits == 24 || d->bits == 32);
+            // COMM's frame count must not promise frames past EOF.
+            int64_t avail = dsize(d) - d->data_start;
+            if (avail < 0) avail = 0;
+            int64_t max_frames = avail / int64_t(d->bytes_per_frame());
+            if (d->total_frames > max_frames) d->total_frames = max_frames;
+            return true;
         } else {
             if (!dseek(d, dtell(d) + size + (size & 1))) return false;
         }

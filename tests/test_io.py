@@ -214,3 +214,122 @@ def test_aiff_decode(tmp_path, rng):
         assert dec.frames == frames
         out = dec.decode(frames)[:, 0]
     assert np.abs(out - pcm.astype(np.float32) / 32768.0).max() < 1e-6
+
+
+# ---- malformed/hostile container inputs (must reject, never crash) ----------
+
+
+def _open_mem(payload: bytes):
+    """Open raw bytes with the native codec; returns a handle or None."""
+    import ctypes
+
+    from graphaudio_tpu.io import native
+
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no native codec on this machine")
+    h = lib.gac_open_memory(payload, len(payload))
+    if h:
+        lib.gac_close(h)
+    return h
+
+
+def _wav_bytes(fmt_payload: bytes, data: bytes = b"\x00" * 64) -> bytes:
+    import struct
+
+    chunks = b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+    if len(fmt_payload) % 2:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _fmt(tag=1, channels=2, rate=48000, bits=16, extra=b"") -> bytes:
+    import struct
+
+    block = channels * (bits // 8) if bits >= 8 else 0
+    return (
+        struct.pack("<HHIIHH", tag, channels, rate, rate * block, block, bits)
+        + extra
+    )
+
+
+def test_rejects_truncated_fmt_chunk():
+    # fmt chunk shorter than the 16 bytes the fields occupy: fixed-offset
+    # reads would overread the heap without the size check.
+    assert not _open_mem(_wav_bytes(_fmt()[:10]))
+
+
+def test_rejects_zero_channels_and_zero_bits():
+    # channels=0 / bits=0 reach bytes_per_frame() -> division by zero (SIGFPE)
+    # without validation.
+    assert not _open_mem(_wav_bytes(_fmt(channels=0)))
+    assert not _open_mem(_wav_bytes(_fmt(bits=0)))
+
+
+def test_rejects_float_with_narrow_bits():
+    # format 3 (IEEE float) with bits<32 made cvt_sample memcpy 8 bytes at a
+    # 2-3 byte stride -> out-of-bounds heap read.
+    for bits in (8, 16, 24):
+        assert not _open_mem(_wav_bytes(_fmt(tag=3, bits=bits)))
+    # while genuine float32 still opens:
+    assert _open_mem(_wav_bytes(_fmt(tag=3, bits=32)))
+
+
+def test_rejects_extensible_without_subformat():
+    # WAVE_FORMAT_EXTENSIBLE requires 40 bytes (subformat at offset 24).
+    assert not _open_mem(_wav_bytes(_fmt(tag=0xFFFE)))
+
+
+def test_rejects_giant_header_chunk():
+    import struct
+
+    # fmt size field claims 256 MB: must be rejected, not allocated.
+    payload = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 1 << 28) + _fmt()
+    )
+    assert not _open_mem(payload)
+
+
+def test_lying_data_size_clamps_to_eof():
+    import ctypes
+    import struct
+
+    from graphaudio_tpu.io import native
+
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no native codec on this machine")
+    # data chunk claims 1 GB but only 64 bytes follow -> 16 frames, not 256M.
+    payload = _wav_bytes(_fmt())[: -4 - 64] + struct.pack("<I", 1 << 30) + b"\x00" * 64
+    h = lib.gac_open_memory(payload, len(payload))
+    assert h
+    try:
+        assert lib.gac_frames(h) == 64 // 4
+    finally:
+        lib.gac_close(h)
+
+
+def test_rejects_malformed_aiff_comm():
+    import struct
+
+    def aiff(comm_payload: bytes) -> bytes:
+        chunks = b"COMM" + struct.pack(">I", len(comm_payload)) + comm_payload
+        if len(comm_payload) % 2:
+            chunks += b"\x00"
+        chunks += b"SSND" + struct.pack(">I", 8 + 64) + b"\x00" * (8 + 64)
+        return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+    def comm(channels=1, frames=16, bits=16, exp=0x400E, mant=0xBB80 << 48):
+        # 80-bit extended sample rate: default encodes 48000.
+        return struct.pack(">HIH", channels, frames, bits) + struct.pack(
+            ">HQ", exp, mant
+        )
+
+    assert _open_mem(aiff(comm()))  # sane file opens
+    assert not _open_mem(aiff(comm()[:12]))  # truncated COMM
+    assert not _open_mem(aiff(comm(channels=0)))
+    assert not _open_mem(aiff(comm(bits=0)))
+    # NaN/inf sample rate (exponent all-ones) must not reach the int cast.
+    assert not _open_mem(aiff(comm(exp=0x7FFF)))
