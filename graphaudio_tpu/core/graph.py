@@ -227,10 +227,12 @@ class CompiledGraph:
         stages.append(("dest", [dest], None))
         self.stages = stages
 
-        # Static window bounds compiled into buffer-source kernels; a
-        # playbackRate scheduled beyond its bound forces a recompile.
-        self.bufsrc_bounds = {
-            n.node_id: n.rate_bound()
+        # Static kernel variants compiled into buffer-source stages; a
+        # variant change (playbackRate scheduled beyond a compiled bound, a
+        # constant rational rate edited, events added to a polyphase-compiled
+        # param) forces a recompile.
+        self.bufsrc_variants = {
+            n.node_id: n.kernel_variant()
             for n in topo
             if _is_buffer_source(n) and n._buffer is not None
         }
@@ -291,10 +293,17 @@ class CompiledGraph:
             if kind != "group" or not _is_buffer_source(nodes[0]):
                 continue
             rep = nodes[0]
-            unity = rep._static_unity_rate_cfg()
-            bound = max(n.rate_bound() for n in nodes)
-            w = type(rep)._window_w(self.info.superblock, bound, unity)
-            built = [n.build_region(w) for n in nodes]
+            variant = rep.kernel_variant()  # shared: it's in the group key
+            if variant[0] == "poly":
+                w, front = type(rep).poly_window(
+                    self.info.superblock, variant[1], variant[2]
+                )
+            elif variant[0] == "unity":
+                w, front = type(rep)._window_w(self.info.superblock, 1, True), 0
+            else:
+                bound = max(n.rate_bound() for n in nodes)
+                w, front = type(rep)._window_w(self.info.superblock, bound, False), 0
+            built = [n.build_region(w, front) for n in nodes]
             regions = [b[0] for b in built]
             geoms = [b[1] for b in built]
             widths = [r.shape[1] for r in regions]
@@ -316,7 +325,7 @@ class CompiledGraph:
             stacked["off"] = np.asarray(offs, np.int32)
             self.consts[f"st{si}/arena"] = arena
             self.consts[f"st{si}/geom"] = stacked
-            self._bufsrc_cfg[si] = (w, unity, arena_w)
+            self._bufsrc_cfg[si] = (w, variant, arena_w)
 
         self._build_plan(node_in_counts)
         self._compute_sharding()
@@ -555,12 +564,22 @@ class CompiledGraph:
         return tuple(sig)
 
     def static_config_stale(self) -> bool:
-        """True when a param-dependent static choice (e.g. a buffer source's
-        compiled rate bound) no longer covers the current param values."""
-        for nid, bound in self.bufsrc_bounds.items():
+        """True when a param-dependent static choice (a buffer source's
+        compiled kernel variant) no longer matches the current param values."""
+        for nid, compiled in self.bufsrc_variants.items():
             node = self.context._nodes.get(nid)
-            if node is not None and node.rate_bound() > bound:
-                return True
+            if node is None:
+                continue
+            cur = node.kernel_variant()
+            if cur == compiled:
+                continue
+            if (
+                cur[0] == "resample"
+                and compiled[0] == "resample"
+                and cur[1] <= compiled[1]
+            ):
+                continue  # the compiled window bound still covers
+            return True
         return False
 
     # -- state ------------------------------------------------------------------
@@ -781,13 +800,17 @@ class CompiledGraph:
                 ]
 
                 if sp["bufsrc"] is not None:
-                    w, unity, _ = sp["bufsrc"]
+                    w, variant, _ = sp["bufsrc"]
                     arena = jnp.asarray(consts[f"{key}/arena"])
                     geoms = consts[f"{key}/geom"]
 
                     def lane(state, geom, pv):
-                        if unity:
+                        if variant[0] == "unity":
                             return rep._process_unity(state, arena, geom, rc, w)
+                        if variant[0] == "poly":
+                            return rep._process_poly(
+                                state, arena, geom, rc, w, variant[1], variant[2]
+                            )
                         return rep._process_resample(
                             state, arena, geom, pv["playbackRate"], rc, w
                         )

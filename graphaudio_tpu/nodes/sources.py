@@ -27,7 +27,12 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.resample import cr_weights, split_positions
+from graphaudio_tpu.ops.resample import (
+    canonical_bases,
+    cr_weights,
+    poly_matrix,
+    split_positions,
+)
 
 _TWO_PI = 2.0 * math.pi
 _INF = float("inf")
@@ -410,11 +415,77 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             and not self.playback_rate.touched
         )
 
-    def build_region(self, w_max: int):
-        """Sample region for window-sliced playback: the buffer, followed by
-        either a zero pad (non-loop) or the loop content tiled twice-plus-a-
-        window so any superblock's reads are LINEAR (wraps become reads into
-        the periodic extension). Returns (region f32[C, n], geom dict)."""
+    def static_ratio(self):
+        """(p, q) when the effective rate is a STATIC exact rational, else None.
+
+        Covers the dominant game-audio case (constant sample-rate conversion,
+        e.g. 44.1 kHz assets in a 48 kHz context -> 147/160): the playbackRate
+        param has no automation events, no modulation input, and a value whose
+        product with bufferRate/contextRate is exactly rational with a small
+        denominator. Floats are dyadic rationals, so Fraction(value) is exact
+        — a value like 1.1 yields an astronomically large q and correctly
+        falls back to the general time-varying kernel.
+        """
+        pr = self.playback_rate
+        if self._buffer is None or pr.has_events() or pr._mod_outputs:
+            return None
+        try:
+            from fractions import Fraction
+
+            f = Fraction(self._buffer.sample_rate, self.context.sample_rate)
+            f = f * Fraction(float(pr.value))
+        except (ValueError, ZeroDivisionError, OverflowError):
+            return None
+        p, q = f.numerator, f.denominator
+        # H is [p+4, q]; cap its footprint (~4 MB) and reject degenerate rates.
+        if p <= 0 or p * q > (1 << 20):
+            return None
+        return (int(p), int(q))
+
+    def kernel_variant(self):
+        """Static kernel selection: ("unity",) exact copy path,
+        ("poly", p, q) static polyphase matmul, or ("resample", bound)
+        general time-varying path. Baked into group_key and the compiled
+        program; the context recompiles when a node's variant changes
+        (CompiledGraph.static_config_stale)."""
+        if self._buffer is None:
+            return ("none",)
+        if self._static_unity_rate_cfg():
+            return ("unity",)
+        r = self.static_ratio()
+        if r is not None:
+            return ("poly",) + r
+        return ("resample", self.rate_bound())
+
+    @staticmethod
+    def _poly_geometry(superblock: int, p: int, q: int):
+        """Static shapes of the polyphase kernel: T outputs need ncan
+        canonical chunks of p input samples (+ nb extra chunks so the
+        overlapping length-M slabs can be built from static reshapes), read
+        from a window of w samples starting up to front before the voice
+        position (the phase-alignment shift m0 < p)."""
+        T = superblock * FRAMES_PER_BLOCK
+        ncan = (T + q - 1) // q + 1
+        M = p + 4
+        nb = -(-M // p)
+        w = (ncan + nb) * p + 8
+        front = p + 8
+        return T, ncan, M, nb, w, front
+
+    @classmethod
+    def poly_window(cls, superblock: int, p: int, q: int):
+        _, _, _, _, w, front = cls._poly_geometry(superblock, p, q)
+        return w, front
+
+    def build_region(self, w_max: int, front: int = 0):
+        """Sample region for window-sliced playback: ``front`` zeros (the
+        polyphase kernel's phase-alignment headroom), then the buffer,
+        followed by either a zero pad (non-loop) or the loop content tiled
+        twice-plus-a-window so any superblock's reads are LINEAR (wraps
+        become reads into the periodic extension). geom["region_len"] is
+        the extension length EXCLUDING front — kernels address extension
+        coordinates and the window slice adds front.
+        Returns (region f32[C, front+n], geom dict)."""
         data = self._buffer.data
         C, L = data.shape
         lsf, lef, llen = self.loop_frames()
@@ -427,6 +498,11 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         else:
             pad = np.zeros((C, w_max + 8), np.float32)
             region = np.concatenate([data, pad], axis=1)
+        ext_len = region.shape[1]
+        if front:
+            region = np.concatenate(
+                [np.zeros((C, front), np.float32), region], axis=1
+            )
         geom = {
             "length": np.float64(L),
             "rate": np.float64(self._buffer.sample_rate),
@@ -435,18 +511,19 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             "llen": np.float64(llen),
             "looping": np.bool_(looping),
             "loop_flag": np.bool_(self._loop),
-            "region_len": np.int32(region.shape[1]),
+            "region_len": np.int32(ext_len),
+            "front": np.int32(front),
         }
         return np.ascontiguousarray(region), geom
 
     def group_key(self, input_channels):
         if self._buffer is None or self._params_modulated():
             return None
-        unity = self._static_unity_rate_cfg()
-        # Voices with the same channel count, kernel path, and window bound
-        # share one vmapped stage over a packed sample arena.
-        return ("buffer-source", self._buffer.number_of_channels, unity,
-                self.rate_bound())
+        # Voices with the same channel count and kernel variant (unity copy /
+        # static polyphase ratio / general window bound) share one vmapped
+        # stage over a packed sample arena.
+        return ("buffer-source", self._buffer.number_of_channels,
+                self.kernel_variant())
 
     # -- state --------------------------------------------------------------------
 
@@ -524,20 +601,28 @@ class AudioBufferSourceNode(ScheduledSourceNode):
     def process(self, state, inputs, params, rc):
         if self._buffer is None:
             return state, [jnp.zeros((1, rc.frames), jnp.float32)]
-        unity = self._static_unity_rate(rc)
-        w = self._window_w(rc.superblock, self.rate_bound(), unity)
-        cache_key = (w, self._loop, self._loop_start, self._loop_end,
+        variant = self.kernel_variant()
+        if variant[0] == "poly":
+            w, front = self.poly_window(rc.superblock, variant[1], variant[2])
+        elif variant[0] == "unity":
+            w, front = self._window_w(rc.superblock, 1, True), 0
+        else:
+            w, front = self._window_w(rc.superblock, self.rate_bound(), False), 0
+        cache_key = (w, front, self._loop, self._loop_start, self._loop_end,
                      self._buffer.uid)
         if getattr(self, "_region_key", None) != cache_key:
-            region, geom = self.build_region(w)
+            region, geom = self.build_region(w, front)
             self._region_key = cache_key
             self._region_cache = (region, geom)
         region, geom = self._region_cache
         geom = dict(geom)
         geom["off"] = np.int32(0)
         arena = jnp.asarray(region)
-        if unity:
+        if variant[0] == "unity":
             return self._process_unity(state, arena, geom, rc, w)
+        if variant[0] == "poly":
+            return self._process_poly(state, arena, geom, rc, w,
+                                      variant[1], variant[2])
         return self._process_resample(
             state, arena, geom, params["playbackRate"].per_block(), rc, w
         )
@@ -561,7 +646,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         e0 = self._map_ext(p0, geom)
         start = jnp.clip(e0.astype(jnp.int32), 0, region_len - w)
         window = jax.lax.dynamic_slice(
-            arena, (jnp.int32(0), off + start), (C, w)
+            arena, (jnp.int32(0), off + geom["front"] + start), (C, w)
         )
 
         # Reads are linear from the window: active blocks within a superblock
@@ -636,7 +721,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             jnp.floor(e0).astype(jnp.int32) - 1, 0, region_len - w
         )
         window = jax.lax.dynamic_slice(
-            arena, (jnp.int32(0), off + start), (C, w)
+            arena, (jnp.int32(0), off + geom["front"] + start), (C, w)
         )
 
         adv = jnp.where(active, FRAMES_PER_BLOCK * rate_b, 0.0)
@@ -697,6 +782,118 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             lsf + jnp.mod(new_x - lef, jnp.maximum(llen, 1.0)),
             new_x,
         )
+
+        new_state = dict(state)
+        new_state["x"] = new_x
+        new_state["primed"] = jnp.where(jnp.any(active), jnp.int32(1), state["primed"])
+        new_state["stop_time"] = new_stop
+        return new_state, [out.reshape(C, rc.frames)]
+
+    def _process_poly(self, state, arena, geom, rc, w: int, p: int, q: int):
+        """Static polyphase kernel for a constant rational rate p/q.
+
+        The position stream x_j = x_0 + j*p/q lives on the 1/q grid, so the
+        Catmull-Rom weights cycle with period q and are baked at COMPILE time
+        into one [p+4, q] matrix (ops/resample.poly_matrix); the whole
+        superblock's resample is then static reshapes + ONE MXU matmul. A
+        per-superblock phase shift j0 (the canonical output index whose
+        position fraction matches x_0's) aligns the precomputed pattern with
+        the live playback position via a dynamic slice of the output.
+
+        Parity: CubicResampler.cs:26-63 semantics (same polynomial, same +1
+        priming); replaces the per-step one-hot banded-matrix construction
+        that dominated the flagship benchmark.
+        """
+        S = rc.superblock
+        C = arena.shape[0]
+        T, ncan, M, nb, w_expect, _front = self._poly_geometry(S, p, q)
+        assert w == w_expect, (w, w_expect)
+        active = self._block_active(state, rc)  # [S]
+        length = geom["length"]
+        de = self._duration_end(state, geom["rate"], length)
+        lef = geom["lef"]
+        looping = geom["looping"]
+        loop_flag = geom["loop_flag"]
+        region_len = geom["region_len"]
+        off = geom["off"]
+        front = geom["front"]
+
+        x0 = jnp.where(state["primed"] > 0, state["x"], state["pos"] + 1.0)
+        # Snap to the 1/q grid: every reachable position is an exact multiple
+        # of 1/q, but f64 accumulation drifts ~1e-16/step off-grid; snapping
+        # keeps the phase extraction below exact forever.
+        x0 = jnp.round(x0 * q) / q
+        e0 = self._map_ext(x0, geom)
+        ef = jnp.floor(e0)
+        A0 = ef.astype(jnp.int32)
+        r0 = jnp.round((e0 - ef) * q).astype(jnp.int32)
+        A0 = A0 + (r0 == q).astype(jnp.int32)  # frac rounded up to 1
+        r0 = jnp.where(r0 == q, 0, r0)
+        # Canonical phase: j0 solves j0*p = r0 (mod q) (p, q coprime).
+        pinv = pow(p, -1, q) if q > 1 else 0
+        j0 = (r0 * pinv) % q
+        m0 = (j0 * p - r0) // q  # integer-sample lead of the canonical origin
+
+        start = jnp.clip(A0 - m0 - 1, -(p + 8), region_len - w)
+        window = jax.lax.dynamic_slice(
+            arena, (jnp.int32(0), off + front + start), (C, w)
+        )
+
+        # Overlapping [ncan, p+4] slabs at stride p from static reshapes.
+        wa = window[:, : (ncan + nb) * p].reshape(C, ncan + nb, p)
+        parts = []
+        covered = 0
+        while covered < M:
+            k = covered // p
+            take = min(p, M - covered)
+            parts.append(wa[:, k : k + ncan, :take])
+            covered += take
+        chunk = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+
+        H = jnp.asarray(poly_matrix(p, q))  # [M, q] compile-time constant
+        out_can = jnp.einsum(
+            "cnm,mr->cnr", chunk, H, precision=jax.lax.Precision.HIGHEST
+        ).reshape(C, ncan * q)
+        out_sh = jax.lax.dynamic_slice(out_can, (jnp.int32(0), j0), (C, T))
+
+        # Block placement: active blocks form one contiguous run, so block b
+        # plays the (active-blocks-before-b)-th canonical 128-frame chunk.
+        blocks = out_sh.reshape(C, S, FRAMES_PER_BLOCK)
+        act = active.astype(jnp.int32)
+        bidx = jnp.clip(jnp.cumsum(act) - act, 0, S - 1)
+        samples = jnp.take(blocks, bidx, axis=1)  # [C, S, 128]
+
+        # Validity in ORIGINAL coordinates via the static advance pattern:
+        # floor(x_j) = floor(x_0) - m0 + base_can[j0 + j], all exact ints.
+        base_can = jnp.asarray(canonical_bases(p, q, ncan * q))
+        bc = jax.lax.dynamic_slice(base_can, (j0,), (T,))
+        bcb = jnp.take(bc.reshape(S, FRAMES_PER_BLOCK), bidx, axis=0)
+        O0 = jnp.floor(x0).astype(jnp.int32)
+        base_orig = (O0 - m0) + bcb  # [S, 128]
+
+        lef_i = lef.astype(jnp.int32)
+        de_i = de.astype(jnp.int32)
+        end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
+        valid = jnp.where(looping, jnp.bool_(True), base_orig + 2 <= end_bound - 1)
+        gate = active[:, None] & valid
+        out = jnp.where(gate[None], samples, 0.0)
+
+        # Auto-stop on starvation (parity :360-368).
+        starved = active & ~jnp.any(valid, axis=1)
+        first_stop = jnp.min(jnp.where(starved, rc.block_end_times, jnp.inf))
+        new_stop = jnp.minimum(state["stop_time"], first_stop)
+
+        lsf, llen = geom["lsf"], geom["llen"]
+        # Exact advance: n_active*128*p is an exact f64 integer; one rounding
+        # at the /q, then the grid snap below restores exactness.
+        n_active = jnp.sum(active.astype(jnp.float64))
+        new_x = x0 + (n_active * (FRAMES_PER_BLOCK * p)) / q
+        new_x = jnp.where(
+            looping & (new_x >= lef),
+            lsf + jnp.mod(new_x - lef, jnp.maximum(llen, 1.0)),
+            new_x,
+        )
+        new_x = jnp.round(new_x * q) / q
 
         new_state = dict(state)
         new_state["x"] = new_x

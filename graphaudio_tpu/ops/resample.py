@@ -17,6 +17,7 @@ the polynomial is evaluated in float32 like the reference.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def cr_weights(t):
@@ -45,6 +46,51 @@ def catmull_rom(s0, s1, s2, s3, t):
         0.5 * (s2 - s0)
         + t * ((s0 - 2.5 * s1 + 2.0 * s2 - 0.5 * s3) + t * (0.5 * (s3 - s0) + 1.5 * (s1 - s2)))
     )
+
+
+_poly_cache = {}
+
+
+def poly_matrix(p: int, q: int) -> np.ndarray:
+    """Static polyphase Catmull-Rom matrix for a constant rational rate p/q.
+
+    For outputs at positions x_j = x_0 + j*(p/q) with x_0 on the 1/q grid,
+    the fractional part of x_j cycles with period q and the integer part
+    advances by a fixed pattern: output j' of the canonical (phase-0) stream
+    interpolates at (j'*p)/q. Grouping j' = n*q + r, the whole resample is
+
+        out[c, n*q + r] = sum_m chunk[c, n, m] * H[m, r]
+
+    where chunk[c, n, m] = window[c, n*p + m] (overlapping length-(p+4)
+    slabs at stride p) and H[m, r] places the 4 Catmull-Rom tap weights of
+    phase r at rows base_r + k (base_r = (r*p)//q, taps at floor(x)-1..+2).
+    H is built ONCE at compile time — the per-step one-hot matrix
+    construction this replaces was 85%% of the flagship graph's step time.
+
+    Returns f32[p+4, q].
+    """
+    key = (p, q)
+    H = _poly_cache.get(key)
+    if H is None:
+        r = np.arange(q, dtype=np.int64)
+        t = ((r * p) % q).astype(np.float64) / q
+        base = (r * p) // q
+        # Catmull-Rom tap weights (same expansion as cr_weights, in numpy).
+        w0 = t * (-0.5 + t * (1.0 - 0.5 * t))
+        w1 = 1.0 + t * t * (-2.5 + 1.5 * t)
+        w2 = t * (0.5 + t * (2.0 - 1.5 * t))
+        w3 = t * t * (-0.5 + 0.5 * t)
+        H = np.zeros((p + 4, q), np.float32)
+        for k, wk in enumerate((w0, w1, w2, w3)):
+            H[base + k, r] = wk.astype(np.float32)
+        _poly_cache[key] = H
+    return H
+
+
+def canonical_bases(p: int, q: int, n: int) -> np.ndarray:
+    """floor(j'*p/q) for j' in [0, n): the canonical stream's integer-sample
+    advance pattern (static; used for validity masks). Returns i32[n]."""
+    return (np.arange(n, dtype=np.int64) * p // q).astype(np.int32)
 
 
 SUB_CHUNK = 16

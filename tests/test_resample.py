@@ -172,3 +172,83 @@ def test_playback_rate_touch_recompiles_to_general_path(rng):
     # General path at rate 1.0 plays from pos+1 (resampler warmup latency).
     expect = _golden_resample(data, 1.0, 256, start_pos=256.0)
     assert np.max(np.abs(b - expect)) < 1e-5
+
+
+def test_poly_variant_selected_for_constant_rational_rates():
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(np.zeros(128, np.float32), 44100)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    assert src.kernel_variant() == ("poly", 147, 160)  # 44.1k -> 48k
+    src.playback_rate.value = 0.5
+    assert src.kernel_variant() == ("poly", 147, 320)
+    # Non-dyadic value -> astronomical q -> general kernel.
+    src.playback_rate.value = 1.1
+    assert src.kernel_variant()[0] == "resample"
+    # Automation events -> general kernel.
+    src.playback_rate.value = 1.0
+    assert src.kernel_variant()[0] == "poly"
+    src.playback_rate.linear_ramp_to_value_at_time(2.0, 1.0)
+    assert src.kernel_variant()[0] == "resample"
+
+
+def test_poly_to_general_transition_keeps_playhead(rng):
+    # Mid-render the constant rate is re-scheduled (events added): the stage
+    # recompiles onto the general kernel and playback continues seamlessly.
+    data = rng.standard_normal(8192).astype(np.float32)
+    rate = 44100.0 / 48000.0
+
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, 44100)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.connect(ctx.destination)
+    src.start(0)
+    assert src.kernel_variant() == ("poly", 147, 160)
+    a = ctx.render(1024)[0]
+    src.playback_rate.set_value_at_time(1.0, 0.0)  # event -> variant change
+    assert src.kernel_variant()[0] == "resample"
+    b = ctx.render(1024)[0]
+    out = np.concatenate([a, b])
+    expect = _golden_resample(data, rate, 2048)
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_poly_value_change_recompiles(rng):
+    data = rng.standard_normal(8192).astype(np.float32)
+    ctx = _mono_ctx()
+    buf = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    src.playback_rate.value = 0.5
+    src.connect(ctx.destination)
+    src.start(0)
+    a = ctx.render(512)[0]
+    src.playback_rate.value = 0.25  # (1,2) -> (1,4): must not reuse stale H
+    b = ctx.render(512)[0]
+    expect_a = _golden_resample(data, 0.5, 512)
+    # After 512 outputs at rate .5 the stream position is 512*0.5 = 256.
+    expect_b = _golden_resample(data, 0.25, 512, start_pos=256.0)
+    assert np.max(np.abs(a - expect_a)) < 1e-5
+    assert np.max(np.abs(b - expect_b)) < 1e-5
+
+
+def test_poly_voices_batch_into_one_stage(rng):
+    # Same (p, q) across voices -> one vmapped group sharing one H matrix.
+    ctx = _mono_ctx(superblock=4)
+    datas = [rng.standard_normal(4096).astype(np.float32) for _ in range(3)]
+    for d in datas:
+        src = ga.AudioBufferSourceNode(ctx)
+        src.buffer = ga.PlayableAudioBuffer.from_mono_array(d, 44100)
+        src.connect(ctx.destination)
+        src.start(0)
+    out = ctx.render(2048)[0]
+    ctx._ensure_compiled()
+    groups = [
+        sp for sp in ctx._compiled.plan
+        if sp["kind"] == "group" and sp["bufsrc"] is not None
+    ]
+    assert len(groups) == 1 and groups[0]["bufsrc"][1] == ("poly", 147, 160)
+    rate = 44100.0 / 48000.0
+    expect = sum(_golden_resample(d, rate, 2048) for d in datas)
+    assert np.max(np.abs(out - expect)) < 2e-5
