@@ -60,6 +60,12 @@ class AudioContextBase:
         self._param_versions: Dict = {}
         self._encs = None
         self._current_frame = 0  # host-side absolute frame counter
+        # The reference's clock ACCUMULATES (`_currentTime = blockTime +
+        # increment`, AudioContextBase.cs:77-78) rather than recomputing from
+        # the frame index; automation event times routinely coincide with
+        # sample instants, so replicating the exact rounding sequence is
+        # required for sample-exact event boundaries.
+        self._current_time = 0.0  # f64, accumulated in fl(128/sr) steps
         self._carry: Optional[np.ndarray] = None  # [C, n] leftover rendered frames
         self.mesh = None  # multi-chip voice sharding (set_mesh)
         self.stats = RenderStats()
@@ -111,8 +117,9 @@ class AudioContextBase:
 
     @property
     def current_time(self) -> float:
-        """Current render time in seconds."""
-        return self._current_frame / self.sample_rate
+        """Current render time in seconds (accumulated double, parity:
+        AudioContextBase.cs:28,77-78)."""
+        return self._current_time
 
     @property
     def current_block(self) -> int:
@@ -414,6 +421,16 @@ class AudioContextBase:
         # Pipeline compute with device->host transfer: launch the next chunk's
         # scan before materializing the previous chunk's audio (transfers over
         # the device link are a large fraction of wall time otherwise).
+        # Block clock for the whole launch, accumulated with the reference's
+        # exact rounding sequence: t[k+1] = fl(t[k] + fl(128/sr))
+        # (AudioContextBase.cs:77-78). np.add.accumulate folds left-to-right
+        # with intermediate rounding, replicating it bit-for-bit.
+        n_blocks = n_steps * self.superblock
+        inc_arr = np.full(n_blocks, np.float64(FRAMES_PER_BLOCK) / self.sample_rate)
+        inc_arr[0] = self._current_time
+        all_block_times = np.add.accumulate(inc_arr).reshape(
+            n_steps, self.superblock
+        )
         chunk = 128  # superblocks per pipelined launch
         pending = []
         launched = 0
@@ -424,11 +441,16 @@ class AudioContextBase:
                 + frames_per_step * (launched + np.arange(this, dtype=np.int64))
             )
             self._states, out = self._render_fn(
-                self._states, self._encs, self._consts, feeds, frame0s
+                self._states, self._encs, self._consts, feeds, frame0s,
+                all_block_times[launched:launched + this],
             )
             pending.append(out)
             launched += this
         self._current_frame += n_steps * frames_per_step
+        self._current_time = float(
+            all_block_times[-1, -1]
+            + np.float64(FRAMES_PER_BLOCK) / self.sample_rate
+        )
         self._step_count += n_steps
         return pending, _time.perf_counter() - t0
 

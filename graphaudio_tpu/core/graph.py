@@ -47,26 +47,36 @@ class RenderContext:
     """Per-step traced context: clocks for one superblock.
 
     Times are float64, matching the reference's double block clock
-    (AudioContextBase.cs:17,64-79).
+    (AudioContextBase.cs:17,64-79). The reference ACCUMULATES the clock —
+    ``t += fl(128/sr)`` once per block — rather than recomputing it from the
+    frame index, and automation event times routinely land exactly on sample
+    instants, so the two schemes classify boundary samples differently.
+    ``block_times`` therefore comes in as data (host-accumulated with the
+    reference's exact rounding sequence); deriving from ``frame0`` is only a
+    fallback for probes that don't thread a clock through.
     """
 
-    def __init__(self, info: StaticRenderInfo, frame0):
+    def __init__(self, info: StaticRenderInfo, frame0, block_times=None):
         self.info = info
         self.sample_rate = info.sample_rate
         self.superblock = info.superblock
         self.frames = info.frames
         self.frame0 = frame0  # i64 scalar: absolute frame index of sample 0
         sr = jnp.float64(info.sample_rate)
-        self.dt = 1.0 / sr
-        block_offsets = jnp.arange(info.superblock, dtype=jnp.int64) * FRAMES_PER_BLOCK
-        # t0 of each 128-frame block in the superblock (reference blockTime).
-        self.block_times = (frame0 + block_offsets).astype(jnp.float64) / sr
-        self.block_end_times = (
-            frame0 + block_offsets + FRAMES_PER_BLOCK
-        ).astype(jnp.float64) / sr
-        in_block = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64) / sr
-        # Per-sample times, exactly blockTime + i*dt per the reference's a-rate
-        # evaluation (AudioParam.cs:116-120).
+        # fl(1/sr): the reference's per-sample deltaTime (AudioParam.cs:116).
+        self.dt = jnp.float64(1.0) / sr
+        inc = jnp.float64(FRAMES_PER_BLOCK) / sr
+        if block_times is None:
+            block_offsets = (
+                jnp.arange(info.superblock, dtype=jnp.int64) * FRAMES_PER_BLOCK
+            )
+            block_times = (frame0 + block_offsets).astype(jnp.float64) / sr
+        self.block_times = block_times
+        # t1 = t0 + fl(128/sr) (AudioBufferSourceNode.cs:134).
+        self.block_end_times = block_times + inc
+        in_block = jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float64) * self.dt
+        # Per-sample times, exactly blockTime + i*deltaTime per the
+        # reference's a-rate evaluation (AudioParam.cs:116-120).
         self.sample_times = (self.block_times[:, None] + in_block[None, :]).reshape(-1)
 
 
@@ -684,8 +694,8 @@ class CompiledGraph:
         plan = self.plan if stage_limit is None else self.plan[:stage_limit]
         dest_channels = self.input_channels[(self.destination.node_id, 0)]
 
-        def step(states, encs, consts, feeds, frame0):
-            rc = RenderContext(info, frame0)
+        def step(states, encs, consts, feeds, frame0, block_times=None):
+            rc = RenderContext(info, frame0, block_times)
             rc.globals = states.get("__globals__")
             rc.feeds = feeds
             # out_table[(si, port)]: [C, T] for singles, stacked [V, C, T]
@@ -866,12 +876,13 @@ class CompiledGraph:
             axis_name="voice" if sharded else None
         )
 
-        def render(states, encs, consts, feeds, frame0s):
-            def body(carry, frame0):
-                new_states, out = step(carry, encs, consts, feeds, frame0)
+        def render(states, encs, consts, feeds, frame0s, block_times):
+            def body(carry, xs):
+                frame0, bt = xs
+                new_states, out = step(carry, encs, consts, feeds, frame0, bt)
                 return new_states, out
 
-            states, outs = jax.lax.scan(body, states, frame0s)
+            states, outs = jax.lax.scan(body, states, (frame0s, block_times))
             # outs: [n_steps, C, T] -> [C, n_steps*T]
             outs = jnp.swapaxes(outs, 0, 1).reshape(outs.shape[1], -1)
             return states, outs
@@ -905,7 +916,7 @@ class CompiledGraph:
         sharded_render = shard_map(
             render,
             mesh=self.mesh,
-            in_specs=(states_spec, encs_spec, consts_spec, rep, rep),
+            in_specs=(states_spec, encs_spec, consts_spec, rep, rep, rep),
             out_specs=(states_spec, rep),
         )
         return jax.jit(sharded_render, donate_argnums=(0,)), dest_channels

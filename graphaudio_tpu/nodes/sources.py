@@ -767,6 +767,14 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         de_i = de.astype(jnp.int32)
         end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
         valid = jnp.where(looping, jnp.bool_(True), base_orig + 2 <= end_bound - 1)
+        # Consumed-position block gate (AudioBufferSourceNode.cs:270-272):
+        # the reference's streaming resampler CONSUMES ahead of production
+        # (4-sample warmup + floor(m*rate) by output m), so a block whose
+        # consumed position has reached durationEnd plays silence even when
+        # one interpolated output is still latent in the S-registers.
+        p0 = state["pos"]
+        consumed_b = p0 + 4.0 + jnp.floor((x0 + du_b) - p0 - 1.0)  # [S]
+        valid = valid & (looping | (consumed_b < de))[:, None]
         gate = active[:, None] & valid
         out = jnp.where(gate[None], out, 0.0)
 
@@ -875,6 +883,12 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         de_i = de.astype(jnp.int32)
         end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
         valid = jnp.where(looping, jnp.bool_(True), base_orig + 2 <= end_bound - 1)
+        # Consumed-position block gate — see _process_resample; the advance
+        # per active block is exactly 128*p/q on the 1/q grid.
+        p0 = state["pos"]
+        x_b = x0 + bidx.astype(jnp.float64) * (FRAMES_PER_BLOCK * p / q)
+        consumed_b = p0 + 4.0 + jnp.floor(x_b - p0 - 1.0)  # [S]
+        valid = valid & (looping | (consumed_b < de))[:, None]
         gate = active[:, None] & valid
         out = jnp.where(gate[None], samples, 0.0)
 

@@ -213,8 +213,15 @@ def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt):
     ).astype(jnp.float32)  # [n]
 
     # idx = number of events with event.time <= t (reference walks while
-    # `t >= evt.Time`, AudioParam.cs:181): t >= times[k] <=> io >= rel[s,k].
-    ge = io[None, :, None] >= rel[:, None, :]  # [S, n, cap]
+    # `t >= evt.Time`, AudioParam.cs:181). The comparison runs in f64
+    # ABSOLUTE time: event times routinely coincide with sample instants
+    # (e.g. setValueAtTime at k/8 s), and classifying the boundary sample
+    # through f32 relative coordinates snaps it the wrong way. f64 compares
+    # are cheap (no multiplies); only the curve VALUE math stays f32.
+    ts = block_times[:, None] + (
+        jnp.arange(n_per_block, dtype=jnp.float64) * sample_dt
+    )[None, :]  # [S, n] f64, exactly blockTime + i*deltaTime
+    ge = ts[:, :, None] >= times[None, None, :]  # [S, n, cap]
     idx = jnp.minimum(jnp.sum(ge, axis=-1).astype(jnp.int32), n)  # [S, n]
     prev = jnp.maximum(idx - 1, 0)
     nxt = jnp.minimum(idx, cap - 1)

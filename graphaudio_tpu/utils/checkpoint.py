@@ -56,6 +56,7 @@ def save_context_state(context, path) -> None:
         "sample_rate": context.sample_rate,
         "superblock": context.superblock,
         "current_frame": context._current_frame,
+        "current_time": context._current_time,
         "leaf_paths": leaf_paths,
         "params": params,
     }
@@ -119,6 +120,12 @@ def load_context_state(context, path) -> None:
             )
     context._states = jax.tree_util.tree_unflatten(treedef, leaves)
     context._current_frame = int(manifest["current_frame"])
+    # Older checkpoints predate the accumulated clock; the frame-derived
+    # value differs only at the ~1e-13 level.
+    context._current_time = float(
+        manifest.get("current_time",
+                     context._current_frame / context.sample_rate)
+    )
 
     by_key = {(p["node_id"], p["name"]): p for p in manifest["params"]}
     for node in context._compiled.topo:

@@ -1,0 +1,218 @@
+"""Whole-graph comparison against the independent numpy oracle.
+
+The oracle (graphaudio_tpu/testing/oracle.py) implements the reference's
+per-block pull semantics literally — per-sample automation walk, streaming
+CubicResampler, sequential f32 biquad, partitioned convolver with a
+frequency-domain delay line — and shares no code with the TPU renderer.
+
+Each test builds the same graph in both systems (structurally identical to
+the BASELINE.json benchmark configs, at reduced duration/voice counts so the
+deliberately slow oracle stays test-sized) and asserts sample-level
+agreement. Tolerances reflect unavoidable f32 reassociation between the
+sequential reference arithmetic and the TPU's batched forms; they are far
+below audibility and catch any semantic divergence (wrong event boundary,
+off-by-one position, wrong mixing rule) which shows up at 1e-2+.
+"""
+
+import numpy as np
+import pytest
+
+import graphaudio_tpu as ga
+from graphaudio_tpu.testing.oracle import (
+    OracleBiQuad,
+    OracleBufferSource,
+    OracleConvolver,
+    OracleContext,
+    OracleGain,
+)
+
+SR = 48000
+
+
+def render_both(build, frames):
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=8)
+    octx = OracleContext(sample_rate=SR)
+    build(ctx, ga_api=True)
+    build(octx, ga_api=False)
+    got = np.asarray(ctx.render(frames))
+    want = octx.render(frames)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    return got, want
+
+
+def test_config1_buffer_gain(rng):
+    """BASELINE config 1: stereo source -> gain -> destination (bit-exact:
+    the unity path is a copy and the gain is an elementwise f32 multiply)."""
+    n = SR  # 1 s
+    left = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    right = (rng.standard_normal(n) * 0.3).astype(np.float32)
+
+    def build(ctx, ga_api):
+        if ga_api:
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(
+                left, right, SR
+            )
+            g = ga.GainNode(ctx)
+            g.gain.value = 0.8
+            src.connect(g).connect(ctx.destination)
+            src.start(0)
+        else:
+            src = OracleBufferSource(ctx)
+            src.set_buffer(np.stack([left, right]), SR)
+            g = OracleGain(ctx)
+            g.gain.value = 0.8
+            src.connect(g).connect(ctx.destination)
+            src.start(0)
+
+    got, want = render_both(build, frames=SR // 2)
+    assert np.max(np.abs(got - want)) == 0.0
+
+
+def test_config2_mix_bus_ramps(rng):
+    """BASELINE config 2: 8-voice mix bus, linear + exponential gain ramps."""
+    voices = 8
+    sigs = [(rng.standard_normal(SR // 2) * 0.1).astype(np.float32)
+            for _ in range(voices)]
+
+    def build(ctx, ga_api):
+        for v in range(voices):
+            if ga_api:
+                src = ga.AudioBufferSourceNode(ctx)
+                src.buffer = ga.PlayableAudioBuffer.from_mono_array(
+                    sigs[v], SR
+                )
+                g = ga.GainNode(ctx)
+                gain = g.gain
+            else:
+                src = OracleBufferSource(ctx)
+                src.set_buffer(sigs[v], SR)
+                g = OracleGain(ctx)
+                gain = g.gain
+            src.loop = True
+            for t8 in range(0, 8):  # events every 1/8 s
+                t = t8 / 8.0
+                gain.set_value_at_time(0.05, t)
+                if v % 2 == 0:
+                    gain.linear_ramp_to_value_at_time(0.8, t + 1 / 16.0)
+                else:
+                    gain.exponential_ramp_to_value_at_time(0.8, t + 1 / 16.0)
+            src.connect(g).connect(ctx.destination)
+            src.start(0)
+
+    got, want = render_both(build, frames=SR // 2)
+    assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_config3_biquad_eq_chain(rng):
+    """BASELINE config 3: 4 cascaded biquads with automated frequency/Q."""
+    sig = (rng.standard_normal(SR // 2) * 0.2).astype(np.float32)
+    types_ga = [ga.FilterType.LOWPASS, ga.FilterType.PEAKING,
+                ga.FilterType.PEAKING, ga.FilterType.HIGHPASS]
+    types_o = ["lowpass", "peaking", "peaking", "highpass"]
+
+    def build(ctx, ga_api):
+        if ga_api:
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(
+                sig, sig[::-1].copy(), SR
+            )
+            node = src
+            types = types_ga
+            mk = lambda t: ga.BiQuadFilterNode(ctx, type=t)  # noqa: E731
+        else:
+            src = OracleBufferSource(ctx)
+            src.set_buffer(np.stack([sig, sig[::-1]]), SR)
+            node = src
+            types = types_o
+            mk = lambda t: OracleBiQuad(ctx, type=t)  # noqa: E731
+        src.loop = True
+        for i, t in enumerate(types):
+            flt = mk(t)
+            peaking = (t == ga.FilterType.PEAKING) if ga_api \
+                else (t == "peaking")
+            flt.gain.value = 3.0 if peaking else 0.0
+            for s8 in range(0, 4):
+                sec = s8 / 8.0
+                flt.frequency.set_value_at_time(200.0 * (i + 1), sec)
+                flt.frequency.linear_ramp_to_value_at_time(
+                    2000.0 * (i + 1), sec + 0.1
+                )
+                flt.q.set_value_at_time(0.5, sec)
+                flt.q.linear_ramp_to_value_at_time(4.0, sec + 0.1)
+            node = node.connect(flt)
+        node.connect(ctx.destination)
+        src.start(0)
+
+    got, want = render_both(build, frames=SR // 2)
+    assert np.max(np.abs(got - want)) < 2e-4  # IIR reassociation drift
+
+
+def test_config4_conv_reverb(rng):
+    """BASELINE config 4 (reduced): 8 voices -> 44.1k->48k cubic resampler
+    -> partitioned convolver (0.25 s stereo IR) -> master gain."""
+    voices = 8
+    ir_len = SR // 4
+    decay = np.exp(-np.arange(ir_len) / (0.05 * SR))
+    ir_l = (rng.standard_normal(ir_len) * decay).astype(np.float32)
+    ir_r = (rng.standard_normal(ir_len) * decay).astype(np.float32)
+    sigs = [(rng.standard_normal(22050) * 0.05).astype(np.float32)
+            for _ in range(voices)]
+
+    def build(ctx, ga_api):
+        if ga_api:
+            master = ga.GainNode(ctx)
+            master.gain.value = 0.5
+            conv = ga.ConvolverNode(ctx)
+            conv.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(
+                ir_l, ir_r, SR
+            )
+            conv.connect(master).connect(ctx.destination)
+            for v in range(voices):
+                src = ga.AudioBufferSourceNode(ctx)
+                src.buffer = ga.PlayableAudioBuffer.from_mono_array(
+                    sigs[v], 44100
+                )
+                src.loop = True
+                src.playback_rate.value = 1.0
+                src.connect(conv)
+                src.start(0)
+        else:
+            master = OracleGain(ctx)
+            master.gain.value = 0.5
+            conv = OracleConvolver(ctx)
+            conv.set_buffer(np.stack([ir_l, ir_r]), SR)
+            conv.connect(master).connect(ctx.destination)
+            for v in range(voices):
+                src = OracleBufferSource(ctx)
+                src.set_buffer(sigs[v], 44100)
+                src.loop = True
+                src.playback_rate.value = 1.0
+                src.connect(conv)
+                src.start(0)
+
+    got, want = render_both(build, frames=SR // 4)
+    scale = max(1.0, float(np.max(np.abs(want))))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_resampler_nonloop_tail_matches_oracle(rng):
+    """Resample path without looping: end-of-buffer starvation, auto-stop."""
+    sig = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+
+    def build(ctx, ga_api):
+        if ga_api:
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, 44100)
+            src.playback_rate.value = 1.0
+            src.connect(ctx.destination)
+            src.start(0)
+        else:
+            src = OracleBufferSource(ctx)
+            src.set_buffer(sig, 44100)
+            src.playback_rate.value = 1.0
+            src.connect(ctx.destination)
+            src.start(0)
+
+    got, want = render_both(build, frames=SR // 4)
+    assert np.max(np.abs(got - want)) < 1e-6
