@@ -11,6 +11,7 @@ libmpg123/libvorbisfile, dlopen'd at runtime; see codec_capabilities())
 from graphaudio_tpu.io.decode import (
     AudioDecoder,
     codec_capabilities,
+    write_flac,
     write_mp3,
     write_ogg,
     write_wav,
@@ -20,6 +21,7 @@ from graphaudio_tpu.io.stream import AudioDecoderStreamNode, StreamState
 __all__ = [
     "AudioDecoder",
     "codec_capabilities",
+    "write_flac",
     "write_mp3",
     "write_ogg",
     "write_wav",

@@ -202,6 +202,24 @@ class AudioDecoder:
 
     load_from_stream = load_from_bytes
 
+    @staticmethod
+    async def load_from_file_async(path) -> PlayableAudioBuffer:
+        """Awaitable decode — runs off-thread (parity: LoadFromFileAsync,
+        LibsndfileDecoder.cs:186-210)."""
+        import asyncio
+
+        return await asyncio.to_thread(AudioDecoder.load_from_file, path)
+
+    @staticmethod
+    async def load_from_bytes_async(data) -> PlayableAudioBuffer:
+        """Awaitable decode (parity: LoadFromStreamAsync,
+        LibsndfileDecoder.cs:212-234)."""
+        import asyncio
+
+        return await asyncio.to_thread(AudioDecoder.load_from_bytes, data)
+
+    load_from_stream_async = load_from_bytes_async
+
 
 def write_wav(path, data: np.ndarray, sample_rate: int, float32: bool = False) -> None:
     """Write planar f32[channels, n] audio as a WAV file (native encoder,
@@ -242,14 +260,17 @@ def codec_capabilities() -> dict:
     lib = native.load()
     if lib is None:
         return {"wav": True, "aiff": False, "mp3": False, "ogg": False,
-                "mp3_encode": False, "ogg_encode": False}
+                "flac": False, "mp3_encode": False, "ogg_encode": False,
+                "flac_encode": False}
     return {
         "wav": True,
         "aiff": True,
         "mp3": bool(lib.gac_has_mp3()),
         "ogg": bool(lib.gac_has_vorbis()),
+        "flac": bool(lib.gac_has_flac()),
         "mp3_encode": bool(lib.gac_has_mp3_encode()),
         "ogg_encode": bool(lib.gac_has_vorbis_encode()),
+        "flac_encode": bool(lib.gac_has_flac_encode()),
     }
 
 
@@ -275,6 +296,24 @@ def write_mp3(path, data: np.ndarray, sample_rate: int, bitrate_kbps: int = 192)
     )
     if r != 0:
         raise RuntimeError("MP3 encoding failed")
+
+
+def write_flac(path, data: np.ndarray, sample_rate: int, bits: int = 16) -> None:
+    """Encode planar f32[channels, n] audio as FLAC (native encoder: fixed
+    predictors + Rice coding; 16- or 24-bit). Lossless at the chosen bit
+    depth. Parity surface: libsndfile SF_FORMAT_FLAC
+    (GraphAudio.IO/Libsndfile.cs format table)."""
+    data, inter = _interleave(data)
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError("FLAC encoding unavailable (native codec not built)")
+    r = lib.gac_write_flac(
+        os.fspath(path).encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[1], data.shape[0], int(sample_rate), int(bits),
+    )
+    if r != 0:
+        raise RuntimeError("FLAC encoding failed")
 
 
 def write_ogg(path, data: np.ndarray, sample_rate: int, quality: float = 0.5) -> None:

@@ -53,6 +53,13 @@ def _configure(lib) -> None:
             c.c_int,
             [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_float],
         ),
+        # FLAC is implemented natively (no system library).
+        "gac_has_flac": (c.c_int, []),
+        "gac_has_flac_encode": (c.c_int, []),
+        "gac_write_flac": (
+            c.c_int,
+            [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
+        ),
     }
     for name, (restype, argtypes) in sigs.items():
         f = getattr(lib, name)

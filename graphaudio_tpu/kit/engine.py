@@ -150,13 +150,52 @@ class AudioEngine:
             print(f"[AudioEngine] Error in play_one_shot: {ex}")
             return None
 
-    def preload_buffers(self, paths) -> None:
-        """Parity: PreloadBuffersAsync (:238-252)."""
+    def preload_buffers(self, paths, max_workers: int = 8) -> None:
+        """Load a batch of buffers into the cache, decoding in PARALLEL on a
+        thread pool (the native codec releases the GIL). Parity:
+        PreloadBuffersAsync fans out one task per path and awaits them all
+        (AudioEngine.cs:238-252)."""
         self._check()
         if self.data_provider is None:
             raise RuntimeError("data_provider must be set before loading buffers.")
-        for p in paths:
-            self.buffer_cache.get_or_load(p, self.data_provider)
+        paths = list(paths)
+        if len(paths) <= 1:
+            for p in paths:
+                self.buffer_cache.get_or_load(p, self.data_provider)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(max_workers, len(paths))) as pool:
+            # list() propagates the first exception, like Task.WhenAll
+            list(pool.map(
+                lambda p: self.buffer_cache.get_or_load(p, self.data_provider),
+                paths,
+            ))
+
+    async def preload_buffers_async(self, paths, max_workers: int = 8) -> None:
+        """Awaitable preload (parity: PreloadBuffersAsync, :238-252)."""
+        import asyncio
+
+        await asyncio.to_thread(self.preload_buffers, paths, max_workers)
+
+    async def create_buffered_sound_async(
+        self, path: str, mix_state: SoundMixState = SoundMixState.DIRECT,
+        bus: Optional[AudioBus] = None,
+    ) -> "BufferedSound":
+        """Awaitable sound creation: the decode runs off-thread (parity:
+        CreateBufferedSoundAsync, AudioEngine.cs:135-160)."""
+        import asyncio
+
+        self._check()
+        if self.data_provider is None:
+            raise RuntimeError("data_provider must be set before creating sounds.")
+        buffer = await asyncio.to_thread(
+            self.buffer_cache.get_or_load, path, self.data_provider
+        )
+        sound = BufferedSound(self, buffer, mix_state, bus)
+        with self._lock:
+            self._sounds.append(sound)
+        return sound
 
     # -- per-frame update (parity: :210-233) ---------------------------------------------
 

@@ -17,6 +17,7 @@
 //
 // Build: g++ -O2 -shared -fPIC -o libgacodec.so gacodec.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cmath>
 #include <cstdio>
@@ -44,10 +45,12 @@ struct Decoder {
     int64_t total_frames = 0;
     int64_t frame_pos = 0;   // current frame position
 
-    // compressed backends (0 = raw pcm parser, 1 = mpg123, 2 = vorbisfile)
+    // compressed backends (0 = raw pcm parser, 1 = mpg123, 2 = vorbisfile,
+    // 3 = native FLAC)
     int backend = 0;
     void* mh = nullptr;           // mpg123 handle
     void* vf = nullptr;           // OggVorbis_File storage
+    void* flac = nullptr;         // FlacStream storage
     std::vector<float> carry;     // interleaved overflow from block decodes
     size_t carry_pos = 0;
 
@@ -648,6 +651,474 @@ VorbisEncApi& vorbisenc_api() {
     return a;
 }
 
+// ---- FLAC (native, from the format spec — no libFLAC dependency) ------------
+//
+// Decoder: full subframe coverage (CONSTANT / VERBATIM / FIXED 0-4 /
+// LPC 1-32), Rice and Rice2 residual partitions with escape codes, wasted
+// bits, and all four channel assignments (independent, left/side,
+// right/side, mid/side). Plays the role of libsndfile's FLAC support
+// (GraphAudio.IO/Libsndfile.cs:26-68 format table). Frame CRCs are parsed
+// but not verified (decode errors surface as sync loss instead).
+// Encoder: streamable subset with fixed predictors (orders 0-2, best by
+// residual magnitude) + Rice coding, correct header CRC-8 / frame CRC-16.
+
+struct FlacBitReader {
+    Decoder* d = nullptr;
+    uint64_t bitbuf = 0;  // MSB-justified bits
+    int nbits = 0;
+    bool eof = false;
+
+    bool fill() {
+        // NOTE: running out of file bytes is NOT eof for the reader — the
+        // final frame legitimately drains the buffered tail; only a read
+        // that cannot be satisfied from the remaining bits flags eof.
+        while (nbits <= 56) {
+            uint8_t b;
+            if (!dread(d, &b, 1)) return false;
+            bitbuf |= uint64_t(b) << (56 - nbits);
+            nbits += 8;
+        }
+        return true;
+    }
+    // Read up to 32 bits (n >= 1).
+    uint32_t bits(int n) {
+        if (nbits < n && !fill() && nbits < n) { eof = true; return 0; }
+        uint32_t v = uint32_t(bitbuf >> (64 - n));
+        bitbuf <<= n;
+        nbits -= n;
+        return v;
+    }
+    int32_t sbits(int n) {
+        uint32_t v = bits(n);
+        // sign-extend
+        if (n < 32 && (v & (1u << (n - 1)))) v |= ~((1u << n) - 1);
+        return int32_t(v);
+    }
+    uint32_t unary() {
+        uint32_t q = 0;
+        for (;;) {
+            if (nbits == 0) {
+                fill();
+                if (nbits == 0) { eof = true; return q; }
+            }
+            if (bitbuf == 0) {  // all zeros buffered
+                q += nbits;
+                bitbuf = 0;
+                nbits = 0;
+                continue;
+            }
+            int lead = __builtin_clzll(bitbuf);
+            if (lead >= nbits) {
+                q += nbits;
+                bitbuf = 0;
+                nbits = 0;
+                continue;
+            }
+            q += lead;
+            bitbuf <<= lead + 1;
+            nbits -= lead + 1;
+            return q;
+        }
+    }
+    void align() {
+        int drop = nbits % 8;
+        bitbuf <<= drop;
+        nbits -= drop;
+    }
+    int64_t byte_pos() {  // position of the next unconsumed byte
+        return dtell(d) - nbits / 8;
+    }
+    void reset_at(int64_t pos) {
+        dseek(d, pos);
+        bitbuf = 0;
+        nbits = 0;
+        eof = false;
+    }
+};
+
+struct FlacStream {
+    FlacBitReader br;
+    int64_t first_frame_off = 0;
+    int streaminfo_bps = 16;
+    uint32_t max_block = 4096;
+    std::vector<int64_t> ch[8];  // per-channel sample workspace
+};
+
+bool flac_decode_frame(Decoder* d, FlacStream* fs, std::vector<float>& out,
+                       uint32_t* out_frames) {
+    FlacBitReader& br = fs->br;
+    *out_frames = 0;
+    // Sync: 11111111 111110xx
+    uint32_t sync = br.bits(14);
+    if (br.eof) return false;
+    if (sync != 0x3FFE) return false;
+    br.bits(1);  // reserved
+    br.bits(1);  // blocking strategy
+    uint32_t bs_code = br.bits(4);
+    uint32_t sr_code = br.bits(4);
+    uint32_t ch_asgn = br.bits(4);
+    uint32_t ss_code = br.bits(3);
+    br.bits(1);  // reserved
+    // UTF-8 coded frame/sample number (up to 7 bytes), value unused — we
+    // track position ourselves.
+    uint32_t lead = br.bits(8);
+    int follow = 0;
+    if (lead >= 0xC0) {
+        uint32_t m = 0xE0;
+        follow = 1;
+        while (lead >= m && follow < 6) { m = (m >> 1) | 0x80; follow++; }
+        follow -= 1;
+        for (int i = 0; i < follow + 1 && !br.eof; i++) br.bits(8);
+    }
+    uint32_t block = 0;
+    switch (bs_code) {
+        case 1: block = 192; break;
+        case 2: case 3: case 4: case 5: block = 576u << (bs_code - 2); break;
+        case 6: block = br.bits(8) + 1; break;
+        case 7: block = br.bits(16) + 1; break;
+        default:
+            if (bs_code >= 8) block = 256u << (bs_code - 8);
+            else return false;  // 0 reserved
+    }
+    if (sr_code == 12) br.bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.bits(16);
+    else if (sr_code == 15) return false;
+    br.bits(8);  // header CRC-8 (unverified)
+
+    int channels;
+    int mode = 0;  // 0 independent, 1 L/S, 2 R/S, 3 M/S
+    if (ch_asgn <= 7) channels = int(ch_asgn) + 1;
+    else if (ch_asgn <= 10) { channels = 2; mode = int(ch_asgn) - 7; }
+    else return false;
+    if (channels != d->channels) return false;
+
+    int bps;
+    switch (ss_code) {
+        case 0: bps = fs->streaminfo_bps; break;
+        case 1: bps = 8; break;
+        case 2: bps = 12; break;
+        case 4: bps = 16; break;
+        case 5: bps = 20; break;
+        case 6: bps = 24; break;
+        case 7: bps = 32; break;
+        default: return false;
+    }
+    if (block == 0 || block > (1u << 16)) return false;
+
+    for (int c = 0; c < channels; c++) {
+        std::vector<int64_t>& s = fs->ch[c];
+        s.assign(block, 0);
+        int sub_bps = bps;
+        if ((mode == 1 && c == 1) || (mode == 2 && c == 0) ||
+            (mode == 3 && c == 1))
+            sub_bps += 1;  // side channel carries one extra bit
+        // subframe header
+        if (br.bits(1) != 0) return false;
+        uint32_t type = br.bits(6);
+        int wasted = 0;
+        if (br.bits(1)) wasted = int(br.unary()) + 1;
+        sub_bps -= wasted;
+        // (33-bit side subframes — 32-bit sources with inter-channel
+        // decorrelation — are not supported; nothing common emits them.)
+        if (sub_bps < 1 || sub_bps > 32) return false;
+
+        int order = 0;
+        bool is_lpc = false, is_fixed = false;
+        if (type == 0) {  // CONSTANT
+            int64_t v = br.sbits(sub_bps);
+            for (uint32_t i = 0; i < block; i++) s[i] = v;
+        } else if (type == 1) {  // VERBATIM
+            for (uint32_t i = 0; i < block; i++) s[i] = br.sbits(sub_bps);
+        } else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {  // FIXED
+            is_fixed = true;
+            order = int(type & 7);
+        } else if (type & 0x20) {  // LPC
+            is_lpc = true;
+            order = int(type & 0x1F) + 1;
+        } else {
+            return false;
+        }
+
+        if (is_fixed || is_lpc) {
+            if (uint32_t(order) > block) return false;
+            for (int i = 0; i < order; i++) s[i] = br.sbits(sub_bps);
+            int qshift = 0, prec = 0;
+            int32_t qlp[32];
+            if (is_lpc) {
+                prec = int(br.bits(4)) + 1;
+                if (prec == 16) return false;  // code 15 invalid
+                qshift = br.sbits(5);
+                if (qshift < 0) return false;
+                for (int i = 0; i < order; i++) qlp[i] = br.sbits(prec);
+            }
+            // residual
+            uint32_t method = br.bits(2);
+            if (method > 1) return false;
+            int pbits = method == 0 ? 4 : 5;
+            uint32_t escape = method == 0 ? 0xF : 0x1F;
+            uint32_t po = br.bits(4);
+            uint32_t nparts = 1u << po;
+            if ((block >> po) == 0 || (block % nparts) != 0) return false;
+            uint32_t idx = uint32_t(order);
+            for (uint32_t part = 0; part < nparts; part++) {
+                uint32_t cnt = (block >> po) - (part == 0 ? order : 0);
+                uint32_t param = br.bits(pbits);
+                if (param == escape) {
+                    uint32_t raw = br.bits(5);
+                    for (uint32_t i = 0; i < cnt; i++)
+                        s[idx++] = raw ? br.sbits(int(raw)) : 0;
+                } else {
+                    for (uint32_t i = 0; i < cnt; i++) {
+                        uint32_t q = br.unary();
+                        uint32_t r = param ? br.bits(int(param)) : 0;
+                        uint64_t u = (uint64_t(q) << param) | r;
+                        s[idx++] = (u & 1) ? -int64_t(u >> 1) - 1
+                                           : int64_t(u >> 1);
+                    }
+                }
+                if (br.eof) return false;
+            }
+            // prediction
+            if (is_fixed) {
+                switch (order) {
+                    case 0: break;
+                    case 1:
+                        for (uint32_t i = 1; i < block; i++) s[i] += s[i - 1];
+                        break;
+                    case 2:
+                        for (uint32_t i = 2; i < block; i++)
+                            s[i] += 2 * s[i - 1] - s[i - 2];
+                        break;
+                    case 3:
+                        for (uint32_t i = 3; i < block; i++)
+                            s[i] += 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3];
+                        break;
+                    case 4:
+                        for (uint32_t i = 4; i < block; i++)
+                            s[i] += 4 * s[i - 1] - 6 * s[i - 2] +
+                                    4 * s[i - 3] - s[i - 4];
+                        break;
+                }
+            } else {
+                for (uint32_t i = uint32_t(order); i < block; i++) {
+                    int64_t acc = 0;
+                    for (int j = 0; j < order; j++)
+                        acc += int64_t(qlp[j]) * s[i - 1 - j];
+                    s[i] += acc >> qshift;
+                }
+            }
+        }
+        if (wasted)
+            for (uint32_t i = 0; i < block; i++) s[i] <<= wasted;
+    }
+    br.align();
+    br.bits(16);  // frame CRC-16 (unverified)
+    if (br.eof) return false;
+
+    // channel decorrelation
+    if (mode == 1) {  // left/side: R = L - S
+        for (uint32_t i = 0; i < block; i++)
+            fs->ch[1][i] = fs->ch[0][i] - fs->ch[1][i];
+    } else if (mode == 2) {  // right/side (stored side, right): L = S + R
+        for (uint32_t i = 0; i < block; i++)
+            fs->ch[0][i] = fs->ch[0][i] + fs->ch[1][i];
+    } else if (mode == 3) {  // mid/side
+        for (uint32_t i = 0; i < block; i++) {
+            int64_t side = fs->ch[1][i];
+            int64_t mid = (fs->ch[0][i] << 1) | (side & 1);
+            fs->ch[0][i] = (mid + side) >> 1;
+            fs->ch[1][i] = (mid - side) >> 1;
+        }
+    }
+
+    float scale = 1.0f / float(1u << (bps - 1));
+    if (bps == 32) scale = 1.0f / 2147483648.0f;
+    out.resize(size_t(block) * channels);
+    for (uint32_t i = 0; i < block; i++)
+        for (int c = 0; c < channels; c++)
+            out[size_t(i) * channels + c] = float(fs->ch[c][i]) * scale;
+    *out_frames = block;
+    return true;
+}
+
+bool open_flac(Decoder* d) {
+    uint8_t magic[4];
+    if (!dseek(d, 0) || !dread(d, magic, 4)) return false;
+    if (memcmp(magic, "fLaC", 4) != 0) return false;
+    bool got_streaminfo = false;
+    FlacStream* fs = new FlacStream();
+    for (;;) {
+        uint8_t h[4];
+        if (!dread(d, h, 4)) { delete fs; return false; }
+        bool last = (h[0] & 0x80) != 0;
+        int type = h[0] & 0x7F;
+        uint32_t len = (uint32_t(h[1]) << 16) | (uint32_t(h[2]) << 8) | h[3];
+        if (type == 0) {  // STREAMINFO
+            if (len < 34) { delete fs; return false; }
+            uint8_t si[34];
+            if (!dread(d, si, 34)) { delete fs; return false; }
+            if (len > 34 && !dseek(d, dtell(d) + (len - 34))) {
+                delete fs; return false;
+            }
+            fs->max_block = rd_u16be(si + 2);
+            d->sample_rate = int((uint32_t(si[10]) << 12) |
+                                 (uint32_t(si[11]) << 4) | (si[12] >> 4));
+            d->channels = int((si[12] >> 1) & 0x7) + 1;
+            fs->streaminfo_bps =
+                int(((si[12] & 1) << 4) | (si[13] >> 4)) + 1;
+            d->total_frames =
+                (int64_t(si[13] & 0x0F) << 32) | int64_t(rd_u32be(si + 14));
+            got_streaminfo = true;
+        } else {
+            if (!dseek(d, dtell(d) + len)) { delete fs; return false; }
+        }
+        if (last) break;
+    }
+    if (!got_streaminfo || d->channels < 1 || d->channels > 8 ||
+        d->sample_rate < 1 || fs->streaminfo_bps < 4 ||
+        fs->streaminfo_bps > 32) {
+        delete fs;
+        return false;
+    }
+    d->bits = fs->streaminfo_bps;
+    d->format = 0;
+    d->backend = 3;
+    d->flac = fs;
+    fs->first_frame_off = dtell(d);
+    fs->br.d = d;
+    fs->br.reset_at(fs->first_frame_off);
+    return true;
+}
+
+int64_t read_flac(Decoder* d, float* out, int64_t frames) {
+    FlacStream* fs = (FlacStream*)d->flac;
+    int ch = d->channels;
+    int64_t got = 0;
+    while (got < frames) {
+        if (d->carry_pos < d->carry.size()) {
+            int64_t have = int64_t(d->carry.size() - d->carry_pos) / ch;
+            int64_t take = std::min(have, frames - got);
+            memcpy(out + got * ch, d->carry.data() + d->carry_pos,
+                   size_t(take) * ch * 4);
+            d->carry_pos += size_t(take) * ch;
+            got += take;
+            continue;
+        }
+        if (d->total_frames > 0 && d->frame_pos + got >= d->total_frames)
+            break;
+        std::vector<float> block;
+        uint32_t n = 0;
+        if (!flac_decode_frame(d, fs, block, &n) || n == 0) break;
+        d->carry = std::move(block);
+        d->carry_pos = 0;
+    }
+    d->frame_pos += got;
+    return got;
+}
+
+int flac_seek(Decoder* d, int64_t frame) {
+    FlacStream* fs = (FlacStream*)d->flac;
+    if (frame < d->frame_pos) {
+        fs->br.reset_at(fs->first_frame_off);
+        d->carry.clear();
+        d->carry_pos = 0;
+        d->frame_pos = 0;
+    }
+    // Decode-and-discard forward (no SEEKTABLE use; exact and simple).
+    while (d->frame_pos < frame) {
+        int64_t skip = frame - d->frame_pos;
+        std::vector<float> tmp(size_t(std::min<int64_t>(skip, 4096)) *
+                               d->channels);
+        int64_t n = read_flac(d, tmp.data(),
+                              std::min<int64_t>(skip, 4096));
+        if (n <= 0) return -1;
+    }
+    return 0;
+}
+
+// ---- FLAC encoder (fixed predictors + Rice; streamable subset) --------------
+
+struct FlacBitWriter {
+    std::vector<uint8_t> bytes;
+    uint64_t acc = 0;
+    int nacc = 0;
+    size_t crc16_from = 0;
+
+    void put(uint32_t v, int n) {
+        acc = (acc << n) | (uint64_t(v) & ((n == 64 ? ~0ull : (1ull << n) - 1)));
+        nacc += n;
+        while (nacc >= 8) {
+            bytes.push_back(uint8_t(acc >> (nacc - 8)));
+            nacc -= 8;
+        }
+    }
+    void sput(int32_t v, int n) { put(uint32_t(v), n); }
+    void align() { if (nacc) put(0, 8 - nacc); }
+};
+
+uint8_t flac_crc8(const uint8_t* p, size_t n) {
+    uint8_t crc = 0;
+    for (size_t i = 0; i < n; i++) {
+        crc ^= p[i];
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x80) ? uint8_t((crc << 1) ^ 0x07) : uint8_t(crc << 1);
+    }
+    return crc;
+}
+
+uint16_t flac_crc16(const uint8_t* p, size_t n) {
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; i++) {
+        crc ^= uint16_t(p[i]) << 8;
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x8000) ? uint16_t((crc << 1) ^ 0x8005)
+                                 : uint16_t(crc << 1);
+    }
+    return crc;
+}
+
+void flac_utf8_number(FlacBitWriter& w, uint64_t v) {
+    if (v < 0x80) { w.put(uint32_t(v), 8); return; }
+    int n = 1;
+    uint64_t lim = 0x800;
+    while (v >= lim && n < 6) { lim <<= 5; n++; }
+    // n continuation bytes
+    uint32_t first = uint32_t((0xFFu << (7 - n)) & 0xFF) |
+                     uint32_t(v >> (6 * n));
+    w.put(first, 8);
+    for (int i = n - 1; i >= 0; i--)
+        w.put(0x80u | (uint32_t(v >> (6 * i)) & 0x3F), 8);
+}
+
+void flac_rice_encode(FlacBitWriter& w, const int32_t* res, uint32_t n) {
+    // choose the Rice parameter from the mean magnitude; switch to the
+    // Rice2 method (5-bit parameters) when 24-bit-scale residuals need
+    // parameters beyond the 4-bit range
+    uint64_t sum = 0;
+    for (uint32_t i = 0; i < n; i++)
+        sum += uint64_t(res[i] < 0 ? -(int64_t)res[i] : res[i]);
+    int param = 0;
+    uint64_t mean = n ? sum / n : 0;
+    while ((1ull << (param + 1)) < mean + 1 && param < 30) param++;
+    if (param <= 14) {
+        w.put(0, 2);  // method: 4-bit Rice
+        w.put(0, 4);  // partition order 0
+        w.put(uint32_t(param), 4);
+    } else {
+        w.put(1, 2);  // method: 5-bit Rice2
+        w.put(0, 4);
+        w.put(uint32_t(param), 5);
+    }
+    for (uint32_t i = 0; i < n; i++) {
+        int64_t v = res[i];
+        uint64_t u = v < 0 ? (uint64_t(-(v + 1)) << 1) | 1 : uint64_t(v) << 1;
+        uint64_t q = u >> param;
+        for (; q >= 32; q -= 32) w.put(0, 32);
+        w.put(1, int(q) + 1);  // q zeros then a 1
+        if (param) w.put(uint32_t(u & ((1ull << param) - 1)), param);
+    }
+}
+
 // ---- format sniffing + unified open -----------------------------------------
 
 bool open_any(Decoder* d) {
@@ -660,6 +1131,7 @@ bool open_any(Decoder* d) {
         return true;
     }
     if (memcmp(magic, "OggS", 4) == 0) return open_vorbis(d);
+    if (memcmp(magic, "fLaC", 4) == 0) return open_flac(d);
     // MP3: ID3 tag or an MPEG audio sync word right at the start. (mpg123
     // itself would resync into arbitrary junk, so gate on the magic.)
     if (memcmp(magic, "ID3", 3) == 0 ||
@@ -696,6 +1168,126 @@ int gac_has_mp3() { return mpg123_api().ok ? 1 : 0; }
 int gac_has_vorbis() { return vorbis_api().ok ? 1 : 0; }
 int gac_has_mp3_encode() { return lame_api().ok ? 1 : 0; }
 int gac_has_vorbis_encode() { return vorbisenc_api().ok ? 1 : 0; }
+int gac_has_flac() { return 1; }         // native decoder, no system library
+int gac_has_flac_encode() { return 1; }  // native encoder
+
+// Encode interleaved float32 frames as a FLAC file (fixed predictors 0-2 +
+// Rice residuals, fixed 4096-sample blocks). bits: 16 or 24. Returns 0 on
+// success. Parity surface: libsndfile SF_FORMAT_FLAC write support.
+int gac_write_flac(const char* path, const float* data, int64_t frames,
+                   int channels, int sample_rate, int bits) {
+    if (channels < 1 || channels > 8 || frames < 0) return -1;
+    if (bits != 16 && bits != 24) return -1;
+    if (sample_rate < 1 || sample_rate >= (1 << 20)) return -1;
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    const uint32_t BS = 4096;
+
+    // fLaC + STREAMINFO (last metadata block), MD5 unset (all zero = unknown)
+    uint8_t hdr[4 + 4 + 34] = {0};
+    memcpy(hdr, "fLaC", 4);
+    hdr[4] = 0x80;  // last block, type 0
+    hdr[7] = 34;
+    uint8_t* si = hdr + 8;
+    si[0] = BS >> 8; si[1] = BS & 0xFF;   // min blocksize
+    si[2] = BS >> 8; si[3] = BS & 0xFF;   // max blocksize
+    // min/max framesize: 0 = unknown (bytes 4-9 already zero)
+    uint32_t sr = uint32_t(sample_rate);
+    si[10] = uint8_t(sr >> 12);
+    si[11] = uint8_t(sr >> 4);
+    si[12] = uint8_t((sr & 0xF) << 4) | uint8_t((channels - 1) << 1) |
+             uint8_t((bits - 1) >> 4);
+    uint64_t total = uint64_t(frames);
+    si[13] = uint8_t(((bits - 1) & 0xF) << 4) | uint8_t((total >> 32) & 0xF);
+    si[14] = uint8_t(total >> 24);
+    si[15] = uint8_t(total >> 16);
+    si[16] = uint8_t(total >> 8);
+    si[17] = uint8_t(total);
+    if (fwrite(hdr, 1, sizeof(hdr), f) != sizeof(hdr)) { fclose(f); return -1; }
+
+    const int32_t maxv = (1 << (bits - 1)) - 1;
+    const int32_t minv = -(1 << (bits - 1));
+    // double-precision quantization: at 24-bit scale a float32 product has
+    // less resolution than the target grid
+    const double scale = double(1 << (bits - 1));
+    std::vector<int32_t> chan(BS);
+    std::vector<int32_t> res(BS);
+    uint64_t frame_no = 0;
+    int64_t pos = 0;
+    int rc = 0;
+    while (pos < frames || (frames == 0 && frame_no == 0)) {
+        uint32_t bs = uint32_t(std::min<int64_t>(BS, frames - pos));
+        if (bs == 0) break;
+        FlacBitWriter w;
+        // frame header: sync + fixed blocking
+        w.put(0x3FFE, 14);
+        w.put(0, 1);  // reserved
+        w.put(0, 1);  // fixed blocksize stream
+        w.put(bs == BS ? 12u : 7u, 4);       // 4096 = 256<<4; else 16-bit-1
+        w.put(0, 4);                          // sample rate: from STREAMINFO
+        w.put(uint32_t(channels - 1), 4);     // independent channels
+        w.put(bits == 16 ? 4u : 6u, 3);
+        w.put(0, 1);
+        flac_utf8_number(w, frame_no);
+        if (bs != BS) w.put(bs - 1, 16);
+        w.bytes.push_back(flac_crc8(w.bytes.data(), w.bytes.size()));
+
+        for (int c = 0; c < channels; c++) {
+            for (uint32_t i = 0; i < bs; i++) {
+                double v = double(data[(pos + i) * channels + c]) * scale;
+                int32_t q = int32_t(lrint(v));
+                chan[i] = q < minv ? minv : (q > maxv ? maxv : q);
+            }
+            // pick the fixed predictor (0-2) with the smallest |residual|
+            int best_order = 0;
+            uint64_t best_cost = ~0ull;
+            bool constant = true;
+            for (uint32_t i = 1; i < bs; i++)
+                if (chan[i] != chan[0]) { constant = false; break; }
+            if (constant) {
+                w.put(0, 1);
+                w.put(0, 6);  // CONSTANT
+                w.put(0, 1);
+                w.sput(chan[0], bits);
+                continue;
+            }
+            int max_order = bs > 2 ? 2 : int(bs) - 1;
+            for (int order = 0; order <= max_order; order++) {
+                uint64_t cost = 0;
+                for (uint32_t i = uint32_t(order); i < bs; i++) {
+                    int64_t r = chan[i];
+                    if (order >= 1) r -= chan[i - 1];
+                    if (order == 2) r -= int64_t(chan[i - 1]) - chan[i - 2];
+                    cost += uint64_t(r < 0 ? -r : r);
+                }
+                if (cost < best_cost) { best_cost = cost; best_order = order; }
+            }
+            for (uint32_t i = uint32_t(best_order); i < bs; i++) {
+                int64_t r = chan[i];
+                if (best_order >= 1) r -= chan[i - 1];
+                if (best_order == 2) r -= int64_t(chan[i - 1]) - chan[i - 2];
+                res[i - best_order] = int32_t(r);
+            }
+            w.put(0, 1);
+            w.put(0x08u | uint32_t(best_order), 6);  // FIXED
+            w.put(0, 1);                              // no wasted bits
+            for (int i = 0; i < best_order; i++) w.sput(chan[i], bits);
+            flac_rice_encode(w, res.data(), bs - uint32_t(best_order));
+        }
+        w.align();
+        uint16_t crc = flac_crc16(w.bytes.data(), w.bytes.size());
+        w.bytes.push_back(uint8_t(crc >> 8));
+        w.bytes.push_back(uint8_t(crc));
+        if (fwrite(w.bytes.data(), 1, w.bytes.size(), f) != w.bytes.size()) {
+            rc = -1;
+            break;
+        }
+        pos += bs;
+        frame_no++;
+    }
+    fclose(f);
+    return rc;
+}
 
 int gac_channels(void* h) { return ((Decoder*)h)->channels; }
 int gac_sample_rate(void* h) { return ((Decoder*)h)->sample_rate; }
@@ -706,6 +1298,11 @@ int64_t gac_read_f32(void* h, float* out, int64_t frames) {
     Decoder* d = (Decoder*)h;
     if (d->backend == 1) return read_mp3(d, out, frames);
     if (d->backend == 2) return read_vorbis(d, out, frames);
+    if (d->backend == 3) {
+        int64_t avail = d->total_frames - d->frame_pos;
+        if (d->total_frames > 0 && frames > avail) frames = avail;
+        return frames > 0 ? read_flac(d, out, frames) : 0;
+    }
     int64_t avail = d->total_frames - d->frame_pos;
     if (frames > avail) frames = avail;
     if (frames <= 0) return 0;
@@ -742,6 +1339,7 @@ int gac_seek(void* h, int64_t frame) {
         d->frame_pos = frame;
         return 0;
     }
+    if (d->backend == 3) return flac_seek(d, frame);
     if (!dseek(d, d->data_start + frame * int64_t(d->bytes_per_frame()))) return -1;
     d->frame_pos = frame;
     return 0;
@@ -759,6 +1357,7 @@ void gac_close(void* h) {
         vorbis_api().clear(d->vf);
         free(d->vf);
     }
+    if (d->backend == 3 && d->flac) delete (FlacStream*)d->flac;
     if (d->file) fclose(d->file);
     delete d;
 }

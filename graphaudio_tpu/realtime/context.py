@@ -52,7 +52,11 @@ class RealtimeAudioContext(AudioContextBase):
         # Ring capacity = bufferSize * 5 (parity :38).
         self.ring = RingBuffer(channels, buffer_size * 5)
 
-        self._device_name = device or "null"
+        # "auto" = real hardware (ALSA via dlopen'd libasound) when present,
+        # else the clock-paced null backend — the reference's miniaudio
+        # default-device behavior (Miniaudio.cs:303-349). Explicit "alsa"
+        # requests fail loudly instead of silently degrading.
+        self._device_name = device or "auto"
         self._lib = load_native()
         self._dev = None
         if self._lib is not None and self.ring.native_handle is not None:
@@ -63,6 +67,10 @@ class RealtimeAudioContext(AudioContextBase):
                 channels,
                 buffer_size,
             )
+            if self._dev is None:
+                raise RuntimeError(
+                    f"could not open audio device {self._device_name!r}"
+                )
 
         self._running = False
         self._thread_quit = False
@@ -86,7 +94,12 @@ class RealtimeAudioContext(AudioContextBase):
             s = ctypes.string_at(ctypes.addressof(buf) + off).decode()
             names.append(s)
             off += len(s) + 1
-        return [AudioDeviceInfo(nm, i == 0) for i, nm in enumerate(names)]
+        return [
+            AudioDeviceInfo(
+                nm, i == 0, "alsa" if nm.startswith("alsa") else "null"
+            )
+            for i, nm in enumerate(names)
+        ]
 
     @staticmethod
     def get_default_device() -> AudioDeviceInfo:
@@ -105,6 +118,8 @@ class RealtimeAudioContext(AudioContextBase):
             name.encode(), self.ring.native_handle,
             self.sample_rate, self.channels, self.buffer_size,
         )
+        if self._dev is None:
+            raise RuntimeError(f"could not open audio device {name!r}")
         if was_running:
             self._lib.gadev_start(self._dev)
 
@@ -132,6 +147,13 @@ class RealtimeAudioContext(AudioContextBase):
     @property
     def underrun_frames(self) -> int:
         return int(self._lib.gadev_underruns(self._dev)) if self._dev else 0
+
+    @property
+    def device_backend(self) -> str:
+        """Actual backend driving the output: "alsa" or "null"."""
+        if self._dev is None:
+            return "none"
+        return self._lib.gadev_backend(self._dev).decode()
 
     # -- command routing: mutations funnel to the render thread --------------------
 

@@ -57,6 +57,7 @@ def load_native():
             "gadev_underruns": (c.c_uint64, [c.c_void_p]),
             "gadev_tap": (None, [c.c_void_p, c.POINTER(c.c_float)]),
             "gadev_enumerate": (c.c_int, [c.c_char_p, c.c_int, c.c_int]),
+            "gadev_backend": (c.c_char_p, [c.c_void_p]),
         }
         for name, (restype, argtypes) in sigs.items():
             f = getattr(lib, name)

@@ -174,6 +174,59 @@ def test_ogg_roundtrip(tmp_path):
     _codec_roundtrip(tmp_path / "t.ogg", lambda p, d, sr: write_ogg(p, d, sr), True)
 
 
+def test_flac_roundtrip(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_flac
+    caps = codec_capabilities()
+    if not (caps.get("flac") and caps.get("flac_encode")):
+        pytest.skip("native codec unavailable")
+    _codec_roundtrip(tmp_path / "t.flac", lambda p, d, sr: write_flac(p, d, sr), True)
+
+
+def test_flac_lossless_at_bit_depth(tmp_path):
+    """FLAC is lossless: decode returns exactly the quantized samples."""
+    from graphaudio_tpu.io import codec_capabilities, write_flac
+    caps = codec_capabilities()
+    if not (caps.get("flac") and caps.get("flac_encode")):
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(11)
+    for bits in (16, 24):
+        sig = (rng.standard_normal((2, 10000)) * 0.4).astype(np.float32)
+        path = tmp_path / f"t{bits}.flac"
+        write_flac(path, sig, SR, bits=bits)
+        q = np.clip(
+            np.rint(sig.astype(np.float64) * (1 << (bits - 1))),
+            -(1 << (bits - 1)), (1 << (bits - 1)) - 1,
+        )
+        expect = (q / (1 << (bits - 1))).astype(np.float32)
+        with AudioDecoder(str(path)) as dec:
+            assert dec.frames == 10000
+            out = dec.decode(dec.frames).T
+        assert out.shape == expect.shape
+        assert np.array_equal(out, expect), f"bits={bits} not lossless"
+
+
+def test_flac_constant_and_seek(tmp_path):
+    """Constant subframes + decode-and-discard seeking."""
+    from graphaudio_tpu.io import codec_capabilities, write_flac
+    caps = codec_capabilities()
+    if not (caps.get("flac") and caps.get("flac_encode")):
+        pytest.skip("native codec unavailable")
+    sig = np.concatenate(
+        [np.full(5000, 0.25, np.float32), np.zeros(5000, np.float32)]
+    )[None, :]
+    path = tmp_path / "c.flac"
+    write_flac(path, sig, SR)
+    with AudioDecoder(str(path)) as dec:
+        assert dec.channels == 1 and dec.frames == 10000
+        assert dec.try_seek(4096 / SR)
+        chunk = dec.decode(128)[:, 0]
+        assert np.allclose(chunk, np.float32(0.25), atol=2 / 32768)
+        # backward seek rewinds and re-decodes
+        assert dec.try_rewind()
+        chunk = dec.decode(128)[:, 0]
+        assert np.allclose(chunk, np.float32(0.25), atol=2 / 32768)
+
+
 def test_mp3_stream_node(tmp_path):
     """Compressed formats feed the streaming node end-to-end."""
     from graphaudio_tpu.io import codec_capabilities, write_mp3

@@ -312,3 +312,52 @@ def test_linear_blend_controller():
     assert abs(c.get_blend(7.0) - 0.5) < 1e-6
     with pytest.raises(ValueError):
         LinearSpatialBlendController(5.0, 5.0)
+
+
+def test_preload_buffers_parallel(engine, tmp_path, rng):
+    """preload_buffers decodes a batch on a thread pool (parity:
+    PreloadBuffersAsync fans out one task per path, AudioEngine.cs:238-252)."""
+    from graphaudio_tpu.io import write_wav as _ww
+
+    paths = []
+    for i in range(12):
+        sig = (rng.standard_normal(4000) * 0.2).astype(np.float32)
+        _ww(tmp_path / f"p{i}.wav", sig[None], SR, float32=True)
+        paths.append(f"p{i}.wav")
+    engine.data_provider = FileSystemDataProvider(str(tmp_path))
+    engine.preload_buffers(paths)
+    for p in paths:
+        assert engine.buffer_cache.contains(p)
+
+
+def test_preload_buffers_parallel_propagates_errors(engine, tmp_path):
+    engine.data_provider = FileSystemDataProvider(str(tmp_path))
+    with pytest.raises(Exception):
+        engine.preload_buffers(["missing1.wav", "missing2.wav"])
+
+
+def test_async_loading_surface(engine, assets):
+    """Awaitable variants (parity: CreateBufferedSoundAsync /
+    PreloadBuffersAsync / LoadFromFileAsync)."""
+    import asyncio
+    import os
+
+    from graphaudio_tpu.io import AudioDecoder
+
+    base, sig = assets
+    engine.data_provider = FileSystemDataProvider(base)
+
+    async def run():
+        await engine.preload_buffers_async(["beep.wav"])
+        sound = await engine.create_buffered_sound_async("beep.wav")
+        buf = await AudioDecoder.load_from_file_async(
+            os.path.join(base, "beep.wav")
+        )
+        return sound, buf
+
+    sound, buf = asyncio.run(run())
+    assert engine.buffer_cache.contains("beep.wav")
+    assert buf.length == len(sig)
+    sound.play()
+    out = engine.context.render(1024)
+    assert np.abs(out[0] - sig[:1024]).max() < 1e-6

@@ -105,3 +105,73 @@ def test_realtime_graph_edit_from_other_thread():
         assert ctx.current_time >= 0.3  # graph rendered on the render thread
     finally:
         ctx.dispose()
+
+
+def test_device_backend_reported_and_auto_fallback():
+    """"auto" opens ALSA when libasound is usable, else the null backend —
+    either way a device exists and reports its backend (Miniaudio.cs parity:
+    default-device open never fails on a machine without sound hardware)."""
+    ctx = RealtimeAudioContext(sample_rate=48000, superblock=2,
+                               auto_start_thread=False)
+    try:
+        assert ctx.device_backend in ("alsa", "null", "none")
+        # In this container libasound is absent -> null; on a dev box with
+        # ALSA the same code path opens real hardware.
+    finally:
+        ctx.dispose()
+
+
+def test_explicit_alsa_request_fails_loudly_without_alsa():
+    import ctypes.util
+
+    has_alsa = ctypes.util.find_library("asound") is not None
+    if has_alsa:
+        import pytest
+
+        pytest.skip("libasound present; covered by the loopback test")
+    try:
+        ctx = RealtimeAudioContext(sample_rate=48000, superblock=2,
+                                   device="alsa", auto_start_thread=False)
+    except RuntimeError as e:
+        assert "alsa" in str(e)
+    else:
+        # Native lib unavailable entirely (pure-Python ring fallback):
+        # device layer absent, nothing to assert beyond clean dispose.
+        ctx.dispose()
+
+
+def test_alsa_playback_loopback():
+    """Real-hardware smoke test: render 0.25 s of a sine through the ALSA
+    backend. Skipped when no ALSA device can be opened (CI containers)."""
+    import pytest
+
+    try:
+        ctx = RealtimeAudioContext(sample_rate=48000, superblock=2,
+                                   device="alsa")
+    except RuntimeError:
+        pytest.skip("no ALSA device available")
+    try:
+        if ctx.device_backend != "alsa":
+            pytest.skip("no ALSA device available")
+        osc = ga.OscillatorNode(ctx)
+        osc.frequency.value = 440.0
+        osc.connect(ctx.destination)
+        osc.start(0)
+        ctx.start()
+        deadline = time.time() + 30.0
+        while ctx.frames_played < 48000 // 4 and time.time() < deadline:
+            time.sleep(0.05)
+        assert ctx.frames_played >= 48000 // 4
+        ctx.stop()
+    finally:
+        ctx.dispose()
+
+
+def test_enumerate_lists_alsa_devices_when_present():
+    import ctypes.util
+
+    devices = RealtimeAudioContext.get_available_devices()
+    names = [d.name for d in devices]
+    assert "null" in names
+    if ctypes.util.find_library("asound"):
+        assert any(n.startswith("alsa") for n in names)
