@@ -71,6 +71,9 @@ class SpatialPannerNode(AudioNode):
         self.inputs[0].set_channel_interpretation(ChannelInterpretation.SPEAKERS)
         self._distance_model = DistanceModelType.INVERSE
         self._channels = 2
+        # Measured-HRIR override (None = analytic spherical-head default).
+        self._custom_hrir = None
+        self._custom_hrir_uid = 0
 
         k = AutomationRate.K_RATE
         p = self.create_audio_param
@@ -106,10 +109,52 @@ class SpatialPannerNode(AudioNode):
         self._channels = input_channels[0] if input_channels else 2
         return [2]
 
+    def load_hrir(self, source, n_azimuth=None, n_elevation=None,
+                  length=None) -> None:
+        """Use a MEASURED HRIR set (SOFA path, .npz path, or dict with
+        ``hrir``/``azimuth_deg``/``elevation_deg``/``sample_rate``) instead
+        of the analytic spherical-head model. The set is regridded onto the
+        regular (elevation x azimuth) grid and flows through the same
+        spectra + bilinear-interpolation pipeline.
+
+        Parity: phonon's measured HRTF with bilinear interpolation
+        (SpatialPannerNode.cs:250-260)."""
+        from graphaudio_tpu.ops.hrtf import (
+            N_AZIMUTH, N_ELEVATION, load_hrir_grid,
+        )
+
+        grid = load_hrir_grid(
+            source, self.context.sample_rate,
+            n_azimuth=n_azimuth or N_AZIMUTH,
+            n_elevation=n_elevation or N_ELEVATION,
+            length=length,
+        )
+
+        def do(ctx):
+            self._custom_hrir = grid
+            self._custom_hrir_uid += 1
+            self._config_changed()
+
+        self.context.execute_or_post(do)
+
+    def clear_hrir(self) -> None:
+        """Revert to the analytic spherical-head HRTF."""
+        def do(ctx):
+            self._custom_hrir = None
+            self._custom_hrir_uid += 1
+            self._config_changed()
+
+        self.context.execute_or_post(do)
+
     def group_key(self, input_channels):
         if self._params_modulated():
             return None
-        return ("spatial-panner", input_channels[0], self._distance_model)
+        # A custom HRIR bakes node-specific constants into the kernel, so
+        # such panners only group with themselves.
+        hrir_key = (self.node_id, self._custom_hrir_uid) \
+            if self._custom_hrir is not None else None
+        return ("spatial-panner", input_channels[0], self._distance_model,
+                hrir_key)
 
     def init_state(self, info):
         c = self._channels
@@ -248,7 +293,9 @@ class SpatialPannerNode(AudioNode):
         mono = jnp.mean(direct, axis=0).reshape(S, FRAMES_PER_BLOCK)
         azimuth = jnp.arctan2(dx, -dz)  # phonon convention: -z is ahead
         elevation = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
-        sr_grid, si_grid = hrir_grid_spectra(_hrir_grid(rc.sample_rate))
+        grid_np = (self._custom_hrir if self._custom_hrir is not None
+                   else _hrir_grid(rc.sample_rate))
+        sr_grid, si_grid = hrir_grid_spectra(grid_np)
         hr = interp_hrir(jnp.asarray(sr_grid), azimuth, elevation)  # [S,2,129]
         hi = interp_hrir(jnp.asarray(si_grid), azimuth, elevation)
         wet, new_ola = fir_freq_per_block(mono, hr, hi, state["ola"])

@@ -243,3 +243,125 @@ def fir_per_block(x, h, history):
     ).reshape(S, F, L)
     y = jnp.einsum("sfk,sek->esf", w, h, precision=_HIGHEST)
     return y, flat[-(L - 1):]
+
+
+# ---- measured-HRIR import (SOFA / npz) ---------------------------------------
+#
+# The reference uses phonon's measured HRTF dataset with bilinear
+# interpolation (SpatialPannerNode.cs:250-260). load_hrir_grid regrids any
+# measured HRIR set onto the same regular (elevation x azimuth) grid the
+# analytic model populates, so the entire downstream pipeline — per-node
+# spectra, bilinear interp_hrir, frequency-domain OLA — is shared.
+
+def _regrid_hrirs(hrirs, az_rad, el_rad, sample_rate, source_rate,
+                  n_azimuth, n_elevation, length):
+    """Fit scattered measured HRIRs onto the regular grid.
+
+    hrirs: f64[M, 2, N]; az_rad[M] (this module's convention: clockwise from
+    straight ahead toward the RIGHT ear); el_rad[M] in [-pi/2, pi/2].
+    Each grid node takes the inverse-distance-weighted mean of the 3 nearest
+    measurement directions (exact at measurement directions).
+    """
+    hrirs = np.asarray(hrirs, np.float64)
+    if hrirs.ndim != 3 or hrirs.shape[1] != 2:
+        raise ValueError(f"expected HRIRs [M, 2, N], got {hrirs.shape}")
+    if int(source_rate) != int(sample_rate):
+        from scipy.signal import resample_poly
+        from math import gcd
+
+        g = gcd(int(sample_rate), int(source_rate))
+        hrirs = resample_poly(
+            hrirs, int(sample_rate) // g, int(source_rate) // g, axis=-1
+        )
+    if length is None:
+        length = min(hrirs.shape[-1], FRAMES_PER_BLOCK)
+    if hrirs.shape[-1] >= length:
+        hrirs = hrirs[..., :length]
+    else:
+        pad = length - hrirs.shape[-1]
+        hrirs = np.pad(hrirs, ((0, 0), (0, 0), (0, pad)))
+
+    # Unit direction per measurement (x right, y up, z ahead — the grid's
+    # basis, see build_hrir_grid).
+    mx = np.cos(el_rad) * np.sin(az_rad)
+    my = np.sin(el_rad)
+    mz = np.cos(el_rad) * np.cos(az_rad)
+    mdir = np.stack([mx, my, mz], axis=1)  # [M, 3]
+
+    grid = np.zeros((n_elevation, n_azimuth, 2, length), np.float32)
+    for ei in range(n_elevation):
+        el = -np.pi / 2 + np.pi * ei / (n_elevation - 1)
+        for ai in range(n_azimuth):
+            az = 2 * np.pi * ai / n_azimuth
+            gdir = np.array([
+                np.cos(el) * np.sin(az),
+                np.sin(el),
+                np.cos(el) * np.cos(az),
+            ])
+            ang = np.arccos(np.clip(mdir @ gdir, -1.0, 1.0))  # [M]
+            k = min(3, len(ang))
+            nearest = np.argpartition(ang, k - 1)[:k]
+            d = ang[nearest]
+            if d.min() < 1e-6:
+                w = (d < 1e-6).astype(np.float64)
+            else:
+                w = 1.0 / d
+            w /= w.sum()
+            grid[ei, ai] = np.tensordot(w, hrirs[nearest], axes=1).astype(
+                np.float32
+            )
+    return grid
+
+
+def load_hrir_grid(source, sample_rate,
+                   n_azimuth: int = N_AZIMUTH,
+                   n_elevation: int = N_ELEVATION,
+                   length: int | None = None) -> np.ndarray:
+    """Load a MEASURED HRIR set onto the regular (elevation x azimuth) grid.
+
+    Accepts:
+      * a SOFA file path (AES69 HDF5: ``Data.IR`` [M, 2, N],
+        ``SourcePosition`` [M, 3] spherical degrees with azimuth
+        counterclockwise from ahead, ``Data.SamplingRate``);
+      * an ``.npz`` path or dict with ``hrir`` f32[M, 2, N],
+        ``azimuth_deg`` [M] (SOFA convention, counterclockwise),
+        ``elevation_deg`` [M], ``sample_rate`` scalar.
+
+    IRs are rate-converted to ``sample_rate`` (polyphase), truncated/padded
+    to ``length`` (default: min(N, 128) — the frequency-domain renderer
+    needs L <= 128 for exact 256-pt overlap-add), and regridded by
+    inverse-distance weighting of the 3 nearest measurement directions.
+    Returns f32[n_elevation, n_azimuth, 2, length].
+
+    Parity: the measured-HRTF path of phonon (SpatialPannerNode.cs:250-260);
+    the analytic spherical-head grid remains the default.
+    """
+    if isinstance(source, dict) or hasattr(source, "files"):
+        data = source
+    else:
+        path = str(source)
+        if path.endswith(".npz"):
+            data = np.load(path)
+        else:
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                ir = np.asarray(f["Data.IR"])  # [M, R, N]
+                pos = np.asarray(f["SourcePosition"])  # [M, 3]
+                sr = float(np.asarray(f["Data.SamplingRate"]).reshape(-1)[0])
+            if ir.ndim != 3 or ir.shape[1] != 2:
+                raise ValueError(
+                    f"SOFA Data.IR must be [M, 2, N]; got {ir.shape}"
+                )
+            az_sofa = np.deg2rad(pos[:, 0])
+            el = np.deg2rad(pos[:, 1])
+            # SOFA azimuth is counterclockwise (90 = left); the grid's is
+            # clockwise (90 = right).
+            return _regrid_hrirs(ir, -az_sofa, el, sample_rate, sr,
+                                 n_azimuth, n_elevation, length)
+    ir = np.asarray(data["hrir"])
+    az_sofa = np.deg2rad(np.asarray(data["azimuth_deg"], np.float64))
+    el = np.deg2rad(np.asarray(data["elevation_deg"], np.float64))
+    sr = float(np.asarray(data["sample_rate"]).reshape(-1)[0])
+    return _regrid_hrirs(ir, -az_sofa, el, sample_rate, sr,
+                         n_azimuth, n_elevation, length)

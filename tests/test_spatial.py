@@ -157,3 +157,94 @@ def test_batched_spatial_voices(rng):
     assert ("group", 4, "SpatialPannerNode") in kinds
     out = ctx.render(2048)
     assert np.isfinite(out).all() and np.abs(out).max() > 0
+
+
+def _synthetic_measured_set(sr=48000, n=64):
+    """A measured-style HRIR set: per-direction deltas with direction-coded
+    delay and gain (easy to verify after regridding)."""
+    rng = np.random.default_rng(5)
+    azs, els, irs = [], [], []
+    for el_deg in (-30, 0, 30):
+        for az_deg in range(0, 360, 30):
+            ir = np.zeros((2, n), np.float32)
+            d = 3 + (az_deg // 30) % 4
+            ir[0, d] = 1.0
+            ir[1, d + 1] = 0.8
+            azs.append(az_deg)
+            els.append(el_deg)
+            irs.append(ir)
+    return {
+        "hrir": np.stack(irs),
+        "azimuth_deg": np.asarray(azs, np.float64),
+        "elevation_deg": np.asarray(els, np.float64),
+        "sample_rate": sr,
+    }
+
+
+def test_load_hrir_grid_exact_at_measurement_directions():
+    from graphaudio_tpu.ops.hrtf import load_hrir_grid
+
+    data = _synthetic_measured_set()
+    # 12 azimuths / 30-degree steps line up with a 12-column grid
+    grid = load_hrir_grid(data, 48000, n_azimuth=12, n_elevation=7)
+    assert grid.shape == (7, 12, 2, 64)
+    # grid azimuth is CLOCKWISE; the set's is counterclockwise (SOFA).
+    # elevation row 3 = 0 degrees; set entry az_deg=60 -> grid col (12-2)=10.
+    m = data["hrir"][np.asarray(data["elevation_deg"]) == 0]
+    np.testing.assert_allclose(grid[3, 0], m[0], atol=1e-7)
+    np.testing.assert_allclose(grid[3, 10], m[2], atol=1e-7)
+
+
+def test_grid_interp_matches_direct_convolution(rng):
+    """Bilinearly interpolated grid spectra applied in the frequency domain
+    must equal direct time-domain convolution with the same interpolated
+    HRIR (the linearity argument the pipeline relies on)."""
+    import jax.numpy as jnp
+
+    from graphaudio_tpu.ops.hrtf import (
+        fir_freq_per_block, hrir_grid_spectra, interp_hrir, load_hrir_grid,
+    )
+
+    data = _synthetic_measured_set()
+    grid = load_hrir_grid(data, 48000, n_azimuth=12, n_elevation=7)
+    az = np.float32(0.7)
+    el = np.float32(0.2)
+
+    # time-domain: interpolate the HRIR itself, convolve directly
+    h = np.asarray(
+        interp_hrir(jnp.asarray(grid), jnp.asarray([az]), jnp.asarray([el]))
+    )[0]  # [2, 64]
+    sig = (rng.standard_normal(256) * 0.5).astype(np.float32)
+    want = np.stack([np.convolve(sig, h[e])[:256] for e in range(2)])
+
+    # frequency-domain pipeline (what SpatialPannerNode runs)
+    sr_g, si_g = hrir_grid_spectra(grid)
+    hr = interp_hrir(jnp.asarray(sr_g), jnp.asarray([az, az]), jnp.asarray([el, el]))
+    hi = interp_hrir(jnp.asarray(si_g), jnp.asarray([az, az]), jnp.asarray([el, el]))
+    y, _ = fir_freq_per_block(
+        jnp.asarray(sig.reshape(2, 128)), hr, hi, jnp.zeros((2, 128), jnp.float32)
+    )
+    got = np.asarray(y).reshape(2, 256)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_spatial_panner_load_hrir_changes_render(rng):
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4)
+    src = ga.AudioBufferSourceNode(ctx)
+    sig = (rng.standard_normal(SR // 4) * 0.3).astype(np.float32)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+    pan = SpatialPannerNode(ctx)
+    pan.position_x.value = 2.0
+    src.connect(pan).connect(ctx.destination)
+    src.start(0)
+    base = np.asarray(ctx.render(2048))
+
+    pan.load_hrir(_synthetic_measured_set())
+    custom = np.asarray(ctx.render(2048))
+    assert not np.allclose(base, custom)  # measured set actually in use
+
+    pan.clear_hrir()
+    back = np.asarray(ctx.render(2048))
+    # analytic model restored (different segment of the loop, so just check
+    # the custom-set signature is gone: delayed delta vs spherical shadow)
+    assert not np.allclose(custom, back)
