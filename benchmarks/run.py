@@ -33,7 +33,7 @@ def run_config(n: int, seconds: float = 30.0) -> dict:
         "xrt": round(rendered / wall, 2),
         "wall_seconds": round(wall, 4),
         "rendered_seconds": rendered,
-        "p50_quantum_us": round(wall / (out.shape[1] // 128) * 1e6, 3),
+        "mean_quantum_us": round(wall / (out.shape[1] // 128) * 1e6, 3),
         "compile_seconds": round(compile_s, 1),
         "output_rms": float(np.sqrt(np.mean(out.astype(np.float64) ** 2))),
     }

@@ -814,18 +814,27 @@ class CompiledGraph:
                     arena = jnp.asarray(consts[f"{key}/arena"])
                     geoms = consts[f"{key}/geom"]
 
-                    def lane(state, geom, pv):
-                        if variant[0] == "unity":
-                            return rep._process_unity(state, arena, geom, rc, w)
-                        if variant[0] == "poly":
-                            return rep._process_poly(
-                                state, arena, geom, rc, w, variant[1], variant[2]
-                            )
-                        return rep._process_resample(
-                            state, arena, geom, pv["playbackRate"], rc, w
+                    if variant[0] == "poly":
+                        # group-level kernel: element gathers replaced by
+                        # row gathers + one-hot shift matmuls (see
+                        # AudioBufferSourceNode.process_poly_group)
+                        sts, outs = type(rep).process_poly_group(
+                            states_stacked, arena, geoms, rc, w,
+                            variant[1], variant[2],
                         )
+                        outs = [outs]
+                    else:
 
-                    sts, outs = jax.vmap(lane)(states_stacked, geoms, pvals)
+                        def lane(state, geom, pv):
+                            if variant[0] == "unity":
+                                return rep._process_unity(
+                                    state, arena, geom, rc, w
+                                )
+                            return rep._process_resample(
+                                state, arena, geom, pv["playbackRate"], rc, w
+                            )
+
+                        sts, outs = jax.vmap(lane)(states_stacked, geoms, pvals)
                 else:
 
                     def lane(state, inputs, pv):

@@ -18,7 +18,18 @@ import numpy as np
 
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode, ChannelCountMode
-from graphaudio_tpu.ops.convolve import NUM_BINS, conv_superblock, prepare_ir
+from graphaudio_tpu.ops.convolve import (
+    NUM_BINS,
+    conv_superblock,
+    conv_superblock_big,
+    prepare_ir,
+    prepare_ir_big,
+)
+
+# Superblocks of >= this many frames partition the IR at superblock grain
+# (one 2T-point factorized transform per step) instead of 128-sample grain;
+# same linear convolution, far less spectral-MAC traffic for long IRs.
+_BIG_BLOCK_MIN = 1024
 
 
 class ConvolverNode(AudioNode):
@@ -30,6 +41,7 @@ class ConvolverNode(AudioNode):
         self._conv_inputs: List[int] = []  # input channel feeding convolver k
         self._is_true_stereo = False
         self._effective_output_channels = 0
+        self._big_block = 0  # T when superblock-grain partitioning is active
         self.normalize = True  # parity: ConvolverNode.Normalize (:87)
         self.enable_true_stereo = True  # parity: EnableTrueStereo (:95)
 
@@ -61,12 +73,16 @@ class ConvolverNode(AudioNode):
                 f"rate: {self.context.sample_rate}."
             )
         channels = value.number_of_channels
-        prepared = [
-            prepare_ir(value.get_channel_data(i), self.normalize)
-            for i in range(channels)
-        ]
-        H = np.stack([p[0] for p in prepared])  # [channels, P, 129] real
-        Hi = np.stack([p[1] for p in prepared])  # [channels, P, 129] imag
+        T = self.context.superblock * FRAMES_PER_BLOCK
+        self._big_block = T if T >= _BIG_BLOCK_MIN else 0
+        prep = (
+            (lambda ch: prepare_ir_big(ch, self._big_block, self.normalize))
+            if self._big_block
+            else (lambda ch: prepare_ir(ch, self.normalize))
+        )
+        prepared = [prep(value.get_channel_data(i)) for i in range(channels)]
+        H = np.stack([p[0] for p in prepared])  # [channels, P, bins] real
+        Hi = np.stack([p[1] for p in prepared])  # [channels, P, bins] imag
         self._buffer = value
         self._is_true_stereo = channels == 4 and self.enable_true_stereo
         if self._is_true_stereo:
@@ -91,7 +107,13 @@ class ConvolverNode(AudioNode):
     def init_state(self, info):
         if self._H is None:
             return {}
-        K, P, _ = self._H.shape
+        K, P, bins = self._H.shape
+        if self._big_block:
+            return {
+                "hist_r": np.zeros((K, P - 1, bins), np.float32),
+                "hist_i": np.zeros((K, P - 1, bins), np.float32),
+                "overlap": np.zeros((K, self._big_block), np.float32),
+            }
         return {
             "hist_r": np.zeros((K, P - 1, NUM_BINS), np.float32),
             "hist_i": np.zeros((K, P - 1, NUM_BINS), np.float32),
@@ -105,23 +127,30 @@ class ConvolverNode(AudioNode):
             return state, [jnp.zeros_like(x)]
 
         S = rc.superblock
-        hr = jnp.asarray(self._H)  # [K, P, 129] closure constants
+        hr = jnp.asarray(self._H)  # [K, P, bins] closure constants
         hi = jnp.asarray(self._Hi)
         # Route input channels to convolver instances, then run all instances
         # as one vmapped batch.
-        xs = jnp.stack(
-            [x[src].reshape(S, FRAMES_PER_BLOCK) for src in self._conv_inputs]
-        )  # [K, S, 128]
-        y, new_hist_r, new_hist_i, new_overlap = jax.vmap(conv_superblock)(
-            xs, hr, hi, state["hist_r"], state["hist_i"], state["overlap"]
-        )
+        if self._big_block:
+            xs = jnp.stack([x[src] for src in self._conv_inputs])  # [K, T]
+            y, new_hist_r, new_hist_i, new_overlap = jax.vmap(
+                conv_superblock_big
+            )(xs, hr, hi, state["hist_r"], state["hist_i"], state["overlap"])
+            # y: [K, T]
+        else:
+            xs = jnp.stack(
+                [x[src].reshape(S, FRAMES_PER_BLOCK) for src in self._conv_inputs]
+            )  # [K, S, 128]
+            y, new_hist_r, new_hist_i, new_overlap = jax.vmap(conv_superblock)(
+                xs, hr, hi, state["hist_r"], state["hist_i"], state["overlap"]
+            )
 
         if self._is_true_stereo:
             out_l = y[0] + y[2]
             out_r = y[1] + y[3]
-            out = jnp.stack([out_l, out_r])  # [2, S, 128]
+            out = jnp.stack([out_l, out_r])
         else:
-            out = y  # [K, S, 128]
+            out = y
 
         new_state = {
             "hist_r": new_hist_r,

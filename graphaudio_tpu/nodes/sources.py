@@ -27,6 +27,8 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode
 from graphaudio_tpu.core.params import AutomationRate
+
+_HIGHEST = jax.lax.Precision.HIGHEST
 from graphaudio_tpu.ops.resample import (
     canonical_bases,
     cr_weights,
@@ -914,3 +916,181 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         new_state["primed"] = jnp.where(jnp.any(active), jnp.int32(1), state["primed"])
         new_state["stop_time"] = new_stop
         return new_state, [out.reshape(C, rc.frames)]
+
+    # -- group-level polyphase kernel (all voices of a stage at once) ----------
+    #
+    # The per-voice vmapped form spends ~85% of its time in three per-voice
+    # ELEMENT gathers (window fetch, j0 output shift, canonical-base slice):
+    # batched dynamic slices lower to per-element gathers on TPU (~0.9
+    # ns/element). This group form replaces every one of them:
+    #   * window fetch  -> 128-sample ROW gather (the fast kind) + an exact
+    #     one-hot lane-shift matmul (one factor is 1.0, so any MXU precision
+    #     reconstructs the f32 operand exactly);
+    #   * j0 shift      -> a one-hot column-rotation matmul over the q axis
+    #     plus a row-carry select;
+    #   * validity      -> a closed-form integer threshold per voice
+    #     (floor(x_j) <= end-3  <=>  j < ceil(((end-2)*q - round(x0*q)) / p)).
+    # Measured 4.2x on the 64-voice flagship stage; outputs are bit-identical
+    # to the per-voice path.
+
+    @classmethod
+    def process_poly_group(cls, states, arena, geom, rc, w: int, p: int, q: int):
+        """states: stacked pytree [V, ...]; arena f32[C, W] (W pow2-padded,
+        multiple of 128); geom: dict of stacked [V] scalars + per-voice
+        arena offsets. Returns (new_states, out f32[V, C, T])."""
+        S = rc.superblock
+        C = arena.shape[0]
+        W = arena.shape[1]
+        T, ncan, M, nb, w_e, _front = cls._poly_geometry(S, p, q)
+        assert w == w_e, (w, w_e)
+        V = geom["off"].shape[0]
+        i32 = jnp.int32
+
+        start_time = states["start_time"]  # [V]
+        stop_time = states["stop_time"]
+        started = states["started"] > 0
+        active = (
+            started[:, None]
+            & (rc.block_end_times[None, :] > start_time[:, None])
+            & (rc.block_times[None, :] < stop_time[:, None])
+        )  # [V, S]
+
+        length = geom["length"]  # [V] f64
+        rate = geom["rate"]
+        de = jnp.where(
+            jnp.isfinite(states["duration"]),
+            jnp.trunc(states["offset"] * rate)
+            + jnp.trunc(states["duration"] * rate),
+            length,
+        )
+        de = jnp.minimum(de, length)  # [V]
+        lef = geom["lef"]
+        lsf = geom["lsf"]
+        llen = geom["llen"]
+        looping = geom["looping"]
+        loop_flag = geom["loop_flag"]
+        region_len = geom["region_len"]
+        off = geom["off"]  # [V] i32
+        front = geom["front"]  # [V] i32
+
+        x0 = jnp.where(states["primed"] > 0, states["x"], states["pos"] + 1.0)
+        x0 = jnp.round(x0 * q) / q
+        # map into the periodic extension (loop wraps become linear reads)
+        qmod = jnp.mod(x0 - lsf, jnp.maximum(llen, 1.0))
+        e0 = jnp.where(looping & (x0 >= lsf), lsf + llen + qmod, x0)
+        ef = jnp.floor(e0)
+        A0 = ef.astype(i32)
+        r0 = jnp.round((e0 - ef) * q).astype(i32)
+        A0 = A0 + (r0 == q).astype(i32)
+        r0 = jnp.where(r0 == q, 0, r0)
+        pinv = pow(p, -1, q) if q > 1 else 0
+        j0 = (r0 * pinv) % q  # [V]
+        m0 = (j0 * p - r0) // q
+        start = jnp.clip(A0 - m0 - 1, -(p + 8), region_len.astype(i32) - w)
+
+        # ---- window fetch: row gather + exact one-hot lane shift ----------
+        abs_start = off + front + start  # [V], >= 0 by construction
+        nrows = w // FRAMES_PER_BLOCK + 2
+        rows = arena.reshape(C, W // FRAMES_PER_BLOCK, FRAMES_PER_BLOCK)
+        row0 = abs_start // FRAMES_PER_BLOCK
+        delta = (abs_start % FRAMES_PER_BLOCK).astype(i32)
+        ridx = row0[:, None] + jnp.arange(nrows, dtype=row0.dtype)[None, :]
+        ridx = jnp.clip(ridx, 0, W // FRAMES_PER_BLOCK - 1)
+        sel = jnp.take(rows, ridx, axis=1)  # [C, V, nrows, 128] row gather
+        l_iota = jnp.arange(FRAMES_PER_BLOCK, dtype=i32)
+        dlt = delta[:, None, None]
+        sh_lo = (l_iota[:, None] == l_iota[None, :] + dlt).astype(jnp.float32)
+        sh_hi = (
+            l_iota[:, None] + FRAMES_PER_BLOCK == l_iota[None, :] + dlt
+        ).astype(jnp.float32)  # [V, 128(src), 128(dst)]
+        shifted = jnp.einsum(
+            "cvns,vsd->vcnd", sel[:, :, :-1], sh_lo, precision=_HIGHEST
+        ) + jnp.einsum(
+            "cvns,vsd->vcnd", sel[:, :, 1:], sh_hi, precision=_HIGHEST
+        )  # [V, C, nrows-1, 128]
+        window = shifted.reshape(V, C, (nrows - 1) * FRAMES_PER_BLOCK)[:, :, :w]
+
+        # ---- canonical polyphase: slabs + ONE merged MXU matmul ------------
+        wa = window[:, :, : (ncan + nb) * p].reshape(V, C, ncan + nb, p)
+        parts = []
+        covered = 0
+        while covered < M:
+            k = covered // p
+            take = min(p, M - covered)
+            parts.append(wa[:, :, k : k + ncan, :take])
+            covered += take
+        chunk = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=3)
+        H = jnp.asarray(poly_matrix(p, q))  # [M, q]
+        out_can = jnp.dot(
+            chunk.reshape(V * C * ncan, M), H, precision=_HIGHEST
+        ).reshape(V, C, ncan, q)
+
+        # ---- j0 shift: one-hot column rotation + row-carry select ----------
+        k_iota = jnp.arange(q, dtype=i32)
+        rk = (k_iota[None, :] + j0[:, None]) % q  # [V, q]
+        P_rot = (k_iota[None, :, None] == rk[:, None, :]).astype(jnp.float32)
+        base = jnp.einsum(
+            "vcnq,vqk->vcnk", out_can, P_rot, precision=_HIGHEST
+        )  # [V, C, ncan, q] columns permuted
+        carry = (k_iota[None, :] + j0[:, None]) >= q  # [V, q]
+        out_sh = jnp.where(
+            carry[:, None, None, :], base[:, :, 1:, :], base[:, :, :-1, :]
+        ).reshape(V, C, (ncan - 1) * q)[:, :, :T]
+
+        # ---- block placement (contiguous active run) -----------------------
+        act = active.astype(i32)
+        bidx = jnp.clip(jnp.cumsum(act, axis=1) - act, 0, S - 1)  # [V, S]
+        blocks = out_sh.reshape(V, C, S, FRAMES_PER_BLOCK)
+        samples = jnp.take_along_axis(
+            blocks, bidx[:, None, :, None], axis=2
+        )  # [V, C, S, 128] row gather
+
+        # ---- validity: integer thresholds (no per-sample position math) ----
+        lef_i = lef.astype(i32)
+        de_i = de.astype(i32)
+        end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
+        # floor(x_j) + 2 <= end - 1  <=>  j < ceil(((end-2)*q - X0q) / p)
+        # with X0q = round(x0*q) (all exact integers in f64).
+        x0q = jnp.round(x0 * q)
+        num = (end_bound.astype(jnp.float64) - 2.0) * q - x0q
+        jlim = jnp.floor((num + (p - 1)) / p)  # [V] f64 integer
+        jpos = (
+            bidx.astype(jnp.float32)[:, :, None] * FRAMES_PER_BLOCK
+            + jnp.arange(FRAMES_PER_BLOCK, dtype=jnp.float32)[None, None, :]
+        )  # [V, S, 128] (exact in f32: < 2^24)
+        valid = jnp.where(
+            looping[:, None, None],
+            jnp.bool_(True),
+            jpos < jlim.astype(jnp.float32)[:, None, None],
+        )
+        # consumed-position block gate (see _process_resample)
+        p0 = states["pos"]
+        x_b = x0[:, None] + bidx.astype(jnp.float64) * (FRAMES_PER_BLOCK * p / q)
+        consumed_b = p0[:, None] + 4.0 + jnp.floor(x_b - p0[:, None] - 1.0)
+        valid = valid & (looping[:, None] | (consumed_b < de[:, None]))[:, :, None]
+
+        gate = active[:, :, None] & valid  # [V, S, 128]
+        out = jnp.where(gate[:, None], samples, 0.0)
+
+        starved = active & ~jnp.any(valid, axis=2)  # [V, S]
+        first_stop = jnp.min(
+            jnp.where(starved, rc.block_end_times[None, :], jnp.inf), axis=1
+        )
+        new_stop = jnp.minimum(stop_time, first_stop)
+
+        n_active = jnp.sum(active.astype(jnp.float64), axis=1)  # [V]
+        new_x = x0 + (n_active * (FRAMES_PER_BLOCK * p)) / q
+        new_x = jnp.where(
+            looping & (new_x >= lef),
+            lsf + jnp.mod(new_x - lef, jnp.maximum(llen, 1.0)),
+            new_x,
+        )
+        new_x = jnp.round(new_x * q) / q
+
+        new_states = dict(states)
+        new_states["x"] = new_x
+        new_states["primed"] = jnp.where(
+            jnp.any(active, axis=1), jnp.int32(1), states["primed"]
+        )
+        new_states["stop_time"] = new_stop
+        return new_states, out.reshape(V, C, rc.frames)

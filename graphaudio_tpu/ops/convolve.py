@@ -143,3 +143,65 @@ def conv_superblock(x, hr, hi, hist_r, hist_i, overlap):
 
     # seq length is P-1+S, so seq[S:] is the updated delay line.
     return y, seq_r[S:], seq_i[S:], second[-1]
+
+
+# ---- superblock-granularity partitioning ------------------------------------
+#
+# With a superblock of T = S*128 frames available at once, partitioning the
+# IR at T-sample granularity (2T-point transforms via the factorized
+# BigRealDft) is mathematically the SAME linear convolution but collapses
+# the per-step spectral work: a 2 s IR needs 750 partitions of 128 but only
+# 24 of 4096, and the delay line shrinks to one spectrum per PAST superblock
+# — no [S, P, B] window materialization at all (that window's HBM traffic
+# dominated the 128-grain path once IRs got long).
+
+
+def prepare_ir_big(ir: np.ndarray, block: int, normalize: bool = True):
+    """Partition + pre-transform an IR channel at ``block``-sample grain.
+
+    Returns (Hr, Hi): f32[P2, block+1] spectra of 2*block-point transforms,
+    PARTITION-REVERSED (newest-input partition last) so the render-time MAC
+    is an elementwise multiply against the delay line in storage order.
+    Same -58 dB normalization as the 128-grain path (:93-102)."""
+    ir = np.asarray(ir, dtype=np.float32)
+    scale = np.float32(normalization_scale(ir)) if normalize else np.float32(1.0)
+    n_part = max(1, -(-ir.shape[0] // block))
+    hr = np.zeros((n_part, block + 1), dtype=np.float32)
+    hi = np.zeros((n_part, block + 1), dtype=np.float32)
+    for p in range(n_part):
+        seg = ir[p * block : (p + 1) * block]
+        padded = np.zeros(2 * block, dtype=np.float64)
+        padded[: seg.shape[0]] = (seg * scale).astype(np.float32)
+        spec = np.fft.rfft(padded)
+        # reversed: row k multiplies the spectrum of input block (now-(P2-1-k))
+        hr[n_part - 1 - p] = spec.real.astype(np.float32)
+        hi[n_part - 1 - p] = spec.imag.astype(np.float32)
+    return hr, hi
+
+
+def conv_superblock_big(x, hr, hi, hist_r, hist_i, overlap):
+    """Convolve ONE superblock against a superblock-grain partitioned IR.
+
+    Args:
+      x: f32[T] input superblock (T frames).
+      hr, hi: f32[P2, T+1] partition spectra from prepare_ir_big (reversed).
+      hist_r, hist_i: f32[P2-1, T+1] spectra of the previous P2-1
+        superblocks, oldest first.
+      overlap: f32[T] carried second half of the last inverse transform.
+
+    Returns (y f32[T], hist_r', hist_i', overlap').
+    """
+    from graphaudio_tpu.ops.fft import BigRealDft
+
+    T = x.shape[-1]
+    dft = BigRealDft(T, 2 * T)
+    xr, xi = dft.forward(x[None, :])  # [1, T+1]
+    seq_r = jnp.concatenate([hist_r, xr], axis=0)  # [P2, T+1] oldest first
+    seq_i = jnp.concatenate([hist_i, xi], axis=0)
+    # acc[b] = sum_p H[p,b] * delay[p][b]; hr/hi are pre-reversed so the
+    # delay line multiplies in storage order.
+    acc_r = jnp.sum(seq_r * hr - seq_i * hi, axis=0)
+    acc_i = jnp.sum(seq_r * hi + seq_i * hr, axis=0)
+    y_full = dft.inverse(acc_r[None, :], acc_i[None, :])[0]  # [2T]
+    y = y_full[:T] + overlap
+    return y, seq_r[1:], seq_i[1:], y_full[T:]

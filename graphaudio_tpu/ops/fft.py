@@ -87,3 +87,180 @@ class RealDft:
         return jnp.matmul(r, br, precision=_HIGHEST) + jnp.matmul(
             i, bi, precision=_HIGHEST
         )
+
+
+# ---- factorized (Cooley-Tukey) DFT for LARGE transforms ----------------------
+#
+# The matmul-DFT above is ideal at 256 points, but an N-point dense basis
+# costs O(N^2) HBM reads — at the superblock-sized transforms the partitioned
+# convolver wants (N = 8192+) that's >100 MB per step. The classic 4-step
+# factorization N = n1*n2 turns one N-point DFT into n2 DFTs of n1 (one
+# batched matmul), a twiddle multiply, and n1 DFTs of n2 (another matmul):
+# all MXU work with O(n1^2 + n2^2 + N) constants. Real transforms use the
+# standard even/odd packing into an N/2 complex FFT plus an untangle pass.
+# Everything is split re/im float32 (no complex dtypes on this backend).
+
+
+def _split_factors(n: int):
+    """n = n1 * n2 with both factors <= 128 where possible (MXU tiles)."""
+    best = None
+    f = 1
+    while f * f <= n:
+        if n % f == 0:
+            a, b = f, n // f
+            if best is None or max(a, b) < max(best):
+                best = (a, b)
+        f += 1
+    return best
+
+
+class ComplexDft:
+    """Factorized complex DFT of size n (n = n1*n2), split re/im f32."""
+
+    _cache = {}
+
+    def __new__(cls, n: int, inverse: bool = False):
+        key = (n, inverse)
+        inst = cls._cache.get(key)
+        if inst is not None:
+            return inst
+        inst = super().__new__(cls)
+        inst.n = n
+        n1, n2 = _split_factors(n)
+        inst.n1, inst.n2 = n1, n2
+        sign = 2.0 if inverse else -2.0
+        k1 = np.arange(n1, dtype=np.float64)
+        k2 = np.arange(n2, dtype=np.float64)
+        a1 = sign * np.pi * k1[:, None] * k1[None, :] / n1
+        a2 = sign * np.pi * k2[:, None] * k2[None, :] / n2
+        inst._w1r = np.cos(a1).astype(np.float32)
+        inst._w1i = np.sin(a1).astype(np.float32)
+        inst._w2r = np.cos(a2).astype(np.float32)
+        inst._w2i = np.sin(a2).astype(np.float32)
+        tw = sign * np.pi * k1[:, None] * k2[None, :] / n
+        inst._twr = np.cos(tw).astype(np.float32)
+        inst._twi = np.sin(tw).astype(np.float32)
+        inst._inverse = inverse
+        cls._cache[key] = inst
+        return inst
+
+    def __call__(self, xr, xi):
+        """xr, xi: f32[..., n] -> (Xr, Xi) f32[..., n].
+
+        Decimation-in-time over the n2 axis: x[j1*n2 + j2]; output index
+        k = k2*n1 + k1.
+        """
+        n1, n2 = self.n1, self.n2
+        lead = xr.shape[:-1]
+        xr = xr.reshape(lead + (n1, n2))
+        xi = xi.reshape(lead + (n1, n2))
+        w1r = jnp.asarray(self._w1r)
+        w1i = jnp.asarray(self._w1i)
+        w2r = jnp.asarray(self._w2r)
+        w2i = jnp.asarray(self._w2i)
+        twr = jnp.asarray(self._twr)
+        twi = jnp.asarray(self._twi)
+
+        def cmm(ar, ai, br, bi, eq):  # complex contraction via 4 real matmuls
+            rr = jnp.einsum(eq, ar, br, precision=_HIGHEST)
+            ri = jnp.einsum(eq, ar, bi, precision=_HIGHEST)
+            ir = jnp.einsum(eq, ai, br, precision=_HIGHEST)
+            ii = jnp.einsum(eq, ai, bi, precision=_HIGHEST)
+            return rr - ii, ri + ir
+
+        # Stage 1: DFT over the j1 axis (length n1) for each j2 column.
+        yr, yi = cmm(xr, xi, w1r, w1i, "...jt,jk->...kt")
+        # Twiddle: * exp(sign*2pi*i*k1*j2/n)
+        zr = yr * twr - yi * twi
+        zi = yr * twi + yi * twr
+        # Stage 2: DFT over the j2 axis (length n2) for each k1 row.
+        vr, vi = cmm(zr, zi, w2r, w2i, "...kt,tm->...km")
+        # Output layout: [k1, k2] -> flat index k2*n1 + k1.
+        out_r = jnp.swapaxes(vr, -1, -2).reshape(lead + (self.n,))
+        out_i = jnp.swapaxes(vi, -1, -2).reshape(lead + (self.n,))
+        if self._inverse:
+            out_r = out_r / self.n
+            out_i = out_i / self.n
+        return out_r, out_i
+
+
+class BigRealDft:
+    """Real DFT of size N (N = 2*block, even) via an N/2 complex FFT.
+
+    forward(x[..., n_in]) -> (R, I) f32[..., N/2+1]  (x zero-padded to N)
+    inverse(R, I) -> f32[..., N]
+    """
+
+    _cache = {}
+
+    def __new__(cls, n_in: int, fft_size: int):
+        key = (n_in, fft_size)
+        inst = cls._cache.get(key)
+        if inst is not None:
+            return inst
+        assert fft_size % 2 == 0
+        inst = super().__new__(cls)
+        inst.n_in = n_in
+        inst.N = fft_size
+        h = fft_size // 2
+        inst.h = h
+        k = np.arange(h + 1, dtype=np.float64)
+        a = -2.0 * np.pi * k / fft_size
+        inst._er = np.cos(a).astype(np.float32)
+        inst._ei = np.sin(a).astype(np.float32)
+        cls._cache[key] = inst
+        return inst
+
+    def forward(self, x):
+        h, N = self.h, self.N
+        lead = x.shape[:-1]
+        pad = 2 * h - x.shape[-1]
+        if pad > 0:
+            x = jnp.concatenate(
+                [x, jnp.zeros(lead + (pad,), x.dtype)], axis=-1
+            )
+        z = x.reshape(lead + (h, 2))
+        zr, zi = z[..., 0], z[..., 1]  # pack even/odd
+        Zr, Zi = ComplexDft(h)(zr, zi)
+        # Untangle: X[k] = (Z[k]+conj(Z[h-k]))/2 - i/2 e^{-2pi ik/N}(Z[k]-conj(Z[h-k]))
+        idx = (-jnp.arange(h + 1)) % h
+        Zkr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
+        Zki = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
+        Zmr = jnp.take(Zr, idx, axis=-1)
+        Zmi = jnp.take(Zi, idx, axis=-1)
+        ar = 0.5 * (Zkr + Zmr)
+        ai = 0.5 * (Zki - Zmi)
+        br = 0.5 * (Zki + Zmi)
+        bi = -0.5 * (Zkr - Zmr)
+        er = jnp.asarray(self._er)
+        ei = jnp.asarray(self._ei)
+        Xr = ar + br * er - bi * ei
+        Xi = ai + br * ei + bi * er
+        return Xr, Xi
+
+    def inverse(self, R, I):
+        """Inverse real DFT: (R, I) f32[..., N/2+1] -> f32[..., N]."""
+        h, N = self.h, self.N
+        er = jnp.asarray(self._er)
+        ei = jnp.asarray(self._ei)
+        # Repack into the h-point complex spectrum of the packed signal:
+        # Z[k] = A[k] + i e^{+2pi ik/N} B[k],  A = (X[k]+conj(X[h-k]))/2, ...
+        idx = h - jnp.arange(h)  # k -> h-k for k in [0, h)
+        Rk, Ik = R[..., :h], I[..., :h]
+        Rm = jnp.take(R, idx, axis=-1)
+        Im = jnp.take(I, idx, axis=-1)
+        # Z[k] = A + i D e^{+2pi ik/N}, A = (X[k]+conj(X[h-k]))/2,
+        # D = (X[k]-conj(X[h-k]))/2 (verified against the packed fft).
+        ar = 0.5 * (Rk + Rm)
+        ai = 0.5 * (Ik - Im)
+        dr = 0.5 * (Rk - Rm)
+        di = 0.5 * (Ik + Im)
+        # stored (er, ei) has angle -2pi k/N; e^{+} = (er, -ei)
+        err_ = jnp.asarray(self._er)[..., :h]
+        eii_ = jnp.asarray(self._ei)[..., :h]
+        Zr = ar - (di * err_ - dr * eii_)
+        Zi = ai + (dr * err_ + di * eii_)
+        zr, zi = ComplexDft(h, inverse=True)(Zr, Zi)
+        lead = zr.shape[:-1]
+        out = jnp.stack([zr, zi], axis=-1).reshape(lead + (N,))
+        return out
