@@ -431,7 +431,12 @@ class AudioContextBase:
         all_block_times = np.add.accumulate(inc_arr).reshape(
             n_steps, self.superblock
         )
-        chunk = 128  # superblocks per pipelined launch
+        import os as _os
+
+        # superblocks per pipelined launch: smaller chunks give more
+        # parallel device->host streams (tunneled links gain 2-3x from
+        # concurrency), larger ones fewer dispatch round trips.
+        chunk = int(_os.environ.get("GA_RENDER_CHUNK", "64"))
         pending = []
         launched = 0
         while launched < n_steps:

@@ -78,6 +78,9 @@ class RenderContext:
         # Per-sample times, exactly blockTime + i*deltaTime per the
         # reference's a-rate evaluation (AudioParam.cs:116-120).
         self.sample_times = (self.block_times[:, None] + in_block[None, :]).reshape(-1)
+        # Per-stage extras, set by the step runner around each single stage.
+        self.stage_consts = {}
+        self.part_axis = None
 
 
 class ParamSignal:
@@ -337,6 +340,19 @@ class CompiledGraph:
             self.consts[f"st{si}/geom"] = stacked
             self._bufsrc_cfg[si] = (w, variant, arena_w)
 
+        # ---- single-stage consts (e.g. convolver IR spectra) ----------------
+        # Travelling as ARGUMENTS (not closure constants) lets a cached
+        # program replay with a new IR, and gives the mesh path something to
+        # shard (partition axes split over 'part').
+        for si, (kind, nodes, _) in enumerate(stages):
+            if kind != "single":
+                continue
+            sc = getattr(nodes[0], "stage_consts", None)
+            if sc is None:
+                continue
+            for name, arr in sc(self.mesh).items():
+                self.consts[f"st{si}/{name}"] = arr
+
         self._build_plan(node_in_counts)
         self._compute_sharding()
 
@@ -496,8 +512,20 @@ class CompiledGraph:
         plain local sum.
         """
         self.sharded_stages = set()
+        # Singles whose kernel distributes an internal axis over the mesh's
+        # 'part' axis (e.g. the convolver's IR partitions): the node opts in
+        # via supports_part_sharding(); its stage consts shard over 'part'
+        # and the kernel completes with a psum (PartitionedConvolver.cs
+        # :154-223's accumulation, distributed).
+        self.part_sharded = set()
         if self.mesh is None:
             return
+        if "part" in self.mesh.shape and int(self.mesh.shape["part"]) > 1:
+            for sp in self.plan:
+                if sp["kind"] == "single" and getattr(
+                    sp["rep"], "supports_part_sharding", lambda m: False
+                )(self.mesh):
+                    self.part_sharded.add(sp["si"])
         n = int(self.mesh.shape["voice"])
         cand = {
             sp["si"]
@@ -672,7 +700,8 @@ class CompiledGraph:
 
     # -- the step function ---------------------------------------------------
 
-    def make_step_fn(self, stage_limit: int = None, axis_name: str = None):
+    def make_step_fn(self, stage_limit: int = None, axis_name: str = None,
+                     part_axis: str = None):
         """Emit the pure step function from the snapshotted plan.
 
         The closure captures only the plan (immutable data) and each stage
@@ -690,6 +719,7 @@ class CompiledGraph:
         ``sharded_stages`` complete their local sums with a psum over ICI.
         """
         sharded_stages = self.sharded_stages if axis_name else set()
+        part_sharded = self.part_sharded if part_axis else set()
         info = self.info
         plan = self.plan if stage_limit is None else self.plan[:stage_limit]
         dest_channels = self.input_channels[(self.destination.node_id, 0)]
@@ -771,7 +801,18 @@ class CompiledGraph:
                         )
                     params[name] = ParamSignal(vals, a_rate, info.superblock)
                 inputs = [mixed_signal(prods, c) for c, prods in sp["inputs"]]
+                # Per-stage consts + distribution context for kernels that
+                # read IR spectra (etc.) as arguments / shard them.
+                prefix = key + "/"
+                rc.stage_consts = {
+                    n[len(prefix):]: consts[n]
+                    for n in consts
+                    if n.startswith(prefix)
+                }
+                rc.part_axis = part_axis if si in part_sharded else None
                 st, outs = sp["rep"].process(states[key], inputs, params, rc)
+                rc.stage_consts = {}
+                rc.part_axis = None
                 new_states[key] = st
                 for i, o in enumerate(outs):
                     out_table[(si, i)] = o
@@ -882,7 +923,8 @@ class CompiledGraph:
         """
         sharded = self.mesh is not None and bool(self.sharded_stages)
         step, dest_channels = self.make_step_fn(
-            axis_name="voice" if sharded else None
+            axis_name="voice" if sharded else None,
+            part_axis="part" if sharded and self.part_sharded else None,
         )
 
         def render(states, encs, consts, feeds, frame0s, block_times):
@@ -922,6 +964,15 @@ class CompiledGraph:
             consts_spec[f"st{si}/geom"] = (
                 voice if si in self.sharded_stages else rep
             )
+        for name in self.consts:
+            if name in consts_spec:
+                continue
+            si = int(name.split("/", 1)[0][2:])
+            if si in self.part_sharded:
+                # IR spectra [K, P2, bins]: partition axis over 'part'.
+                consts_spec[name] = PartitionSpec(None, "part", None)
+            else:
+                consts_spec[name] = rep
         sharded_render = shard_map(
             render,
             mesh=self.mesh,

@@ -22,6 +22,7 @@ from graphaudio_tpu.ops.convolve import (
     NUM_BINS,
     conv_superblock,
     conv_superblock_big,
+    conv_superblock_big_sharded,
     prepare_ir,
     prepare_ir_big,
 )
@@ -104,11 +105,54 @@ class ConvolverNode(AudioNode):
             return [input_channels[0] if input_channels else 2]
         return [self._effective_output_channels]
 
+    # -- multi-chip partition sharding -----------------------------------------
+    #
+    # The IR's partition axis splits over the mesh's 'part' axis: each device
+    # MACs its own partitions against (replicated) past-input spectra and a
+    # psum completes the accumulation — the distributed form of
+    # PartitionedConvolver.cs:154-223. Proven standalone in
+    # parallel/sharded.ShardedVoiceScene; this is the node-graph integration.
+
+    def supports_part_sharding(self, mesh) -> bool:
+        return (
+            self._H is not None
+            and bool(self._big_block)
+            and mesh is not None
+            and "part" in mesh.shape
+            and int(mesh.shape["part"]) > 1
+        )
+
+    def _padded_parts(self, mesh) -> int:
+        P = self._H.shape[1]
+        if not self.supports_part_sharding(mesh):
+            return P
+        n = int(mesh.shape["part"])
+        return -(-P // n) * n
+
+    def stage_consts(self, mesh) -> dict:
+        """IR spectra as stage ARGUMENTS (program-cache reuse on IR swap;
+        shardable over 'part'). Zero partitions pad the axis to the mesh's
+        'part' size — their MAC contributions are exactly zero."""
+        if self._H is None:
+            return {}
+        Pp = self._padded_parts(mesh)
+        K, P, bins = self._H.shape
+        if Pp == P:
+            return {"conv_hr": self._H, "conv_hi": self._Hi}
+        # prepend zero partitions: rows are REVERSED (oldest first), so
+        # padding goes before row 0 and the newest-input row stays last.
+        pad = ((0, 0), (Pp - P, 0), (0, 0))
+        return {
+            "conv_hr": np.pad(self._H, pad),
+            "conv_hi": np.pad(self._Hi, pad),
+        }
+
     def init_state(self, info):
         if self._H is None:
             return {}
         K, P, bins = self._H.shape
         if self._big_block:
+            P = self._padded_parts(getattr(self.context, "mesh", None))
             return {
                 "hist_r": np.zeros((K, P - 1, bins), np.float32),
                 "hist_i": np.zeros((K, P - 1, bins), np.float32),
@@ -127,15 +171,29 @@ class ConvolverNode(AudioNode):
             return state, [jnp.zeros_like(x)]
 
         S = rc.superblock
-        hr = jnp.asarray(self._H)  # [K, P, bins] closure constants
-        hi = jnp.asarray(self._Hi)
+        sc = getattr(rc, "stage_consts", None) or {}
+        if "conv_hr" in sc:
+            # IR spectra as stage arguments (shardable; cache-reusable).
+            # Under 'part' sharding these are this device's partition rows.
+            hr = jnp.asarray(sc["conv_hr"])
+            hi = jnp.asarray(sc["conv_hi"])
+        else:
+            hr = jnp.asarray(self._H)  # [K, P, bins] closure constants
+            hi = jnp.asarray(self._Hi)
+        part_axis = getattr(rc, "part_axis", None)
         # Route input channels to convolver instances, then run all instances
         # as one vmapped batch.
         if self._big_block:
             xs = jnp.stack([x[src] for src in self._conv_inputs])  # [K, T]
-            y, new_hist_r, new_hist_i, new_overlap = jax.vmap(
-                conv_superblock_big
-            )(xs, hr, hi, state["hist_r"], state["hist_i"], state["overlap"])
+            if part_axis:
+                conv = lambda *a: conv_superblock_big_sharded(  # noqa: E731
+                    *a, part_axis=part_axis
+                )
+            else:
+                conv = conv_superblock_big
+            y, new_hist_r, new_hist_i, new_overlap = jax.vmap(conv)(
+                xs, hr, hi, state["hist_r"], state["hist_i"], state["overlap"]
+            )
             # y: [K, T]
         else:
             xs = jnp.stack(

@@ -205,3 +205,35 @@ def conv_superblock_big(x, hr, hi, hist_r, hist_i, overlap):
     y_full = dft.inverse(acc_r[None, :], acc_i[None, :])[0]  # [2T]
     y = y_full[:T] + overlap
     return y, seq_r[1:], seq_i[1:], y_full[T:]
+
+
+def conv_superblock_big_sharded(x, hr_shard, hi_shard, hist_r, hist_i,
+                                overlap, part_axis: str):
+    """conv_superblock_big with the partition axis SPLIT over a mesh axis.
+
+    Runs inside shard_map: ``hr_shard``/``hi_shard`` are this device's rows
+    [P_local, T+1] of the (reversed, possibly zero-padded) spectra; input and
+    delay line are replicated. Each device MACs its own partitions and a
+    psum over ``part_axis`` completes the accumulation — the distributed
+    form of the reference's partition loop (PartitionedConvolver.cs:171-221).
+    """
+    from graphaudio_tpu.ops.fft import BigRealDft
+
+    T = x.shape[-1]
+    dft = BigRealDft(T, 2 * T)
+    xr, xi = dft.forward(x[None, :])
+    seq_r = jnp.concatenate([hist_r, xr], axis=0)  # [P2p, T+1]
+    seq_i = jnp.concatenate([hist_i, xi], axis=0)
+    pl = hr_shard.shape[0]
+    d = jax.lax.axis_index(part_axis)
+    lr = jax.lax.dynamic_slice_in_dim(seq_r, d * pl, pl, axis=0)
+    li = jax.lax.dynamic_slice_in_dim(seq_i, d * pl, pl, axis=0)
+    acc_r = jax.lax.psum(
+        jnp.sum(lr * hr_shard - li * hi_shard, axis=0), part_axis
+    )
+    acc_i = jax.lax.psum(
+        jnp.sum(lr * hi_shard + li * hr_shard, axis=0), part_axis
+    )
+    y_full = dft.inverse(acc_r[None, :], acc_i[None, :])[0]
+    y = y_full[:T] + overlap
+    return y, seq_r[1:], seq_i[1:], y_full[T:]

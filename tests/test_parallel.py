@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-import graphaudio_tpu  # noqa: F401  (x64)
+import graphaudio_tpu as ga  # noqa: F401  (x64)
 from graphaudio_tpu.parallel import ShardedVoiceScene, make_mesh
 from graphaudio_tpu.ops.convolve import normalization_scale
 
@@ -104,3 +104,46 @@ def test_context_mesh_sharding_matches_single_device(rng):
     assert np.abs(out - ref).max() < 1e-6
     # continuity across steps under sharding
     assert np.abs(ctx.render(4096) - ref_ctx.render(4096)).max() < 1e-6
+
+
+def test_context_part_sharded_convolver_matches_single_device(rng):
+    """Integrated voice x part mesh: the ConvolverNode's IR partitions shard
+    over 'part' (psum-completed spectral MAC) while voices shard over
+    'voice' — and the render matches the single-device one.
+    Ref: PartitionedConvolver.cs:154-223 (the distributed accumulation)."""
+
+    def build(mesh):
+        ctx = ga.OfflineAudioContext(sample_rate=48000, superblock=8)
+        if mesh is not None:
+            ctx.set_mesh(mesh)
+        r = np.random.default_rng(21)
+        master = ga.GainNode(ctx)
+        master.gain.value = 0.7
+        conv = ga.ConvolverNode(ctx)
+        ir = (r.standard_normal(1024 * 3) * 0.2).astype(np.float32)
+        conv.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(
+            ir, ir[::-1].copy(), 48000
+        )
+        conv.connect(master).connect(ctx.destination)
+        for v in range(4):
+            buf = ga.PlayableAudioBuffer.from_mono_array(
+                (r.standard_normal(4096) * 0.1).astype(np.float32), 48000
+            )
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = buf
+            src.loop = True
+            src.connect(conv)
+            src.start(0)
+        return ctx
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs >= 8 devices")
+    mesh = make_mesh(devs[:8])  # voice x part
+    assert mesh.shape["part"] > 1
+    ctx, ref_ctx = build(mesh), build(None)
+    out, ref = ctx.render(4096), ref_ctx.render(4096)
+    assert ctx._compiled.part_sharded, "convolver did not part-shard"
+    assert np.abs(out - ref).max() < 1e-5
+    # delay-line continuity across steps under sharding
+    assert np.abs(ctx.render(4096) - ref_ctx.render(4096)).max() < 1e-5
