@@ -83,6 +83,41 @@ def main():
     rendered_seconds = out.shape[1] / SR
     xrt = rendered_seconds / elapsed
 
+    # Compute-only throughput: the same compiled step scanned with its audio
+    # consumed ON DEVICE (one scalar out), so the tunneled device link's
+    # ~30 MB/s download (0.3+ s for a 30 s stereo render — the bulk of
+    # wall_seconds here) is excluded. On co-located hardware the headline
+    # xrt approaches this number.
+    import jax
+    import jax.numpy as jnp
+
+    cg = ctx._compiled
+    step, _ = cg.make_step_fn()
+    n_steps = frames // frames_per_step
+
+    def reduced(states, encs, consts, f0s, bts):
+        def body(c, xs):
+            f0, bt = xs
+            ns, out = step(c, encs, consts, {}, f0, bt)
+            return ns, jnp.sum(out)
+        st, outs = jax.lax.scan(body, states, (f0s, bts))
+        return jnp.sum(outs)
+
+    rfn = jax.jit(reduced)
+    f0s = jnp.arange(n_steps, dtype=jnp.int64) * frames_per_step
+    inc = np.float64(128) / SR
+    bts = np.add.accumulate(
+        np.full(n_steps * SUPERBLOCK, inc)
+    ).reshape(n_steps, SUPERBLOCK)
+    states = jax.device_put(jax.device_get(ctx._states))  # private copy
+    np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))  # compile
+    compute_walls = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))
+        compute_walls.append(time.perf_counter() - t1)
+    xrt_compute = rendered_seconds / min(compute_walls)
+
     # Latency phase: synchronized single-superblock steps give TRUE per-step
     # wall-time percentiles (the throughput render above pipelines launches,
     # so only the aggregate is observable there).
@@ -107,6 +142,7 @@ def main():
             "rendered_seconds": rendered_seconds,
             "wall_seconds": round(elapsed, 4),
             "wall_seconds_runs": [round(w, 4) for w in walls],
+            "xrt_compute": round(xrt_compute, 2),
             "p50_quantum_us": round(pct(q_us, 50), 3),
             "p99_quantum_us": round(pct(q_us, 99), 3),
             "p50_step_ms": round(pct(sw, 50) * 1e3, 3),

@@ -856,7 +856,7 @@ class CompiledGraph:
                     geoms = consts[f"{key}/geom"]
 
                     if variant[0] == "poly":
-                        # group-level kernel: element gathers replaced by
+                        # group-level kernels: element gathers replaced by
                         # row gathers + one-hot shift matmuls (see
                         # AudioBufferSourceNode.process_poly_group)
                         sts, outs = type(rep).process_poly_group(
@@ -864,13 +864,14 @@ class CompiledGraph:
                             variant[1], variant[2],
                         )
                         outs = [outs]
+                    elif variant[0] == "unity":
+                        sts, outs = type(rep).process_unity_group(
+                            states_stacked, arena, geoms, rc, w
+                        )
+                        outs = [outs]
                     else:
 
                         def lane(state, geom, pv):
-                            if variant[0] == "unity":
-                                return rep._process_unity(
-                                    state, arena, geom, rc, w
-                                )
                             return rep._process_resample(
                                 state, arena, geom, pv["playbackRate"], rc, w
                             )

@@ -917,21 +917,141 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         new_state["stop_time"] = new_stop
         return new_state, [out.reshape(C, rc.frames)]
 
-    # -- group-level polyphase kernel (all voices of a stage at once) ----------
+    # -- group-level kernels (all voices of a stage at once) -------------------
     #
-    # The per-voice vmapped form spends ~85% of its time in three per-voice
+    # The per-voice vmapped forms spend ~85% of their time in per-voice
     # ELEMENT gathers (window fetch, j0 output shift, canonical-base slice):
     # batched dynamic slices lower to per-element gathers on TPU (~0.9
-    # ns/element). This group form replaces every one of them:
+    # ns/element). These group forms replace every one of them:
     #   * window fetch  -> 128-sample ROW gather (the fast kind) + an exact
     #     one-hot lane-shift matmul (one factor is 1.0, so any MXU precision
-    #     reconstructs the f32 operand exactly);
+    #     reconstructs the f32 operand exactly) — _gather_windows_group;
     #   * j0 shift      -> a one-hot column-rotation matmul over the q axis
     #     plus a row-carry select;
     #   * validity      -> a closed-form integer threshold per voice
     #     (floor(x_j) <= end-3  <=>  j < ceil(((end-2)*q - round(x0*q)) / p)).
     # Measured 4.2x on the 64-voice flagship stage; outputs are bit-identical
-    # to the per-voice path.
+    # to the per-voice paths.
+
+    @staticmethod
+    def _gather_windows_group(arena, abs_start, w: int):
+        """Per-voice [C, w] windows at arbitrary offsets of a shared
+        f32[C, W] arena (W a multiple of 128), with NO element gathers:
+        a 128-sample row gather plus an exact one-hot lane-shift matmul.
+        Returns f32[V, C, w]."""
+        i32 = jnp.int32
+        C, W = arena.shape
+        nrows = w // FRAMES_PER_BLOCK + 2
+        rows = arena.reshape(C, W // FRAMES_PER_BLOCK, FRAMES_PER_BLOCK)
+        row0 = abs_start // FRAMES_PER_BLOCK
+        delta = (abs_start % FRAMES_PER_BLOCK).astype(i32)
+        ridx = row0[:, None] + jnp.arange(nrows, dtype=row0.dtype)[None, :]
+        ridx = jnp.clip(ridx, 0, W // FRAMES_PER_BLOCK - 1)
+        sel = jnp.take(rows, ridx, axis=1)  # [C, V, nrows, 128] row gather
+        l_iota = jnp.arange(FRAMES_PER_BLOCK, dtype=i32)
+        dlt = delta[:, None, None]
+        sh_lo = (l_iota[:, None] == l_iota[None, :] + dlt).astype(jnp.float32)
+        sh_hi = (
+            l_iota[:, None] + FRAMES_PER_BLOCK == l_iota[None, :] + dlt
+        ).astype(jnp.float32)  # [V, 128(src), 128(dst)]
+        shifted = jnp.einsum(
+            "cvns,vsd->vcnd", sel[:, :, :-1], sh_lo, precision=_HIGHEST
+        ) + jnp.einsum(
+            "cvns,vsd->vcnd", sel[:, :, 1:], sh_hi, precision=_HIGHEST
+        )  # [V, C, nrows-1, 128]
+        V = abs_start.shape[0]
+        return shifted.reshape(V, C, (nrows - 1) * FRAMES_PER_BLOCK)[:, :, :w]
+
+    @classmethod
+    def process_unity_group(cls, states, arena, geom, rc, w: int):
+        """Group form of _process_unity (exact copy path): same semantics,
+        bit-identical output, gathers replaced as described above."""
+        S = rc.superblock
+        C = arena.shape[0]
+        V = geom["off"].shape[0]
+        i32 = jnp.int32
+
+        started = states["started"] > 0
+        active = (
+            started[:, None]
+            & (rc.block_end_times[None, :] > states["start_time"][:, None])
+            & (rc.block_times[None, :] < states["stop_time"][:, None])
+        )  # [V, S]
+        length = geom["length"]
+        rate = geom["rate"]
+        de = jnp.where(
+            jnp.isfinite(states["duration"]),
+            jnp.trunc(states["offset"] * rate)
+            + jnp.trunc(states["duration"] * rate),
+            length,
+        )
+        de = jnp.minimum(de, length)
+        lef = geom["lef"]
+        lsf = geom["lsf"]
+        llen = geom["llen"]
+        looping = geom["looping"]
+        loop_flag = geom["loop_flag"]
+        region_len = geom["region_len"]
+        off = geom["off"]
+        front = geom["front"]
+
+        adv = jnp.where(active, float(FRAMES_PER_BLOCK), 0.0)  # [V, S]
+        pos_b = states["pos"][:, None] + (
+            jnp.cumsum(adv, axis=1) - adv
+        )  # [V, S] f64 exclusive cumsum
+        p0 = states["pos"]
+
+        qmod = jnp.mod(p0 - lsf, jnp.maximum(llen, 1.0))
+        e0 = jnp.where(looping & (p0 >= lsf), lsf + llen + qmod, p0)
+        start = jnp.clip(e0.astype(i32), 0, region_len.astype(i32) - w)
+        window = cls._gather_windows_group(arena, off + front + start, w)
+
+        delta_b = (pos_b - p0[:, None]).astype(i32)  # [V, S]
+        blocks = window[:, :, : S * FRAMES_PER_BLOCK].reshape(
+            V, C, S, FRAMES_PER_BLOCK
+        )
+        bidx = jnp.clip(delta_b // FRAMES_PER_BLOCK, 0, S - 1)
+        samples = jnp.take_along_axis(blocks, bidx[:, None, :, None], axis=2)
+        i = jnp.arange(FRAMES_PER_BLOCK, dtype=i32)
+
+        g = (
+            p0.astype(i32)[:, None, None]
+            + delta_b[:, :, None]
+            + i[None, None, :]
+        )  # [V, S, 128] original-coordinate sample indices
+        lef_i = lef.astype(i32)
+        de_i = de.astype(i32)
+        end_bound = jnp.where(loop_flag, jnp.minimum(lef_i, de_i), de_i)
+        valid = jnp.where(
+            looping[:, None, None], jnp.bool_(True),
+            g < end_bound[:, None, None],
+        )
+        out = jnp.where((active[:, :, None] & valid)[:, None], samples, 0.0)
+
+        pos_after = pos_b + FRAMES_PER_BLOCK  # [V, S]
+        any_valid = jnp.any(valid, axis=2)
+        cleared = active & jnp.where(
+            looping[:, None], ~any_valid,
+            (pos_after >= de[:, None]) | ~any_valid,
+        )
+        out = jnp.where(cleared[:, None, :, None], 0.0, out)
+
+        first_stop = jnp.min(
+            jnp.where(cleared, rc.block_end_times[None, :], jnp.inf), axis=1
+        )
+        new_stop = jnp.minimum(states["stop_time"], first_stop)
+
+        new_pos = states["pos"] + jnp.sum(adv, axis=1)
+        new_pos = jnp.where(
+            looping & (new_pos >= lef),
+            lsf + jnp.mod(new_pos - lef, jnp.maximum(llen, 1.0)),
+            new_pos,
+        )
+
+        new_states = dict(states)
+        new_states["pos"] = new_pos
+        new_states["stop_time"] = new_stop
+        return new_states, out.reshape(V, C, rc.frames)
 
     @classmethod
     def process_poly_group(cls, states, arena, geom, rc, w: int, p: int, q: int):
@@ -989,26 +1109,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         start = jnp.clip(A0 - m0 - 1, -(p + 8), region_len.astype(i32) - w)
 
         # ---- window fetch: row gather + exact one-hot lane shift ----------
-        abs_start = off + front + start  # [V], >= 0 by construction
-        nrows = w // FRAMES_PER_BLOCK + 2
-        rows = arena.reshape(C, W // FRAMES_PER_BLOCK, FRAMES_PER_BLOCK)
-        row0 = abs_start // FRAMES_PER_BLOCK
-        delta = (abs_start % FRAMES_PER_BLOCK).astype(i32)
-        ridx = row0[:, None] + jnp.arange(nrows, dtype=row0.dtype)[None, :]
-        ridx = jnp.clip(ridx, 0, W // FRAMES_PER_BLOCK - 1)
-        sel = jnp.take(rows, ridx, axis=1)  # [C, V, nrows, 128] row gather
-        l_iota = jnp.arange(FRAMES_PER_BLOCK, dtype=i32)
-        dlt = delta[:, None, None]
-        sh_lo = (l_iota[:, None] == l_iota[None, :] + dlt).astype(jnp.float32)
-        sh_hi = (
-            l_iota[:, None] + FRAMES_PER_BLOCK == l_iota[None, :] + dlt
-        ).astype(jnp.float32)  # [V, 128(src), 128(dst)]
-        shifted = jnp.einsum(
-            "cvns,vsd->vcnd", sel[:, :, :-1], sh_lo, precision=_HIGHEST
-        ) + jnp.einsum(
-            "cvns,vsd->vcnd", sel[:, :, 1:], sh_hi, precision=_HIGHEST
-        )  # [V, C, nrows-1, 128]
-        window = shifted.reshape(V, C, (nrows - 1) * FRAMES_PER_BLOCK)[:, :, :w]
+        window = cls._gather_windows_group(arena, off + front + start, w)
 
         # ---- canonical polyphase: slabs + ONE merged MXU matmul ------------
         wa = window[:, :, : (ncan + nb) * p].reshape(V, C, ncan + nb, p)
