@@ -5,9 +5,12 @@
 // container parsing + PCM decode off the render hot path, exposed through a
 // minimal C ABI consumed via ctypes.
 //
-// Formats: RIFF/WAVE (PCM u8/s16/s24/s32, float32/float64, WAVE_FORMAT_EXTENSIBLE)
-// and AIFF/AIFC (PCM s8/s16/s24/s32) parsed natively; MP3 (via the system's
-// libmpg123) and Ogg/Vorbis (via libvorbisfile), both loaded lazily with
+// Formats parsed natively: RIFF/WAVE (PCM u8/s16/s24/s32, float32/float64,
+// WAVE_FORMAT_EXTENSIBLE), RF64, Sony Wave64, AIFF/AIFC (PCM incl. "sowt"
+// little-endian), Sun/NeXT AU (PCM/float/G.711 mu-law+a-law), Apple CAF
+// (LPCM int/float, either endianness), and FLAC (full decoder from the
+// spec, incl. LPC and Rice/Rice2 residuals). MP3 (via the system's
+// libmpg123) and Ogg/Vorbis (via libvorbisfile) are loaded lazily with
 // dlopen so there are NO link-time codec dependencies — opening a compressed
 // file fails cleanly where the system library is absent (parity: the
 // reference ships libsndfile per-RID and fails open when missing).
@@ -112,7 +115,8 @@ const int kMaxSampleRate = 10000000;
 bool valid_layout(const Decoder* d) {
     if (d->channels < 1 || d->channels > kMaxChannels) return false;
     if (d->sample_rate < 1 || d->sample_rate > kMaxSampleRate) return false;
-    if (d->format == 3) return d->bits == 32 || d->bits == 64;
+    if (d->format == 3 || d->format == 7) return d->bits == 32 || d->bits == 64;
+    if (d->format == 5 || d->format == 6) return d->bits == 8;
     return d->bits == 8 || d->bits == 16 || d->bits == 24 || d->bits == 32;
 }
 
@@ -186,10 +190,12 @@ bool parse_aiff(Decoder* d) {
             double sr = read_extended(comm.data() + 8);
             if (!(sr >= 1.0 && sr <= double(kMaxSampleRate))) return false;
             d->sample_rate = int(sr);
-            if (size >= 22 && memcmp(comm.data() + 18, "NONE", 4) != 0 &&
-                memcmp(comm.data() + 18, "sowt", 4) != 0)
+            bool sowt = size >= 22 && memcmp(comm.data() + 18, "sowt", 4) == 0;
+            if (size >= 22 && memcmp(comm.data() + 18, "NONE", 4) != 0 && !sowt)
                 return false;  // compressed AIFC unsupported
-            d->format = 4;  // big-endian pcm
+            // "sowt" = little-endian PCM; 8-bit stays format 4 (single
+            // byte, signed — format 1's 8-bit is WAV-unsigned).
+            d->format = (sowt && d->bits > 8) ? 1 : 4;
             if (!valid_layout(d)) return false;
             have_comm = true;
             if (size & 1) dseek(d, dtell(d) + 1);
@@ -212,9 +218,229 @@ bool parse_aiff(Decoder* d) {
     return false;
 }
 
+// Sun/NeXT AU (.au/.snd): big-endian header, PCM/float/G.711 payloads.
+bool parse_au(Decoder* d) {
+    uint8_t h[24];
+    if (!dseek(d, 0) || !dread(d, h, 24)) return false;
+    if (memcmp(h, ".snd", 4) != 0) return false;
+    uint32_t data_off = rd_u32be(h + 4);
+    uint32_t enc = rd_u32be(h + 12);
+    d->sample_rate = int(rd_u32be(h + 16));
+    d->channels = int(rd_u32be(h + 20));
+    switch (enc) {
+        case 1: d->format = 5; d->bits = 8; break;   // mu-law
+        case 2: d->format = 4; d->bits = 8; break;   // signed 8-bit
+        case 3: d->format = 4; d->bits = 16; break;  // BE PCM
+        case 4: d->format = 4; d->bits = 24; break;
+        case 5: d->format = 4; d->bits = 32; break;
+        case 6: d->format = 7; d->bits = 32; break;  // BE float
+        case 7: d->format = 7; d->bits = 64; break;  // BE double
+        case 27: d->format = 6; d->bits = 8; break;  // a-law
+        default: return false;
+    }
+    if (data_off < 24 || !valid_layout(d)) return false;
+    d->data_start = int64_t(data_off);
+    int64_t avail = dsize(d) - d->data_start;
+    if (avail < 0) avail = 0;
+    d->total_frames = avail / int64_t(d->bytes_per_frame());
+    return true;
+}
+
+// Apple CAF: 'caff' magic, BE chunk headers with 64-bit sizes; LPCM only.
+bool parse_caf(Decoder* d) {
+    uint8_t h[8];
+    if (!dseek(d, 0) || !dread(d, h, 8)) return false;
+    if (memcmp(h, "caff", 4) != 0) return false;
+    bool have_desc = false;
+    while (true) {
+        uint8_t ch[12];
+        if (!dread(d, ch, 12)) break;
+        int64_t size = int64_t((uint64_t(rd_u32be(ch + 4)) << 32) |
+                               rd_u32be(ch + 8));
+        if (size < 0) return false;
+        if (memcmp(ch, "desc", 4) == 0) {
+            if (size < 32) return false;
+            uint8_t desc[32];
+            if (!dread(d, desc, 32)) return false;
+            uint64_t iu = (uint64_t(rd_u32be(desc)) << 32) | rd_u32be(desc + 4);
+            double sr;
+            memcpy(&sr, &iu, 8);
+            if (!(sr >= 1.0 && sr <= double(kMaxSampleRate))) return false;
+            d->sample_rate = int(sr);
+            if (memcmp(desc + 8, "lpcm", 4) != 0) return false;
+            uint32_t flags = rd_u32be(desc + 12);
+            d->channels = int(rd_u32be(desc + 24));
+            d->bits = int(rd_u32be(desc + 28));
+            bool is_float = flags & 1;
+            bool is_le = flags & 2;
+            if (is_float) d->format = is_le ? 3 : 7;
+            else d->format = is_le ? 1 : 4;
+            // packed samples only (bytesPerPacket == channels*bits/8)
+            uint32_t bpp = rd_u32be(desc + 16);
+            if (d->bits % 8 || bpp != uint32_t(d->channels) * (d->bits / 8))
+                return false;
+            if (!valid_layout(d)) return false;
+            // LE 8-bit int would hit format 1's WAV-unsigned semantics;
+            // CAF 8-bit is signed -> use the endian-neutral BE path.
+            if (!is_float && d->bits == 8) d->format = 4;
+            if (size > 32 && !dseek(d, dtell(d) + (size - 32))) return false;
+            have_desc = true;
+        } else if (memcmp(ch, "data", 4) == 0) {
+            if (!have_desc || size < 4) return false;
+            if (!dseek(d, dtell(d) + 4)) return false;  // edit count
+            d->data_start = dtell(d);
+            int64_t avail = dsize(d) - d->data_start;
+            if (avail < 0) avail = 0;
+            int64_t bytes = size - 4;
+            if (bytes < 0 || bytes > avail) bytes = avail;  // -1 = to EOF
+            d->total_frames = bytes / int64_t(d->bytes_per_frame());
+            return true;
+        } else {
+            if (!dseek(d, dtell(d) + size)) return false;
+        }
+    }
+    return false;
+}
+
+// Sony Wave64: GUID-tagged chunks with 64-bit sizes (size INCLUDES the
+// 24-byte chunk header); payload layout identical to WAV.
+bool parse_w64(Decoder* d) {
+    static const uint8_t riff_guid[16] = {
+        0x72, 0x69, 0x66, 0x66, 0x2E, 0x91, 0xCF, 0x11,
+        0xA5, 0xD6, 0x28, 0xDB, 0x04, 0xC1, 0x00, 0x00};
+    static const uint8_t wave_guid[16] = {
+        0x77, 0x61, 0x76, 0x65, 0xF3, 0xAC, 0xD3, 0x11,
+        0x8C, 0xD1, 0x00, 0xC0, 0x4F, 0x8E, 0xDB, 0x8A};
+    uint8_t h[40];
+    if (!dseek(d, 0) || !dread(d, h, 40)) return false;
+    if (memcmp(h, riff_guid, 16) != 0 || memcmp(h + 24, wave_guid, 16) != 0)
+        return false;
+    bool have_fmt = false;
+    while (true) {
+        uint8_t ch[24];
+        if (!dread(d, ch, 24)) break;
+        int64_t size = int64_t(rd_u32le(ch + 16)) |
+                       (int64_t(rd_u32le(ch + 20)) << 32);
+        if (size < 24) return false;
+        int64_t body = size - 24;
+        int64_t pad = (8 - (size & 7)) & 7;  // chunks align to 8 bytes
+        if (memcmp(ch, "fmt ", 4) == 0) {  // fmt GUID starts with the fourcc
+            if (body < 16 || body > kMaxHeaderChunk) return false;
+            std::vector<uint8_t> fmt(static_cast<size_t>(body), 0);
+            if (!dread(d, fmt.data(), fmt.size())) return false;
+            uint16_t tag = rd_u16le(fmt.data());
+            d->channels = rd_u16le(fmt.data() + 2);
+            d->sample_rate = int(rd_u32le(fmt.data() + 4));
+            d->bits = rd_u16le(fmt.data() + 14);
+            if (tag == 0xFFFE) {
+                if (body < 40) return false;
+                tag = rd_u16le(fmt.data() + 24);
+            }
+            if (tag == 1) d->format = 1;
+            else if (tag == 3) d->format = 3;
+            else if (tag == 7) { d->format = 5; }       // mu-law
+            else if (tag == 6) { d->format = 6; }       // a-law
+            else return false;
+            if (!valid_layout(d)) return false;
+            have_fmt = true;
+            if (pad && !dseek(d, dtell(d) + pad)) return false;
+        } else if (memcmp(ch, "data", 4) == 0) {
+            if (!have_fmt) return false;
+            d->data_start = dtell(d);
+            int64_t avail = dsize(d) - d->data_start;
+            if (avail < 0) avail = 0;
+            int64_t bytes = body < avail ? body : avail;
+            d->total_frames = bytes / int64_t(d->bytes_per_frame());
+            return true;
+        } else {
+            if (!dseek(d, dtell(d) + body + pad)) return false;
+        }
+    }
+    return false;
+}
+
+// RF64 (EBU >4 GB WAV): 'RF64'+'WAVE' with a ds64 chunk carrying the
+// 64-bit data size; everything else is WAV.
+bool parse_rf64(Decoder* d) {
+    uint8_t hdr[12];
+    if (!dseek(d, 0) || !dread(d, hdr, 12)) return false;
+    if (memcmp(hdr, "RF64", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0)
+        return false;
+    bool have_fmt = false;
+    int64_t data_size64 = -1;
+    while (true) {
+        uint8_t ch[8];
+        if (!dread(d, ch, 8)) break;
+        uint32_t size = rd_u32le(ch + 4);
+        if (memcmp(ch, "ds64", 4) == 0) {
+            if (size < 28 || size > kMaxHeaderChunk) return false;
+            std::vector<uint8_t> ds(size);
+            if (!dread(d, ds.data(), size)) return false;
+            data_size64 = int64_t(rd_u32le(ds.data() + 8)) |
+                          (int64_t(rd_u32le(ds.data() + 12)) << 32);
+            if (size & 1) dseek(d, dtell(d) + 1);
+        } else if (memcmp(ch, "fmt ", 4) == 0) {
+            if (size < 16 || size > kMaxHeaderChunk) return false;
+            std::vector<uint8_t> fmt(size);
+            if (!dread(d, fmt.data(), size)) return false;
+            uint16_t tag = rd_u16le(fmt.data());
+            d->channels = rd_u16le(fmt.data() + 2);
+            d->sample_rate = int(rd_u32le(fmt.data() + 4));
+            d->bits = rd_u16le(fmt.data() + 14);
+            if (tag == 0xFFFE) {
+                if (size < 40) return false;
+                tag = rd_u16le(fmt.data() + 24);
+            }
+            if (tag == 1) d->format = 1;
+            else if (tag == 3) d->format = 3;
+            else return false;
+            if (!valid_layout(d)) return false;
+            have_fmt = true;
+            if (size & 1) dseek(d, dtell(d) + 1);
+        } else if (memcmp(ch, "data", 4) == 0) {
+            if (!have_fmt) return false;
+            d->data_start = dtell(d);
+            int64_t bytes = (size == 0xFFFFFFFFu && data_size64 >= 0)
+                                ? data_size64
+                                : int64_t(size);
+            int64_t avail = dsize(d) - d->data_start;
+            if (avail < 0) avail = 0;
+            if (bytes > avail) bytes = avail;
+            d->total_frames = bytes / int64_t(d->bytes_per_frame());
+            return true;
+        } else {
+            if (!dseek(d, dtell(d) + size + (size & 1))) return false;
+        }
+    }
+    return false;
+}
+
 bool parse(Decoder* d) { return parse_wav(d) || parse_aiff(d); }
 
+// ITU-T G.711 expansions (libsndfile-parity companding support).
+inline float ulaw_expand(uint8_t u) {
+    u = ~u;
+    int sign = u & 0x80;
+    int exponent = (u >> 4) & 0x07;
+    int mantissa = u & 0x0F;
+    int sample = ((mantissa << 3) + 0x84) << exponent;
+    sample -= 0x84;
+    return float(sign ? -sample : sample) / 32768.0f;
+}
+
+inline float alaw_expand(uint8_t a) {
+    a ^= 0x55;
+    int sign = a & 0x80;
+    int exponent = (a >> 4) & 0x07;
+    int mantissa = a & 0x0F;
+    int sample = exponent ? ((mantissa << 4) + 0x108) << (exponent - 1)
+                          : (mantissa << 4) + 0x8;
+    return float(sign ? -sample : sample) / 32768.0f;
+}
+
 inline float cvt_sample(const uint8_t* p, int bits, int format) {
+    if (format == 5) return ulaw_expand(p[0]);
+    if (format == 6) return alaw_expand(p[0]);
     if (format == 3) {  // IEEE float little endian
         if (bits == 32) {
             float v;
@@ -223,6 +449,19 @@ inline float cvt_sample(const uint8_t* p, int bits, int format) {
         }
         double v;
         memcpy(&v, p, 8);
+        return float(v);
+    }
+    if (format == 7) {  // IEEE float big endian (AU / BE CAF)
+        if (bits == 32) {
+            uint32_t u = rd_u32be(p);
+            float v;
+            memcpy(&v, &u, 4);
+            return v;
+        }
+        uint64_t u = 0;
+        for (int i = 0; i < 8; i++) u = (u << 8) | p[i];
+        double v;
+        memcpy(&v, &u, 8);
         return float(v);
     }
     bool be = (format == 4);
@@ -1132,6 +1371,26 @@ bool open_any(Decoder* d) {
     }
     if (memcmp(magic, "OggS", 4) == 0) return open_vorbis(d);
     if (memcmp(magic, "fLaC", 4) == 0) return open_flac(d);
+    if (memcmp(magic, ".snd", 4) == 0) {
+        if (!parse_au(d)) return false;
+        dseek(d, d->data_start);
+        return true;
+    }
+    if (memcmp(magic, "caff", 4) == 0) {
+        if (!parse_caf(d)) return false;
+        dseek(d, d->data_start);
+        return true;
+    }
+    if (memcmp(magic, "riff", 4) == 0) {  // Wave64 GUID starts 'riff'
+        if (!parse_w64(d)) return false;
+        dseek(d, d->data_start);
+        return true;
+    }
+    if (memcmp(magic, "RF64", 4) == 0) {
+        if (!parse_rf64(d)) return false;
+        dseek(d, d->data_start);
+        return true;
+    }
     // MP3: ID3 tag or an MPEG audio sync word right at the start. (mpg123
     // itself would resync into arbitrary junk, so gate on the magic.)
     if (memcmp(magic, "ID3", 3) == 0 ||

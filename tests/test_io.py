@@ -386,3 +386,133 @@ def test_rejects_malformed_aiff_comm():
     assert not _open_mem(aiff(comm(bits=0)))
     # NaN/inf sample rate (exponent all-ones) must not reach the int cast.
     assert not _open_mem(aiff(comm(exp=0x7FFF)))
+
+
+# -- additional containers (libsndfile-breadth parity) -------------------------
+
+def _pcm16(sig):
+    return np.clip(np.rint(sig * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def test_au_decode_be16_and_ulaw():
+    import struct
+
+    sig = (np.sin(2 * np.pi * 440 * np.arange(1000) / SR) * 0.5).astype(np.float32)
+    pcm = _pcm16(sig)
+    # encoding 3 = 16-bit BE PCM, mono
+    au = struct.pack(">4sIIIII", b".snd", 28, len(pcm) * 2, 3, SR, 1)
+    au += b"\x00" * 4 + pcm.astype(">i2").tobytes()
+    with AudioDecoder(au) as dec:
+        assert dec.sample_rate == SR and dec.channels == 1
+        assert dec.frames == 1000
+        out = dec.decode(1000)[:, 0]
+    assert np.abs(out - pcm.astype(np.float32) / 32768.0).max() == 0
+
+    # mu-law (encoding 1): expansion must invert compression to ~mu-law SNR
+    def ulaw_compress(x):
+        x = np.clip((x * 32768).astype(np.int32), -32635, 32635)
+        sign = np.where(x < 0, 0x80, 0)
+        x = np.abs(x) + 0x84
+        exp = (np.floor(np.log2(x)) - 7).astype(np.int32)
+        mant = (x >> (exp + 3)) & 0x0F
+        return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+    comp = ulaw_compress(sig)
+    au2 = struct.pack(">4sIIIII", b".snd", 24, len(comp), 1, SR, 1)
+    au2 += comp.tobytes()
+    with AudioDecoder(au2) as dec:
+        out = dec.decode(dec.frames)[:, 0]
+    assert np.abs(out - sig).max() < 0.02  # G.711 quantization
+
+
+def test_caf_decode_float_le_and_int_be():
+    import struct
+
+    sig = (np.sin(2 * np.pi * 220 * np.arange(800) / SR) * 0.4).astype(np.float32)
+
+    def caf(desc_flags, fmt_bytes, bits, data):
+        bpp = 2 * (bits // 8)  # stereo
+        desc = struct.pack(">d4sIIIII", float(SR), b"lpcm", desc_flags,
+                           bpp, 1, 2, bits)
+        out = b"caff" + struct.pack(">HH", 1, 0)
+        out += b"desc" + struct.pack(">q", len(desc)) + desc
+        out += b"data" + struct.pack(">q", 4 + len(data)) + b"\x00" * 4 + data
+        return out
+
+    inter = np.stack([sig, -sig], axis=1).reshape(-1)
+    # float32 little-endian (flags: 1=float | 2=little-endian)
+    blob = caf(3, None, 32, inter.astype("<f4").tobytes())
+    with AudioDecoder(blob) as dec:
+        assert dec.channels == 2 and dec.frames == 800
+        out = dec.decode(800).T
+    assert np.abs(out[0] - sig).max() == 0
+
+    # int16 big-endian (flags 0)
+    pcm = _pcm16(inter)
+    blob = caf(0, None, 16, pcm.astype(">i2").tobytes())
+    with AudioDecoder(blob) as dec:
+        out = dec.decode(800).T
+    assert np.abs(out[0] - pcm[::2].astype(np.float32) / 32768.0).max() == 0
+
+
+def test_w64_decode_pcm16():
+    import struct
+
+    riff_guid = bytes([0x72, 0x69, 0x66, 0x66, 0x2E, 0x91, 0xCF, 0x11,
+                       0xA5, 0xD6, 0x28, 0xDB, 0x04, 0xC1, 0x00, 0x00])
+    wave_guid = bytes([0x77, 0x61, 0x76, 0x65, 0xF3, 0xAC, 0xD3, 0x11,
+                       0x8C, 0xD1, 0x00, 0xC0, 0x4F, 0x8E, 0xDB, 0x8A])
+    fmt_guid = b"fmt " + bytes([0xF3, 0xAC, 0xD3, 0x11, 0x8C, 0xD1,
+                                0x00, 0xC0, 0x4F, 0x8E, 0xDB, 0x8A])
+    data_guid = b"data" + bytes([0xF3, 0xAC, 0xD3, 0x11, 0x8C, 0xD1,
+                                 0x00, 0xC0, 0x4F, 0x8E, 0xDB, 0x8A])
+    sig = (np.sin(2 * np.pi * 100 * np.arange(600) / SR) * 0.3).astype(np.float32)
+    pcm = _pcm16(sig).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, SR, SR * 2, 2, 16)
+    body = fmt_guid + struct.pack("<q", 24 + len(fmt)) + fmt
+    body += b"\x00" * ((8 - (24 + len(fmt)) % 8) % 8)
+    body += data_guid + struct.pack("<q", 24 + len(pcm)) + pcm
+    blob = riff_guid + struct.pack("<q", 40 + len(body)) + wave_guid + body
+    with AudioDecoder(blob) as dec:
+        assert dec.channels == 1 and dec.frames == 600
+        out = dec.decode(600)[:, 0]
+    assert np.abs(out - _pcm16(sig).astype(np.float32) / 32768.0).max() == 0
+
+
+def test_rf64_decode_with_ds64_size():
+    import struct
+
+    sig = (np.sin(2 * np.pi * 55 * np.arange(500) / SR) * 0.3).astype(np.float32)
+    pcm = _pcm16(sig).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, SR, SR * 2, 2, 16)
+    ds64 = struct.pack("<QQQI", 0, len(pcm), 500, 0)  # riff, data, samples
+    blob = b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+    blob += b"ds64" + struct.pack("<I", len(ds64)) + ds64
+    blob += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    blob += b"data" + struct.pack("<I", 0xFFFFFFFF) + pcm
+    with AudioDecoder(blob) as dec:
+        assert dec.frames == 500
+        out = dec.decode(500)[:, 0]
+    assert np.abs(out - _pcm16(sig).astype(np.float32) / 32768.0).max() == 0
+
+
+def test_aifc_sowt_little_endian():
+    import struct
+
+    sig = (np.sin(2 * np.pi * 330 * np.arange(400) / SR) * 0.5).astype(np.float32)
+    pcm = _pcm16(sig)
+
+    def ext80(rate):
+        # 80-bit extended for integer rates
+        e = int(rate).bit_length() - 1
+        return struct.pack(">HQ", 16383 + e, int(rate) << (63 - e))
+
+    comm = struct.pack(">HIH", 1, 400, 16) + ext80(SR) + b"sowt" + b"\x00\x00"
+    ssnd = struct.pack(">II", 0, 0) + pcm.astype("<i2").tobytes()
+    body = b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    blob = b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFC" + body
+    with AudioDecoder(blob) as dec:
+        assert dec.frames == 400
+        out = dec.decode(400)[:, 0]
+    assert np.abs(out - pcm.astype(np.float32) / 32768.0).max() == 0
