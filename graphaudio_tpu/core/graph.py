@@ -870,13 +870,24 @@ class CompiledGraph:
                         )
                         outs = [outs]
                     else:
+                        # time-varying resample: pre-fetch all voice windows
+                        # gather-free, vmap the interpolation lanes over them
+                        starts = type(rep).resample_window_starts(
+                            states_stacked, geoms, w
+                        )
+                        windows = type(rep)._gather_windows_group(
+                            arena, starts, w
+                        )
 
-                        def lane(state, geom, pv):
+                        def lane(state, geom, pv, win):
                             return rep._process_resample(
-                                state, arena, geom, pv["playbackRate"], rc, w
+                                state, arena, geom, pv["playbackRate"], rc, w,
+                                window=win,
                             )
 
-                        sts, outs = jax.vmap(lane)(states_stacked, geoms, pvals)
+                        sts, outs = jax.vmap(lane)(
+                            states_stacked, geoms, pvals, windows
+                        )
                 else:
 
                     def lane(state, inputs, pv):

@@ -700,7 +700,24 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         new_state["stop_time"] = new_stop
         return new_state, [out.reshape(C, rc.frames)]
 
-    def _process_resample(self, state, arena, geom, playback_rate_pb, rc, w: int):
+    @classmethod
+    def resample_window_starts(cls, states, geom, w: int):
+        """[V] absolute arena offsets of each voice's resample window —
+        the same start `_process_resample` derives per voice, vectorized so
+        the group can pre-fetch all windows gather-free."""
+        x0 = jnp.where(states["primed"] > 0, states["x"], states["pos"] + 1.0)
+        lsf, llen = geom["lsf"], geom["llen"]
+        looping = geom["looping"]
+        qmod = jnp.mod(x0 - lsf, jnp.maximum(llen, 1.0))
+        e0 = jnp.where(looping & (x0 >= lsf), lsf + llen + qmod, x0)
+        start = jnp.clip(
+            jnp.floor(e0).astype(jnp.int32) - 1, 0,
+            geom["region_len"].astype(jnp.int32) - w,
+        )
+        return geom["off"] + geom["front"] + start
+
+    def _process_resample(self, state, arena, geom, playback_rate_pb, rc,
+                          w: int, window=None):
         S = rc.superblock
         C = arena.shape[0]
         active = self._block_active(state, rc)  # [S]
@@ -722,9 +739,10 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         start = jnp.clip(
             jnp.floor(e0).astype(jnp.int32) - 1, 0, region_len - w
         )
-        window = jax.lax.dynamic_slice(
-            arena, (jnp.int32(0), off + geom["front"] + start), (C, w)
-        )
+        if window is None:  # single-node path; groups pre-fetch gather-free
+            window = jax.lax.dynamic_slice(
+                arena, (jnp.int32(0), off + geom["front"] + start), (C, w)
+            )
 
         adv = jnp.where(active, FRAMES_PER_BLOCK * rate_b, 0.0)
         du_b = _excl_cumsum(adv)  # [S] f64 offsets from x0

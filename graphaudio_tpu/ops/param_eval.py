@@ -193,6 +193,15 @@ def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt):
 
     Parity: AudioParam.ComputeValueAtTime (AudioParam.cs:168-247).
     """
+    if n_per_block == 1:
+        # K-RATE: one value per block. Evaluate the curve in FULL f64
+        # absolute time (the reference's InterpolateLinear/Exponential do
+        # all math in doubles and round once, AudioParam.cs:219-237) — a
+        # 1-ulp f32 difference here is integrated into position drift by
+        # rate-like consumers (the resampler), so exactness matters and the
+        # cost is S scalars per step.
+        return eval_intrinsic(enc, block_times)
+
     times = enc["times"]  # f64[cap]
     values = enc["values"]  # f32[cap]
     tcs = enc["tcs"]  # f64[cap]

@@ -216,3 +216,34 @@ def test_resampler_nonloop_tail_matches_oracle(rng):
 
     got, want = render_both(build, frames=SR // 4)
     assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_grouped_time_varying_playback_rate(rng):
+    """Several voices with SCHEDULED playbackRate changes (the general
+    time-varying resample path, grouped) against the oracle's streaming
+    CubicResampler with per-block k-rate evaluation."""
+    voices = 3
+    sigs = [(rng.standard_normal(30000) * 0.3).astype(np.float32)
+            for _ in range(voices)]
+
+    def build(ctx, ga_api):
+        for v in range(voices):
+            if ga_api:
+                src = ga.AudioBufferSourceNode(ctx)
+                src.buffer = ga.PlayableAudioBuffer.from_mono_array(sigs[v], SR)
+                pr = src.playback_rate
+            else:
+                src = OracleBufferSource(ctx)
+                src.set_buffer(sigs[v], SR)
+                pr = src.playback_rate
+            src.loop = True
+            # rates stay strictly above 1.0: at exactly 1.0 the reference
+            # hops to its unity COPY path for that block (one sample earlier
+            # than the resampler) — a documented deviation (PARITY.md).
+            pr.set_value_at_time(1.03 + 0.1 * v, 0.0)
+            pr.linear_ramp_to_value_at_time(1.29, 0.25)
+            src.connect(ctx.destination)
+            src.start(0)
+
+    got, want = render_both(build, frames=SR // 4)
+    assert np.max(np.abs(got - want)) < 1e-5
