@@ -516,3 +516,53 @@ def test_aifc_sowt_little_endian():
         assert dec.frames == 400
         out = dec.decode(400)[:, 0]
     assert np.abs(out - pcm.astype(np.float32) / 32768.0).max() == 0
+
+
+def test_malformed_inputs_never_crash(rng):
+    """Every container parser must reject (not crash on) hostile bytes:
+    random noise, truncations of valid files, and magic-only stubs."""
+    import struct
+
+    valid = []
+    # a valid specimen of each natively parsed container
+    sig = (rng.standard_normal(256) * 0.3).astype(np.float32)
+    pcm = np.clip(np.rint(sig * 32768), -32768, 32767).astype(np.int16)
+    valid.append(struct.pack(">4sIIIII", b".snd", 24, 512, 3, SR, 1)
+                 + pcm.astype(">i2").tobytes())
+    from graphaudio_tpu.io import write_flac
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "f.flac")
+        write_flac(fp, sig[None], SR)
+        valid.append(open(fp, "rb").read())
+        from graphaudio_tpu.io import write_wav
+        wp = os.path.join(td, "w.wav")
+        write_wav(wp, sig[None], SR)
+        valid.append(open(wp, "rb").read())
+
+    r = np.random.default_rng(99)
+    cases = []
+    for blob in valid:
+        for cut in (4, 9, 17, len(blob) // 2, len(blob) - 1):
+            cases.append(blob[:cut])
+        # bit-flipped copies
+        for _ in range(8):
+            b = bytearray(blob)
+            for _ in range(6):
+                b[int(r.integers(0, len(b)))] ^= int(r.integers(1, 255))
+            cases.append(bytes(b))
+    for magic in (b".snd", b"caff", b"fLaC", b"RF64", b"RIFF", b"FORM",
+                  bytes([0x72, 0x69, 0x66, 0x66])):
+        cases.append(magic)
+        cases.append(magic + bytes(r.integers(0, 256, 64, dtype=np.uint8)))
+    for n in (0, 1, 16, 1024):
+        cases.append(bytes(r.integers(0, 256, n, dtype=np.uint8)))
+
+    for i, blob in enumerate(cases):
+        try:
+            with AudioDecoder(blob) as dec:
+                dec.decode(min(dec.frames, 4096) if dec.frames > 0 else 128)
+                dec.try_seek(0.01)
+                dec.decode(64)
+        except Exception:
+            pass  # rejecting is fine; crashing the process is not

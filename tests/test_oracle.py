@@ -247,3 +247,51 @@ def test_grouped_time_varying_playback_rate(rng):
 
     got, want = render_both(build, frames=SR // 4)
     assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_config5_structural_panned_scene(rng):
+    """BASELINE config 5's GRAPH SHAPE at oracle scale: many mono voices ->
+    per-voice equal-power panners -> shared master gain -> destination.
+
+    The spatializer itself cannot be oracle-checked: the reference delegates
+    HRTF rendering to the closed-source phonon library, which this framework
+    substitutes with a documented analytic model (PARITY.md). The panner mix
+    below exercises the same wide fan-in topology with a reference-literal
+    node instead.
+    """
+    from graphaudio_tpu.testing.oracle import OracleStereoPanner
+
+    voices = 16
+    sigs = [(rng.standard_normal(SR // 4) * 0.05).astype(np.float32)
+            for _ in range(voices)]
+
+    def build(ctx, ga_api):
+        if ga_api:
+            master = ga.GainNode(ctx)
+        else:
+            master = OracleGain(ctx)
+        master.gain.value = 0.8
+        master.connect(ctx.destination)
+        for v in range(voices):
+            pan_val = -1.0 + 2.0 * v / (voices - 1)
+            if ga_api:
+                src = ga.AudioBufferSourceNode(ctx)
+                src.buffer = ga.PlayableAudioBuffer.from_mono_array(sigs[v], SR)
+                p = ga.StereoPannerNode(ctx)
+            else:
+                src = OracleBufferSource(ctx)
+                src.set_buffer(sigs[v], SR)
+                p = OracleStereoPanner(ctx)
+            src.loop = True
+            p.pan.value = pan_val
+            p.pan.set_value_at_time(pan_val, 0.0)
+            p.pan.linear_ramp_to_value_at_time(-pan_val, 0.2)
+            src.connect(p).connect(master)
+            src.start(0)
+
+    got, want = render_both(build, frames=SR // 4)
+    # The reference's FIRST block resolves input channel counts from stale
+    # (empty) buffers, so mono->panner runs the stereo law for one block —
+    # a documented startup transient we intentionally don't replicate
+    # (PARITY.md "channel counts resolve statically"). Compare from block 2.
+    assert np.max(np.abs(got[:, 128:] - want[:, 128:])) < 1e-5
