@@ -456,9 +456,10 @@ class CompiledGraph:
                     for i in range(len(rep.inputs))
                 )
                 # Grouped nodes never have modulated params (group_key
-                # contract), so the param spec is (name, a_rate) only.
+                # contract), so the param spec is (name, a_rate, exact).
                 params = tuple(
-                    (name, p.automation_rate == AutomationRate.A_RATE)
+                    (name, p.automation_rate == AutomationRate.A_RATE,
+                     p.exact_eval)
                     for name, p in rep.params.items()
                 )
             else:
@@ -476,6 +477,7 @@ class CompiledGraph:
                         float(p.min_value),
                         float(p.max_value),
                         producers(p._mod_outputs),
+                        p.exact_eval,
                     )
                     for name, p in rep.params.items()
                 )
@@ -565,7 +567,7 @@ class CompiledGraph:
                     for _c, prods in sp["inputs"]:
                         scan_prods(prods)
                     for p in sp["params"]:
-                        if len(p) == 5:
+                        if len(p) == 6:  # single-stage spec with modulators
                             scan_prods(p[4])
         self.sharded_stages = cand
 
@@ -779,12 +781,13 @@ class CompiledGraph:
             def run_single(sp):
                 si, key = sp["si"], sp["key"]
                 params = {}
-                for name, a_rate, mn, mx, mods in sp["params"]:
+                for name, a_rate, mn, mx, mods, exact in sp["params"]:
                     vals = eval_intrinsic_blocked(
                         encs[f"{key}/{name}"],
                         rc.block_times,
                         FRAMES_PER_BLOCK if a_rate else 1,
                         rc.dt,
+                        exact=exact,
                     )
                     if mods:
                         # Hidden mono Explicit modulation input
@@ -836,16 +839,21 @@ class CompiledGraph:
                 # States live stacked in the carry; params are pre-stacked
                 # encodings evaluated with ONE vmapped pass per param.
                 states_stacked = states[key]
+                # The unity/poly buffer-source kernels consume NO params
+                # (playbackRate is baked into the static variant) — skip the
+                # vmapped curve evaluation entirely for them.
+                wants_params = sp["bufsrc"] is None or sp["bufsrc"][1][0] == "resample"
                 pvals = {}
                 rates = {}
-                for name, a_rate in sp["params"]:
-                    npb = FRAMES_PER_BLOCK if a_rate else 1
-                    pvals[name] = jax.vmap(
-                        lambda e, npb=npb: eval_intrinsic_blocked(
-                            e, rc.block_times, npb, rc.dt
-                        )
-                    )(encs[f"{key}/{name}"])  # [V, T or S]
-                    rates[name] = a_rate
+                if wants_params:
+                    for name, a_rate, exact in sp["params"]:
+                        npb = FRAMES_PER_BLOCK if a_rate else 1
+                        pvals[name] = jax.vmap(
+                            lambda e, npb=npb, exact=exact: eval_intrinsic_blocked(
+                                e, rc.block_times, npb, rc.dt, exact=exact
+                            )
+                        )(encs[f"{key}/{name}"])  # [V, T or S]
+                        rates[name] = a_rate
                 inputs_stacked = [
                     stacked_inputs(sp, i) for i in range(len(sp["inputs"]))
                 ]

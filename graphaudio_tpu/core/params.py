@@ -52,6 +52,11 @@ class AudioParam:
         self._max_value = float(max_value)
         self._automation_rate = automation_rate
         self._value = float(default_value)
+        # Rate-integrating consumers (the cubic resampler's playbackRate)
+        # accumulate 1-ulp value noise into position drift, so their curves
+        # evaluate in full f64 absolute time; everything else takes the f32
+        # fast path (f64 transcendentals are software-emulated on TPU).
+        self.exact_eval = False
         # Sorted list of (time, seq, type, value, time_constant). ``seq``
         # breaks ties so equal-time events keep insertion order, matching the
         # reference's stable binary-insert (AudioParam.cs:339-344).

@@ -335,6 +335,9 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             max_value=1000.0,
             automation_rate=AutomationRate.K_RATE,
         )
+        # The resampler INTEGRATES this rate into positions, so its curve
+        # must evaluate with the reference's exact f64 arithmetic.
+        self.playback_rate.exact_eval = True
         # Pristine playbackRate enables the exact unity-rate kernel; first
         # touch recompiles into the general resampling kernel.
         self.playback_rate.notify_first_touch = True

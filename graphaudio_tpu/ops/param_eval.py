@@ -165,7 +165,8 @@ def eval_intrinsic(enc, t):
     return val.astype(jnp.float32)
 
 
-def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt):
+def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt,
+                           exact: bool = False):
     """``eval_intrinsic`` restructured for TPU: f64 anchors, f32 samples.
 
     float64 is software-emulated on TPU (~25x slower than f32 vector work),
@@ -193,13 +194,15 @@ def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt):
 
     Parity: AudioParam.ComputeValueAtTime (AudioParam.cs:168-247).
     """
-    if n_per_block == 1:
-        # K-RATE: one value per block. Evaluate the curve in FULL f64
-        # absolute time (the reference's InterpolateLinear/Exponential do
-        # all math in doubles and round once, AudioParam.cs:219-237) — a
-        # 1-ulp f32 difference here is integrated into position drift by
-        # rate-like consumers (the resampler), so exactness matters and the
-        # cost is S scalars per step.
+    if exact and n_per_block == 1:
+        # EXACT k-rate (opt-in via AudioParam.exact_eval; playbackRate):
+        # evaluate the curve in FULL f64 absolute time — the reference's
+        # InterpolateLinear/Exponential do all math in doubles and round
+        # once (AudioParam.cs:219-237), and a 1-ulp f32 difference here is
+        # INTEGRATED into position drift by the resampler. The cost is S
+        # scalars per step; non-integrating params keep the f32 fast path
+        # (f64 pow/exp are software-emulated — a 17-k-rate-param stage ran
+        # 15x slower when every param took this branch).
         return eval_intrinsic(enc, block_times)
 
     times = enc["times"]  # f64[cap]
