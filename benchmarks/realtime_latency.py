@@ -40,10 +40,12 @@ def main():
     SR = 48000
     # Superblock sized so one step's audio (~85 ms) exceeds the tunnel round
     # trip; on co-located hardware 2-4 would be the latency-optimal choice.
-    # buffer_size 1024 -> ring = 5120 frames, comfortably holding one
-    # 4096-frame superblock plus the device period in flight.
+    # buffer_size 2048 -> ring = 10240 frames: TWO 4096-frame superblocks
+    # fit, so the next render starts while a whole superblock still buffers
+    # (a ring that only fits one forces it to drain before each render —
+    # guaranteed periodic underruns on a high-latency link).
     ctx = RealtimeAudioContext(
-        sample_rate=SR, channels=2, buffer_size=1024, device=device,
+        sample_rate=SR, channels=2, buffer_size=2048, device=device,
         superblock=32, auto_start_thread=False,
     )
     rng = np.random.default_rng(7)

@@ -92,6 +92,16 @@ class AudioDecoderStreamNode(AudioNode):
 
     from_stream = from_bytes
 
+    @staticmethod
+    async def from_file_async(context, path, buffer_frames: int = 4096,
+                              buffer_count: int = 3):
+        """Awaitable factory: the decoder open runs off-thread (parity:
+        AudioDecoderStreamNode.FromFileAsync, :92-117)."""
+        import asyncio
+
+        dec = await asyncio.to_thread(AudioDecoder, path)
+        return AudioDecoderStreamNode(context, dec, buffer_frames, buffer_count)
+
     # -- info ---------------------------------------------------------------------
 
     @property
