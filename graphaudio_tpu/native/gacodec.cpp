@@ -257,7 +257,10 @@ bool parse_caf(Decoder* d) {
         if (!dread(d, ch, 12)) break;
         int64_t size = int64_t((uint64_t(rd_u32be(ch + 4)) << 32) |
                                rd_u32be(ch + 8));
-        if (size < 0) return false;
+        // -1 on the data chunk is Core Audio's standard "until EOF" marker
+        // for streamed/recorded files; any other negative size is hostile.
+        bool data_chunk = memcmp(ch, "data", 4) == 0;
+        if (size < 0 && !(data_chunk && size == -1)) return false;
         if (memcmp(ch, "desc", 4) == 0) {
             if (size < 32) return false;
             uint8_t desc[32];
@@ -285,14 +288,14 @@ bool parse_caf(Decoder* d) {
             if (!is_float && d->bits == 8) d->format = 4;
             if (size > 32 && !dseek(d, dtell(d) + (size - 32))) return false;
             have_desc = true;
-        } else if (memcmp(ch, "data", 4) == 0) {
-            if (!have_desc || size < 4) return false;
+        } else if (data_chunk) {
+            if (!have_desc || (size < 4 && size != -1)) return false;
             if (!dseek(d, dtell(d) + 4)) return false;  // edit count
             d->data_start = dtell(d);
             int64_t avail = dsize(d) - d->data_start;
             if (avail < 0) avail = 0;
-            int64_t bytes = size - 4;
-            if (bytes < 0 || bytes > avail) bytes = avail;  // -1 = to EOF
+            int64_t bytes = size == -1 ? avail : size - 4;
+            if (bytes < 0 || bytes > avail) bytes = avail;
             d->total_frames = bytes / int64_t(d->bytes_per_frame());
             return true;
         } else {
@@ -435,7 +438,9 @@ inline float alaw_expand(uint8_t a) {
     int mantissa = a & 0x0F;
     int sample = exponent ? ((mantissa << 4) + 0x108) << (exponent - 1)
                           : (mantissa << 4) + 0x8;
-    return float(sign ? -sample : sample) / 32768.0f;
+    // In A-law (after the 0x55 toggle) a SET sign bit means POSITIVE —
+    // opposite of mu-law (Sun reference alaw2linear).
+    return float(sign ? sample : -sample) / 32768.0f;
 }
 
 inline float cvt_sample(const uint8_t* p, int bits, int format) {

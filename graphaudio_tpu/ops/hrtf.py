@@ -170,6 +170,8 @@ def hrir_grid_spectra(grid):
     time-domain FIR (to DFT roundoff)."""
     # Keyed on id(grid) but the cache HOLDS the grid, so the id can never be
     # recycled while the entry lives (ids of collected objects are reused).
+    # Bounded FIFO: apps that cycle measured HRIR sets (load_hrir per
+    # panner) must not pin every past grid forever.
     key = id(grid)
     entry = _spectra_cache.get(key)
     if entry is None or entry[0] is not grid:
@@ -182,6 +184,8 @@ def hrir_grid_spectra(grid):
             spec.real.astype(np.float32),
             spec.imag.astype(np.float32),
         )
+        while len(_spectra_cache) >= 8:
+            _spectra_cache.pop(next(iter(_spectra_cache)))
         _spectra_cache[key] = entry
     return entry[1], entry[2]
 
@@ -265,6 +269,12 @@ def _regrid_hrirs(hrirs, az_rad, el_rad, sample_rate, source_rate,
     hrirs = np.asarray(hrirs, np.float64)
     if hrirs.ndim != 3 or hrirs.shape[1] != 2:
         raise ValueError(f"expected HRIRs [M, 2, N], got {hrirs.shape}")
+    if length is not None and not (1 <= length <= FRAMES_PER_BLOCK):
+        # The 256-pt per-128-frame overlap-add renderer is only exact for
+        # L <= 128; longer kernels would time-alias silently.
+        raise ValueError(
+            f"HRIR length must be in [1, {FRAMES_PER_BLOCK}]; got {length}"
+        )
     if int(source_rate) != int(sample_rate):
         from scipy.signal import resample_poly
         from math import gcd

@@ -566,3 +566,28 @@ def test_malformed_inputs_never_crash(rng):
                 dec.decode(64)
         except Exception:
             pass  # rejecting is fine; crashing the process is not
+
+
+def test_alaw_polarity_and_caf_eof_size():
+    """Review follow-ups: A-law sign convention (set sign bit = POSITIVE
+    after the 0x55 toggle) and CAF's data-size -1 = until-EOF marker."""
+    import struct
+
+    # A-law byte 0xD5 decodes to +8 in the Sun reference alaw2linear table.
+    au = struct.pack(">4sIIIII", b".snd", 24, 2, 27, SR, 1) + bytes([0xD5, 0x55])
+    with AudioDecoder(au) as dec:
+        out = dec.decode(2)[:, 0]
+    assert out[0] > 0 and abs(out[0] - 8 / 32768.0) < 1e-6
+    assert out[1] < 0  # 0x55 -> -8
+
+    # CAF with mChunkSize = -1 on the data chunk (Core Audio streamed file)
+    sig = (np.sin(2 * np.pi * 110 * np.arange(300) / SR) * 0.4).astype(np.float32)
+    pcm = _pcm16(sig)
+    desc = struct.pack(">d4sIIIII", float(SR), b"lpcm", 0, 2, 1, 1, 16)
+    blob = b"caff" + struct.pack(">HH", 1, 0)
+    blob += b"desc" + struct.pack(">q", len(desc)) + desc
+    blob += b"data" + struct.pack(">q", -1) + b"\x00" * 4 + pcm.astype(">i2").tobytes()
+    with AudioDecoder(blob) as dec:
+        assert dec.frames == 300
+        out = dec.decode(300)[:, 0]
+    assert np.abs(out - pcm.astype(np.float32) / 32768.0).max() == 0
