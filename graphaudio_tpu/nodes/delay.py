@@ -34,6 +34,9 @@ class DelayNode(AudioNode):
             max_value=float(max_delay_time),
             automation_rate=AutomationRate.A_RATE,
         )
+        # The integer-sample truncation amplifies 1-ulp value noise into
+        # full-sample read differences; linear curves evaluate in f64.
+        self.delay_time.exact_eval = True
         self._channels = 2  # updated at compile via output_channel_counts
 
     def output_channel_counts(self, input_channels):

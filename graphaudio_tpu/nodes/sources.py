@@ -229,6 +229,9 @@ class OscillatorNode(ScheduledSourceNode):
             max_value=context.sample_rate / 2.0,
             automation_rate=AutomationRate.A_RATE,
         )
+        # The phase accumulator INTEGRATES frequency values — 1-ulp noise
+        # drifts audibly over seconds; linear curves evaluate in f64.
+        self.frequency.exact_eval = True
 
     @property
     def type(self) -> OscillatorType:

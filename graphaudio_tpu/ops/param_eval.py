@@ -268,6 +268,26 @@ def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt,
     safe_denom = jnp.where(denom == 0.0, 1.0, denom)
     u = jnp.clip((io[None, :] - t0r) / safe_denom, 0.0, 1.0)
     lin = v0 + (v1 - v0) * u
+    if exact:
+        # EXACT a-rate linear ramps in f64 (AudioParam.cs:219-225 does all
+        # math in doubles, rounding once): consumers like the delay line's
+        # integer truncation or the oscillator's phase integral amplify a
+        # 1-ulp f32 value difference into full-sample errors. Only mul/add
+        # (cheap even emulated); exponential/setTarget keep the f32 path —
+        # f64 pow/exp are prohibitively slow and those curves on
+        # exact-flagged params are rare (documented in PARITY.md).
+        k64 = jnp.arange(cap, dtype=jnp.int32)
+        ohp = (prev[..., None] == k64).astype(jnp.float64)
+        ohn = (nxt[..., None] == k64).astype(jnp.float64)
+        times_f = jnp.where(jnp.isfinite(times), times, 0.0)  # inf*0 = NaN
+        t0a = jnp.sum(ohp * times_f, axis=-1)  # absolute f64 event times
+        t1a = jnp.sum(ohn * times_f, axis=-1)
+        v0a = jnp.sum(ohp * values.astype(jnp.float64), axis=-1)
+        v1a = jnp.sum(ohn * values.astype(jnp.float64), axis=-1)
+        den = t1a - t0a
+        den = jnp.where(den == 0.0, 1.0, den)
+        u64 = jnp.clip((ts - t0a) / den, 0.0, 1.0)
+        lin = (v0a + (v1a - v0a) * u64).astype(jnp.float32)
 
     # Exponential interpolation (AudioParam.cs:227-237); falls back to
     # linear when either endpoint is <= 0.

@@ -890,3 +890,150 @@ class OracleContext:
             out[:, written:written + n] = blk[:, :n]
             written += n
         return out
+
+
+class OracleOscillator(OracleNode):
+    """OscillatorNode.cs:87-196 — f64 phase accumulation, sub-block
+    start/stop gating, four waveforms."""
+
+    def __init__(self, ctx, type="sine"):
+        super().__init__(ctx, 0, 1)
+        self.type = type
+        self.frequency = self._param(440.0, 0.0, ctx.sample_rate / 2.0, True)
+        self._started = False
+        self._stopped = False
+        self._start_time = math.nan
+        self._stop_time = math.nan
+        self._phase = 0.0
+
+    def start(self, when=0.0, duration=math.nan):
+        if self._started:
+            return
+        self._started = True
+        self._start_time = max(0.0, when)
+        if not math.isnan(duration) and duration >= 0:
+            self._stop_time = self._start_time + duration
+            self._stopped = True
+
+    def stop(self, when=0.0):
+        at = max(0.0, when)
+        self._stop_time = at if math.isnan(self._stop_time) \
+            else min(self._stop_time, at)
+        self._stopped = True
+
+    def _sample(self, phase):
+        t = self.type
+        if t == "sine":
+            return f32(math.sin(phase))
+        if t == "square":
+            return f32(1.0) if phase < math.pi else f32(-1.0)
+        if t == "sawtooth":
+            return f32(2.0 * (phase / (2.0 * math.pi)) - 1.0)
+        if t == "triangle":
+            u = phase / (2.0 * math.pi)
+            return f32(4.0 * abs(u - math.floor(u + 0.5)) - 1.0)
+        return f32(0.0)
+
+    def process(self, t0):
+        sr = self.ctx.sample_rate
+        t1 = t0 + FRAMES / sr
+        start_frame, end_frame = 0, FRAMES
+        should_play = (self._started and t1 > self._start_time
+                       and (math.isnan(self._stop_time)
+                            or t0 < self._stop_time))
+        if should_play:
+            if t0 < self._start_time < t1:
+                start_frame = int(min(max(
+                    math.ceil((self._start_time - t0) * sr), 0), FRAMES))
+            if not math.isnan(self._stop_time) \
+                    and t0 < self._stop_time < t1:
+                end_frame = int(min(max(
+                    math.floor((self._stop_time - t0) * sr), 0), FRAMES))
+        out = np.zeros((1, FRAMES), f32)
+        if not should_play:
+            self._set_output(0, out, True)
+            return
+        freq = self.frequency.computed
+        for i in range(start_frame, end_frame):
+            out[0, i] = self._sample(self._phase)
+            self._phase += (2.0 * math.pi * float(freq[i])) / sr
+            if self._phase >= 2.0 * math.pi:
+                self._phase -= 2.0 * math.pi
+        self._set_output(0, out, False)
+
+
+class OracleDelay(OracleNode):
+    """DelayNode.cs — per-sample integer delay reads from a circular
+    buffer, read-before-write, zero for delay <= 0."""
+
+    def __init__(self, ctx, max_delay_time=1.0):
+        super().__init__(ctx, 1, 1)
+        self._max = int(max_delay_time * ctx.sample_rate)
+        self.delay_time = self._param(0.0, 0.0, max_delay_time, a_rate=True)
+        self._rings = []
+        self._wpos = 0
+
+    def process(self, t0):
+        inp = self.inputs[0]
+        channels = inp.buffer.shape[0]
+        while len(self._rings) < channels:
+            self._rings.append(np.zeros(self._max, f32))
+        d = self.delay_time.computed
+        out = np.zeros((channels, FRAMES), f32)
+        has_audio = False
+        silent = inp.silent
+        wpos0 = self._wpos
+        for ch in range(channels):
+            ring = self._rings[ch]
+            w = wpos0
+            for i in range(FRAMES):
+                ds = int(f32(d[i]) * self.ctx.sample_rate)
+                ds = min(max(ds, 0), self._max)
+                if ds <= 0 or ds > self._max:
+                    out[ch, i] = 0.0
+                else:
+                    out[ch, i] = ring[(w - ds) % self._max]
+                ring[w] = 0.0 if silent else inp.buffer[ch, i]
+                w = (w + 1) % self._max
+                if out[ch, i] != 0:
+                    has_audio = True
+        self._wpos = (wpos0 + FRAMES) % self._max
+        self._set_output(0, out, not has_audio)
+
+
+class OracleChannelSplitter(OracleNode):
+    """ChannelSplitterNode.cs — 1 input -> N mono outputs."""
+
+    def __init__(self, ctx, n_outputs=2):
+        super().__init__(ctx, 1, n_outputs)
+
+    def process(self, t0):
+        inp = self.inputs[0]
+        for i in range(len(self.outputs)):
+            out = np.zeros((1, FRAMES), f32)
+            if not inp.silent and i < inp.buffer.shape[0]:
+                out[0] = inp.buffer[i]
+                self._set_output(i, out, False)
+            else:
+                self._set_output(i, out, True)
+
+
+class OracleChannelMerger(OracleNode):
+    """ChannelMergerNode.cs — N mono inputs -> one N-channel output
+    (channel 0 of each input)."""
+
+    def __init__(self, ctx, n_inputs=2):
+        super().__init__(ctx, n_inputs, 1)
+        for inp in self.inputs:
+            inp.channel_count = 1
+            inp.mode = "explicit"
+
+    def process(self, t0):
+        n = len(self.inputs)
+        out = np.zeros((n, FRAMES), f32)
+        has_audio = False
+        for i, inp in enumerate(self.inputs):
+            if not inp.silent:
+                out[i] = inp.buffer[0]
+                has_audio = True
+        self._set_output(0, out, not has_audio)

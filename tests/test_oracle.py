@@ -295,3 +295,69 @@ def test_config5_structural_panned_scene(rng):
     # a documented startup transient we intentionally don't replicate
     # (PARITY.md "channel counts resolve statically"). Compare from block 2.
     assert np.max(np.abs(got[:, 128:] - want[:, 128:])) < 1e-5
+
+
+def test_oscillator_matches_oracle(rng):
+    """All four waveforms with sample-accurate sub-block start/stop.
+    Constant frequency: values are exact in both systems, so the phase
+    accumulators agree to f64 and outputs to f32 rounding."""
+    from graphaudio_tpu.testing.oracle import OracleOscillator
+
+    types_ga = [("sine", ga.OscillatorType.SINE),
+                ("square", ga.OscillatorType.SQUARE),
+                ("sawtooth", ga.OscillatorType.SAWTOOTH),
+                ("triangle", ga.OscillatorType.TRIANGLE)]
+
+    def build(ctx, ga_api):
+        for i, (oname, otype) in enumerate(types_ga):
+            if ga_api:
+                osc = ga.OscillatorNode(ctx, type=otype)
+            else:
+                osc = OracleOscillator(ctx, type=oname)
+            osc.frequency.value = 220.0 * (i + 1) + 0.37
+            g = ga.GainNode(ctx) if ga_api else OracleGain(ctx)
+            g.gain.value = 0.2
+            osc.connect(g).connect(ctx.destination)
+            # start/stop inside blocks: ceil/floor frame gating
+            osc.start(0.01 + 0.001 * i)
+            osc.stop(0.22 - 0.003 * i)
+
+    got, want = render_both(build, frames=SR // 4)
+    assert np.max(np.abs(got - want)) < 2e-6
+
+
+def test_delay_and_split_merge_match_oracle(rng):
+    """Automated a-rate delay into a splitter/merger channel swap."""
+    from graphaudio_tpu.testing.oracle import (
+        OracleChannelMerger, OracleChannelSplitter, OracleDelay,
+    )
+
+    left = (rng.standard_normal(SR // 4) * 0.4).astype(np.float32)
+    right = (rng.standard_normal(SR // 4) * 0.4).astype(np.float32)
+
+    def build(ctx, ga_api):
+        if ga_api:
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(
+                left, right, SR
+            )
+            dl = ga.DelayNode(ctx, max_delay_time=0.05)
+            sp = ga.ChannelSplitterNode(ctx, 2)
+            mg = ga.ChannelMergerNode(ctx, 2)
+        else:
+            src = OracleBufferSource(ctx)
+            src.set_buffer(np.stack([left, right]), SR)
+            dl = OracleDelay(ctx, max_delay_time=0.05)
+            sp = OracleChannelSplitter(ctx, 2)
+            mg = OracleChannelMerger(ctx, 2)
+        dl.delay_time.set_value_at_time(0.001, 0.0)
+        dl.delay_time.linear_ramp_to_value_at_time(0.04, 0.2)
+        src.connect(dl).connect(sp)
+        # swap channels through the merger
+        sp.connect(mg, 0, 1)
+        sp.connect(mg, 1, 0)
+        mg.connect(ctx.destination)
+        src.start(0)
+
+    got, want = render_both(build, frames=SR // 4)
+    assert np.max(np.abs(got - want)) < 1e-6
