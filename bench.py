@@ -103,20 +103,30 @@ def main():
         st, outs = jax.lax.scan(body, states, (f0s, bts))
         return jnp.sum(outs)
 
+    # Two scan lengths, timed by DIFFERENCE: the ~30 ms per-call round trip
+    # of a link-attached device cancels, leaving pure per-step compute.
     rfn = jax.jit(reduced)
-    f0s = jnp.arange(n_steps, dtype=jnp.int64) * frames_per_step
     inc = np.float64(128) / SR
-    bts = np.add.accumulate(
-        np.full(n_steps * SUPERBLOCK, inc)
-    ).reshape(n_steps, SUPERBLOCK)
     states = jax.device_put(jax.device_get(ctx._states))  # private copy
-    np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))  # compile
-    compute_walls = []
-    for _ in range(3):
-        t1 = time.perf_counter()
-        np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))
-        compute_walls.append(time.perf_counter() - t1)
-    xrt_compute = rendered_seconds / min(compute_walls)
+
+    def timed(n):
+        f0s = jnp.arange(n, dtype=jnp.int64) * frames_per_step
+        bts = np.add.accumulate(
+            np.full(n * SUPERBLOCK, inc)
+        ).reshape(n, SUPERBLOCK)
+        np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))  # compile
+        best = np.inf
+        for _ in range(3):
+            t1 = time.perf_counter()
+            np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))
+            best = min(best, time.perf_counter() - t1)
+        return best
+
+    half = max(n_steps // 2, 1)
+    w1 = timed(n_steps - half)
+    w2 = timed(n_steps)
+    per_step = max((w2 - w1) / half, 1e-9)
+    xrt_compute = (frames_per_step / SR) / per_step
 
     # Latency phase: synchronized single-superblock steps give TRUE per-step
     # wall-time percentiles (the throughput render above pipelines launches,

@@ -337,7 +337,10 @@ class AudioContextBase:
                 if dirty:
                     break
         if dirty:
-            self._encs = self._compiled.encode_params()
+            # device-resident so repeated render calls don't re-upload
+            self._encs = jax.tree_util.tree_map(
+                jax.device_put, self._compiled.encode_params()
+            )
             for node in self._compiled.topo:
                 for name, p in node.params.items():
                     self._param_versions[(node.node_id, name)] = p.version
