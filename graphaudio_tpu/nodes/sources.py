@@ -804,8 +804,19 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         gate = active[:, None] & valid
         out = jnp.where(gate[None], out, 0.0)
 
-        # Auto-stop on starvation (parity :360-368).
-        starved = active & ~jnp.any(valid, axis=1)
+        # Whole-block clear when the consumed position CROSSES durationEnd
+        # inside the block: the reference clears the entire output buffer —
+        # including the valid samples it just rendered — whenever
+        # `_playbackPosition >= durationEndFrame` after the block
+        # (AudioBufferSourceNode.cs:360-368).
+        consumed_after = p0 + 4.0 + jnp.floor(
+            (x0 + du_b + 127.0 * rate_b) - p0 - 1.0
+        )  # [S]
+        cleared = active & ~looping & (consumed_after >= de)
+        out = jnp.where(cleared[None, :, None], 0.0, out)
+
+        # Auto-stop on starvation or duration-end clear (parity :360-368).
+        starved = active & (~jnp.any(valid, axis=1) | cleared)
         first_stop = jnp.min(jnp.where(starved, rc.block_end_times, jnp.inf))
         new_stop = jnp.minimum(state["stop_time"], first_stop)
 
@@ -918,8 +929,15 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         gate = active[:, None] & valid
         out = jnp.where(gate[None], samples, 0.0)
 
-        # Auto-stop on starvation (parity :360-368).
-        starved = active & ~jnp.any(valid, axis=1)
+        # Whole-block clear at duration-end crossing (cs:360-368).
+        consumed_after = p0 + 4.0 + jnp.floor(
+            x_b + 127.0 * p / q - p0 - 1.0
+        )
+        cleared = active & ~looping & (consumed_after >= de)
+        out = jnp.where(cleared[None, :, None], 0.0, out)
+
+        # Auto-stop on starvation or duration-end clear (parity :360-368).
+        starved = active & (~jnp.any(valid, axis=1) | cleared)
         first_stop = jnp.min(jnp.where(starved, rc.block_end_times, jnp.inf))
         new_stop = jnp.minimum(state["stop_time"], first_stop)
 
@@ -1197,7 +1215,15 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         gate = active[:, :, None] & valid  # [V, S, 128]
         out = jnp.where(gate[:, None], samples, 0.0)
 
-        starved = active & ~jnp.any(valid, axis=2)  # [V, S]
+        # Whole-block clear when consumption crosses durationEnd inside the
+        # block (AudioBufferSourceNode.cs:360-368; see _process_resample).
+        consumed_after = p0[:, None] + 4.0 + jnp.floor(
+            x_b + 127.0 * p / q - p0[:, None] - 1.0
+        )  # [V, S]
+        cleared = active & ~looping[:, None] & (consumed_after >= de[:, None])
+        out = jnp.where(cleared[:, None, :, None], 0.0, out)
+
+        starved = active & (~jnp.any(valid, axis=2) | cleared)  # [V, S]
         first_stop = jnp.min(
             jnp.where(starved, rc.block_end_times[None, :], jnp.inf), axis=1
         )

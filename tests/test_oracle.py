@@ -361,3 +361,70 @@ def test_delay_and_split_merge_match_oracle(rng):
 
     got, want = render_both(build, frames=SR // 4)
     assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_source_offset_duration_loop_regions(rng):
+    """The gnarly AudioBufferSourceNode scheduling corners vs the oracle:
+    start offsets, finite durations, custom loop regions, and start times
+    landing inside blocks — for both unity and resampled playback."""
+    buf = (rng.standard_normal(20000) * 0.3).astype(np.float32)
+
+    cases = [
+        # (buffer_rate, loop, loop_start, loop_end, when, offset, duration)
+        (SR, False, 0.0, 0.0, 0.0, 0.05, math_inf),       # offset, play out
+        (SR, False, 0.0, 0.0, 0.013, 0.0, 0.11),          # mid-block start+duration
+        (SR, True, 0.05, 0.17, 0.0, 0.0, math_inf),       # loop region
+        (SR, True, 0.0, 0.0, 0.0, 0.3, math_inf),         # offset past loop end wraps
+        (44100, False, 0.0, 0.0, 0.0, 0.02, 0.15),        # resampled + duration
+        (44100, True, 0.04, 0.21, 0.0, 0.0, math_inf),    # resampled loop region
+    ]
+
+    def build(ctx, ga_api):
+        for (br, loop, ls, le, when, off, dur) in cases:
+            if ga_api:
+                src = ga.AudioBufferSourceNode(ctx)
+                src.buffer = ga.PlayableAudioBuffer.from_mono_array(buf, br)
+            else:
+                src = OracleBufferSource(ctx)
+                src.set_buffer(buf, br)
+            src.loop = loop
+            src.loop_start = ls
+            src.loop_end = le
+            g = ga.GainNode(ctx) if ga_api else OracleGain(ctx)
+            g.gain.value = 1.0 / len(cases)
+            src.connect(g).connect(ctx.destination)
+            src.start(when, off, dur)
+
+    got, want = render_both(build, frames=SR // 2)
+    assert np.max(np.abs(got - want)) < 1e-6
+
+
+math_inf = float("inf")
+
+
+def test_process_block_matches_oracle(rng):
+    """Single-block pull API (ctx.process_block) against the oracle's literal
+    per-block loop — exercises the superblock-carry-free path."""
+    sig = (rng.standard_normal(4000) * 0.4).astype(np.float32)
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4)
+    octx = OracleContext(sample_rate=SR)
+    for c, api in ((ctx, True), (octx, False)):
+        if api:
+            src = ga.AudioBufferSourceNode(c)
+            src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+            g = ga.GainNode(c)
+        else:
+            src = OracleBufferSource(c)
+            src.set_buffer(sig, SR)
+            g = OracleGain(c)
+        src.loop = True
+        g.gain.value = 0.7
+        g.gain.set_value_at_time(0.7, 0.0)
+        g.gain.linear_ramp_to_value_at_time(0.2, 0.05)
+        src.connect(g).connect(c.destination)
+        src.start(0)
+    for _ in range(10):
+        got = np.asarray(ctx.process_block())
+        want = octx.process_block()
+        assert got.shape == want.shape
+        assert np.max(np.abs(got - want)) < 1e-6
