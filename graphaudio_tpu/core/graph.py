@@ -327,7 +327,9 @@ class CompiledGraph:
             # real voice count within the bucket when assets repeat.
             real, padded = self.stage_pad[si]
             virtual_w = arena.shape[1] + (padded - real) * widths[0]
-            arena_w = _next_pow2(max(virtual_w, w + 8))
+            # at least one 128-row: the group window fetch reshapes the
+            # arena into [C, W/128, 128] rows
+            arena_w = _next_pow2(max(virtual_w, w + 8, FRAMES_PER_BLOCK))
             if arena.shape[1] < arena_w:
                 arena = np.pad(arena, ((0, 0), (0, arena_w - arena.shape[1])))
             # Phantom lanes duplicate lane 0's geometry: reads are valid data,

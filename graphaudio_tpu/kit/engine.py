@@ -186,16 +186,9 @@ class AudioEngine:
         CreateBufferedSoundAsync, AudioEngine.cs:135-160)."""
         import asyncio
 
-        self._check()
-        if self.data_provider is None:
-            raise RuntimeError("data_provider must be set before creating sounds.")
-        buffer = await asyncio.to_thread(
-            self.buffer_cache.get_or_load, path, self.data_provider
+        return await asyncio.to_thread(
+            self.create_buffered_sound, path, mix_state, bus
         )
-        sound = BufferedSound(self, buffer, mix_state, bus)
-        with self._lock:
-            self._sounds.append(sound)
-        return sound
 
     # -- per-frame update (parity: :210-233) ---------------------------------------------
 

@@ -1103,6 +1103,10 @@ bool flac_decode_frame(Decoder* d, FlacStream* fs, std::vector<float>& out,
             uint32_t po = br.bits(4);
             uint32_t nparts = 1u << po;
             if ((block >> po) == 0 || (block % nparts) != 0) return false;
+            // Partition 0's residual count is (block >> po) - order; a
+            // hostile frame with order > samples-per-partition would wrap
+            // the unsigned count into ~4e9 heap writes.
+            if ((block >> po) < uint32_t(order)) return false;
             uint32_t idx = uint32_t(order);
             for (uint32_t part = 0; part < nparts; part++) {
                 uint32_t cnt = (block >> po) - (part == 0 ? order : 0);

@@ -113,12 +113,23 @@ class ScheduledSourceNode(AudioNode):
 
     # -- gating masks ---------------------------------------------------------
 
-    def _block_active(self, state, rc):
-        """[S] bool: block plays (t1 > start and t0 < stop), gated on started."""
-        started = state["started"] > 0
-        return started & (rc.block_end_times > state["start_time"]) & (
-            rc.block_times < state["stop_time"]
+    @staticmethod
+    def _active_mask(states, rc):
+        """bool[..., S]: block plays (t1 > start and t0 < stop), gated on
+        started. Broadcasts over any leading state dims — the same helper
+        serves per-voice scalar states and a group's stacked [V] states
+        (keeping the group kernels bit-identical to the per-voice paths)."""
+        started = jnp.asarray(states["started"] > 0)
+        return (
+            started[..., None]
+            & (rc.block_end_times
+               > jnp.asarray(states["start_time"])[..., None])
+            & (rc.block_times < jnp.asarray(states["stop_time"])[..., None])
         )
+
+    def _block_active(self, state, rc):
+        """[S] bool — per-voice view of _active_mask."""
+        return self._active_mask(state, rc)
 
     def _sample_gate(self, state, rc):
         """[S, 128] bool: sample-accurate sub-block gate.
@@ -569,8 +580,10 @@ class AudioBufferSourceNode(ScheduledSourceNode):
     def _static_unity_rate(self, rc) -> bool:
         return self._static_unity_rate_cfg()
 
-    def _duration_end(self, state, buffer_rate, length):
-        """Duration end frame (f64), parity :179-182."""
+    @staticmethod
+    def _duration_end(state, buffer_rate, length):
+        """Duration end frame (f64), parity :179-182. Pure elementwise —
+        broadcasts over stacked [V] states for the group kernels."""
         de = jnp.where(
             jnp.isfinite(state["duration"]),
             jnp.trunc(state["offset"] * buffer_rate)
@@ -1013,21 +1026,10 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         V = geom["off"].shape[0]
         i32 = jnp.int32
 
-        started = states["started"] > 0
-        active = (
-            started[:, None]
-            & (rc.block_end_times[None, :] > states["start_time"][:, None])
-            & (rc.block_times[None, :] < states["stop_time"][:, None])
-        )  # [V, S]
+        active = cls._active_mask(states, rc)  # [V, S]
         length = geom["length"]
         rate = geom["rate"]
-        de = jnp.where(
-            jnp.isfinite(states["duration"]),
-            jnp.trunc(states["offset"] * rate)
-            + jnp.trunc(states["duration"] * rate),
-            length,
-        )
-        de = jnp.minimum(de, length)
+        de = cls._duration_end(states, rate, length)  # [V]
         lef = geom["lef"]
         lsf = geom["lsf"]
         llen = geom["llen"]
@@ -1108,24 +1110,11 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         V = geom["off"].shape[0]
         i32 = jnp.int32
 
-        start_time = states["start_time"]  # [V]
         stop_time = states["stop_time"]
-        started = states["started"] > 0
-        active = (
-            started[:, None]
-            & (rc.block_end_times[None, :] > start_time[:, None])
-            & (rc.block_times[None, :] < stop_time[:, None])
-        )  # [V, S]
-
+        active = cls._active_mask(states, rc)  # [V, S]
         length = geom["length"]  # [V] f64
         rate = geom["rate"]
-        de = jnp.where(
-            jnp.isfinite(states["duration"]),
-            jnp.trunc(states["offset"] * rate)
-            + jnp.trunc(states["duration"] * rate),
-            length,
-        )
-        de = jnp.minimum(de, length)  # [V]
+        de = cls._duration_end(states, rate, length)  # [V]
         lef = geom["lef"]
         lsf = geom["lsf"]
         llen = geom["llen"]

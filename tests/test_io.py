@@ -591,3 +591,70 @@ def test_alaw_polarity_and_caf_eof_size():
         assert dec.frames == 300
         out = dec.decode(300)[:, 0]
     assert np.abs(out - pcm.astype(np.float32) / 32768.0).max() == 0
+
+
+def test_flac_hostile_partition_order_rejected():
+    """A FLAC frame whose partition size is smaller than the predictor
+    order must be rejected, not underflow the residual count (heap
+    overflow before the fix)."""
+    import struct
+
+    # Minimal fLaC container: STREAMINFO for 4096-block mono 16-bit...
+    si = bytearray(34)
+    si[0:2] = (4096).to_bytes(2, "big")
+    si[2:4] = (4096).to_bytes(2, "big")
+    si[10] = 48000 >> 12
+    si[11] = (48000 >> 4) & 0xFF
+    si[12] = ((48000 & 0xF) << 4) | (0 << 1) | 0  # mono, bps hi bit
+    si[13] = (15 << 4) | 0  # bps-1 = 15 -> 16 bit
+    si[14:18] = (8192).to_bytes(4, "big")
+    blob = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+    # Frame: sync, blocksize code 12 (4096), sr from streaminfo, mono,
+    # 16-bit, frame 0, crc8=anything; subframe FIXED order 4; residual
+    # method 0, partition order 11 -> 2 samples/partition < order 4.
+    bits = ""
+    bits += "11111111111110"  # sync
+    bits += "0"  # reserved
+    bits += "0"  # fixed blocking
+    bits += "1100"  # blocksize 4096
+    bits += "0000"  # sr from streaminfo
+    bits += "0000"  # mono
+    bits += "100"   # 16-bit
+    bits += "0"
+    bits += "00000000"  # utf8 frame 0
+    bits += "00000000"  # crc8 (unchecked)
+    bits += "0"         # subframe pad
+    bits += "001100"    # FIXED order 4
+    bits += "0"         # no wasted bits
+    bits += "0" * (16 * 4)  # 4 warmup samples
+    bits += "00"        # rice method 0
+    bits += "1011"      # partition order 11
+    bits += "0000"      # rice param 0
+    bits += "1" * 4096  # plenty of unary bits if it (wrongly) proceeds
+    pad = (-len(bits)) % 8
+    bits += "0" * pad
+    frame = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    data = blob + frame
+    try:
+        with AudioDecoder(data) as dec:
+            out = dec.decode(min(dec.frames or 4096, 4096))
+            assert np.isfinite(out).all()
+    except Exception:
+        pass  # rejecting the file entirely is also fine
+
+
+def test_tiny_buffer_extreme_downsample_renders():
+    """A 1-sample buffer at an extreme rate ratio produced a sub-128
+    arena that crashed the group window fetch (regression)."""
+    import jax
+
+    ctx = ga.OfflineAudioContext(sample_rate=48000, superblock=8)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(
+        np.ones(1, np.float32), 1500
+    )
+    src.playback_rate.value = 1.0
+    src.connect(ctx.destination)
+    src.start(0)
+    out = np.asarray(ctx.render(1024))
+    assert np.isfinite(out).all()
