@@ -25,6 +25,7 @@ accurate and free on the VPU).
 from __future__ import annotations
 
 import jax
+import math
 import jax.numpy as jnp
 
 FILTER_TYPES = (
@@ -123,22 +124,27 @@ def rbj_coefficients(filter_type: str, freq, q, gain_db, sample_rate: float):
 def _first_order_scan(p, u, s_init):
     """Solve s_t = p_t * s_{t-1} + u_t in parallel (complex64).
 
-    p: c64[T] (broadcast over channels), u: c64[T, C], s_init: c64[C].
-    Returns s: c64[T, C]. The operator is a scalar multiply with |p| <= 1 for
+    p: c64[T] (broadcast over channels), u: c64[C, T], s_init: c64[C].
+    Returns s: c64[C, T]. The operator is a scalar multiply with |p| <= 1 for
     stable filters — a *normal* operator, so the parallel scan is perfectly
     conditioned (unlike companion-matrix products, whose ~Q^2 transient growth
     amplifies f32 rounding catastrophically for high-Q resonators).
+
+    Layout: the scan runs over the LAST axis so time rides the 128-lane
+    dimension — the [T, C] orientation put C (often 2) on the lanes and
+    wasted ~98% of every vector op (measured 0.28 ms/step per automated
+    biquad at T=4096; this orientation is ~3x faster).
     """
-    T, C = u.shape
-    pc = jnp.broadcast_to(p[:, None], (T, C))
+    C, T = u.shape
+    pc = jnp.broadcast_to(p[None, :], (C, T))
 
     def comb(lhs, rhs):
         p1, b1 = lhs
         p2, b2 = rhs
         return p1 * p2, p2 * b1 + b2
 
-    cum_p, cum_b = jax.lax.associative_scan(comb, (pc, u), axis=0)
-    return cum_p * s_init[None, :] + cum_b
+    cum_p, cum_b = jax.lax.associative_scan(comb, (pc, u), axis=1)
+    return cum_p * s_init[:, None] + cum_b
 
 
 def _first_order_const(p, u, s_init):
@@ -153,9 +159,9 @@ def _first_order_const(p, u, s_init):
     on the constant-coefficient path: less compile-time program, pure MXU
     work at run time. Exact to f32 rounding.
 
-    p: c64 scalar, u: c64[T, C], s_init: c64[C] -> s: c64[T, C].
+    p: c64 scalar, u: c64[C, T], s_init: c64[C] -> s: c64[C, T].
     """
-    T, C = u.shape
+    C, T = u.shape
     B = 128
     S = T // B
     logr = 0.5 * jnp.log(jnp.maximum(jnp.real(p) ** 2 + jnp.imag(p) ** 2, 1e-38))
@@ -180,23 +186,23 @@ def _first_order_const(p, u, s_init):
     n = jnp.arange(B, dtype=jnp.float32)
     d = n[:, None] - n[None, :]
     Mr, Mi = pole_pow(jnp.maximum(d, 0.0), (d >= 0).astype(jnp.float32), logr, th)
-    ub = u.reshape(S, B, C)
-    pr, pi = cmatmul("nk,skc->snc", Mr, Mi, jnp.real(ub), jnp.imag(ub))
-    last_r, last_i = pr[:, -1, :], pi[:, -1, :]  # [S, C] block tails sans carry
+    ub = u.reshape(C, S, B)
+    pr, pi = cmatmul("nk,csk->csn", Mr, Mi, jnp.real(ub), jnp.imag(ub))
+    last_r, last_i = pr[:, :, -1], pi[:, :, -1]  # [C, S] block tails sans carry
 
     b = jnp.arange(S, dtype=jnp.float32)
     e = b[:, None] - 1.0 - b[None, :]
     lr128, th128 = B * logr, B * th
     Wr, Wi = pole_pow(jnp.maximum(e, 0.0), (e >= 0).astype(jnp.float32), lr128, th128)
-    tr, ti = cmatmul("bj,jc->bc", Wr, Wi, last_r, last_i)
+    tr, ti = cmatmul("bj,cj->cb", Wr, Wi, last_r, last_i)
     powr, powi = pole_pow(b, jnp.float32(1.0), lr128, th128)  # (p^128)^b
-    s0r, s0i = jnp.real(s_init)[None], jnp.imag(s_init)[None]
-    cr = powr[:, None] * s0r - powi[:, None] * s0i + tr
-    ci = powr[:, None] * s0i + powi[:, None] * s0r + ti
+    s0r, s0i = jnp.real(s_init)[:, None], jnp.imag(s_init)[:, None]
+    cr = powr[None, :] * s0r - powi[None, :] * s0i + tr  # [C, S]
+    ci = powr[None, :] * s0i + powi[None, :] * s0r + ti
     ar, ai = pole_pow(n + 1.0, jnp.float32(1.0), logr, th)  # p^(n+1)
-    sr = pr + ar[None, :, None] * cr[:, None, :] - ai[None, :, None] * ci[:, None, :]
-    si = pi + ar[None, :, None] * ci[:, None, :] + ai[None, :, None] * cr[:, None, :]
-    return jax.lax.complex(sr, si).reshape(T, C)
+    sr = pr + ar[None, None, :] * cr[:, :, None] - ai[None, None, :] * ci[:, :, None]
+    si = pi + ar[None, None, :] * ci[:, :, None] + ai[None, None, :] * cr[:, :, None]
+    return jax.lax.complex(sr, si).reshape(C, T)
 
 
 def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
@@ -241,7 +247,7 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
     p1 = 0.5 * (-a1c + disc)  # [T]
     p2 = 0.5 * (-a1c - disc)
 
-    xt = jnp.moveaxis(x, 0, 1).astype(jnp.complex64)  # [T, C]
+    xt = x.astype(jnp.complex64)  # [C, T] — time on the lane axis
 
     # Initial conditions: w_{-1} = W1, w_{-2} = W2; v_{-1} = W1 - p2_0 * W2.
     w_init = w1.astype(jnp.complex64)
@@ -254,12 +260,14 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
             v = _first_order_const(p1[0], inp, v_init)
             w = _first_order_const(p2[0], v, w_init)
         else:
-            v = _first_order_scan(p1, inp, v_init)  # [T, C]
-            w = _first_order_scan(p2, v, w_init)  # [T, C]
+            v = _first_order_scan(p1, inp, v_init)  # [C, T]
+            w = _first_order_scan(p2, v, w_init)  # [C, T]
         w_t = jnp.real(w)
-        w_tm1 = jnp.concatenate([jnp.broadcast_to(w1, (1, C)), w_t[:-1]], axis=0)
+        w_tm1 = jnp.concatenate(
+            [jnp.broadcast_to(w1[:, None], (C, 1)), w_t[:, :-1]], axis=1
+        )
         w_tm2 = jnp.concatenate(
-            [jnp.broadcast_to(w2, (1, C)), w_tm1[:-1]], axis=0
+            [jnp.broadcast_to(w2[:, None], (C, 1)), w_tm1[:, :-1]], axis=1
         )
         return w_t, w_tm1, w_tm2
 
@@ -268,8 +276,8 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
     if time_varying:
         # p2 at the previous sample (p2_{-1} := p2_0 -> zero correction at t=0).
         p2_prev = jnp.concatenate([p2[:1], p2[:-1]])
-        corr = -(p1 * (p2 - p2_prev))[:, None] * w_tm2.astype(jnp.complex64)
+        corr = -(p1 * (p2 - p2_prev))[None, :] * w_tm2.astype(jnp.complex64)
         w_t, w_tm1, w_tm2 = run(xt + corr)
 
-    y = b0[:, None] * w_t + b1[:, None] * w_tm1 + b2[:, None] * w_tm2
-    return jnp.moveaxis(y, 0, 1), w_t[-1], w_tm1[-1]
+    y = b0[None, :] * w_t + b1[None, :] * w_tm1 + b2[None, :] * w_tm2
+    return y, w_t[:, -1], w_tm1[:, -1]
