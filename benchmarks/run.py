@@ -14,7 +14,49 @@ import numpy as np
 from benchmarks.configs import CONFIGS
 
 
-def run_config(n: int, seconds: float = 30.0) -> dict:
+def _xrt_compute(ctx, n_steps: int) -> float:
+    """Per-step compute throughput by two-length scan difference: audio is
+    consumed ON DEVICE (sum), and timing two scan lengths cancels the
+    per-call link round trip (~30 ms on tunnel-attached dev devices) AND
+    excludes the output download that dominates wall_seconds there."""
+    import jax
+    import jax.numpy as jnp
+
+    cg = ctx._compiled
+    step, _ = cg.make_step_fn()
+    fps = ctx.superblock * 128
+
+    def reduced(states, encs, consts, f0s, bts):
+        def body(c, xs):
+            f0, bt = xs
+            ns, out = step(c, encs, consts, {}, f0, bt)
+            return ns, jnp.sum(out)
+        st, outs = jax.lax.scan(body, states, (f0s, bts))
+        return jnp.sum(outs)
+
+    rfn = jax.jit(reduced)
+    inc = np.float64(128) / ctx.sample_rate
+    states = jax.device_put(jax.device_get(ctx._states))
+
+    def timed(n):
+        f0s = jnp.arange(n, dtype=jnp.int64) * fps
+        bts = np.add.accumulate(
+            np.full(n * ctx.superblock, inc)
+        ).reshape(n, ctx.superblock)
+        np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))
+        best = np.inf
+        for _ in range(3):
+            t1 = time.perf_counter()
+            np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))
+            best = min(best, time.perf_counter() - t1)
+        return best
+
+    half = max(n_steps // 2, 1)
+    per_step = max((timed(n_steps) - timed(n_steps - half)) / half, 1e-9)
+    return (fps / ctx.sample_rate) / per_step
+
+
+def run_config(n: int, seconds: float = 30.0, compute: bool = True) -> dict:
     name, builder = CONFIGS[n]
     t0 = time.perf_counter()
     ctx = builder()
@@ -27,7 +69,7 @@ def run_config(n: int, seconds: float = 30.0) -> dict:
     out = ctx.render(frames)
     wall = time.perf_counter() - t0
     rendered = out.shape[1] / ctx.sample_rate
-    return {
+    result = {
         "config": n,
         "name": name,
         "xrt": round(rendered / wall, 2),
@@ -37,6 +79,11 @@ def run_config(n: int, seconds: float = 30.0) -> dict:
         "compile_seconds": round(compile_s, 1),
         "output_rms": float(np.sqrt(np.mean(out.astype(np.float64) ** 2))),
     }
+    if compute:
+        result["xrt_compute"] = round(
+            _xrt_compute(ctx, frames // frames_per_step), 2
+        )
+    return result
 
 
 def main() -> None:
