@@ -1,6 +1,16 @@
 """Independent numpy oracle: a deliberately slow, literal implementation of the
 reference's per-block pull semantics.
 
+Provenance / attribution: this test oracle is a deliberate Python
+transliteration of the algorithmic behavior of GraphAudio
+(https://github.com/the-byte-bender/GraphAudio), which is licensed under the
+Mozilla Public License 2.0 (https://mozilla.org/MPL/2.0/). Per-class citations
+below name the C# sources each oracle class reproduces. The oracle's entire
+purpose is to replicate the reference's semantics literally so the production
+TPU renderer (which shares no code with either) can be validated against an
+independent implementation; it is test-only code and is not part of the
+rendering framework.
+
 This module re-implements the C# reference (the-byte-bender/GraphAudio) in
 numpy, block by block, with float32 arithmetic wherever the reference uses
 ``float`` and Python floats (f64) wherever it uses ``double``:
