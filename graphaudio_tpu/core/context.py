@@ -224,20 +224,9 @@ class AudioContextBase:
         old_states = self._states
         self._compiled = CompiledGraph(self)
         self._compiled_version = self._topology_version
-        sig = self._compiled.signature()
-        cached = self._program_cache.get(sig)
-        if cached is not None:
-            # Same structural signature -> the cached renderer computes the
-            # same function of (states, encs, consts, feeds, frame0s).
-            self._render_fn, self._dest_channels = cached
-            self._program_cache.move_to_end(sig)
-            self.stats.record_program_reuse()
-        else:
-            self.stats.record_compile()
-            self._render_fn, self._dest_channels = self._compiled.make_render_fn()
-            self._program_cache[sig] = (self._render_fn, self._dest_channels)
-            while len(self._program_cache) > 8:
-                self._program_cache.popitem(last=False)
+        self._compiled_sig = self._compiled.signature()
+        self._render_fn, self._dest_channels = self._get_render_fn(None)
+        self._render_fn_by_pack = {None: self._render_fn}
         # Arenas/geometry are device-resident arguments (not closure
         # constants) so a cache hit replays with the new graph's buffers.
         self._consts = jax.tree_util.tree_map(
@@ -326,6 +315,25 @@ class AudioContextBase:
         self._encs = None  # force re-encode against (possibly) new capacities
         self._param_versions = {}
 
+    def _get_render_fn(self, pack=None):
+        """Fetch (or build) the jitted renderer for one wire format.
+
+        The program cache keys on (structural signature, pack): the f32 and
+        int16-PCM renderers of one topology are distinct compiled programs;
+        structurally identical graphs reuse both across voice churn."""
+        key = (self._compiled_sig, pack)
+        cached = self._program_cache.get(key)
+        if cached is not None:
+            self._program_cache.move_to_end(key)
+            self.stats.record_program_reuse()
+            return cached
+        self.stats.record_compile()
+        fn, dest_channels = self._compiled.make_render_fn(pack=pack)
+        self._program_cache[key] = (fn, dest_channels)
+        while len(self._program_cache) > 8:
+            self._program_cache.popitem(last=False)
+        return fn, dest_channels
+
     def _ensure_params_encoded(self) -> None:
         dirty = self._encs is None
         if not dirty:
@@ -388,7 +396,7 @@ class AudioContextBase:
 
     # -- rendering ------------------------------------------------------------
 
-    def _render_steps_launch(self, n_steps: int):
+    def _render_steps_launch(self, n_steps: int, pack: str = None):
         """Drain commands, compile if needed, and LAUNCH ``n_steps``
         superblocks on device; returns an opaque pending handle.
 
@@ -440,6 +448,10 @@ class AudioContextBase:
         # parallel device->host streams (tunneled links gain 2-3x from
         # concurrency), larger ones fewer dispatch round trips.
         chunk = int(_os.environ.get("GA_RENDER_CHUNK", "64"))
+        render_fn = self._render_fn_by_pack.get(pack)
+        if render_fn is None:
+            render_fn, _ = self._get_render_fn(pack)
+            self._render_fn_by_pack[pack] = render_fn
         pending = []
         launched = 0
         while launched < n_steps:
@@ -448,7 +460,7 @@ class AudioContextBase:
                 self._current_frame
                 + frames_per_step * (launched + np.arange(this, dtype=np.int64))
             )
-            self._states, out = self._render_fn(
+            self._states, out = render_fn(
                 self._states, self._encs, self._consts, feeds, frame0s,
                 all_block_times[launched:launched + this],
             )
@@ -469,7 +481,7 @@ class AudioContextBase:
             + np.float64(FRAMES_PER_BLOCK) / self.sample_rate
         )
         self._step_count += n_steps
-        return pending, _time.perf_counter() - t0
+        return pending, _time.perf_counter() - t0, pack
 
     def _render_steps_finish(self, handle) -> np.ndarray:
         """Materialize a launch's audio, fire source notifications, record
@@ -478,29 +490,36 @@ class AudioContextBase:
         pipelined caller overlaps other steps, is excluded)."""
         import time as _time
 
-        pending, launch_wall = handle
+        pending, launch_wall, pack = handle
         t0 = _time.perf_counter()
+        axis = 0 if pack == "int16" else 1  # pcm16 chunks are flat interleaved
         if len(pending) == 1:
             out_np = np.asarray(jax.device_get(pending[0]))
         else:
             out_np = np.concatenate(
-                [np.asarray(jax.device_get(o)) for o in pending], axis=1
+                [np.asarray(jax.device_get(o)) for o in pending], axis=axis
             )
         self._notify_sources()
+        frames = (
+            out_np.shape[0] // max(self._dest_channels, 1)
+            if pack == "int16"
+            else out_np.shape[1]
+        )
         self.stats.record(
-            frames=out_np.shape[1],
-            quanta=out_np.shape[1] // FRAMES_PER_BLOCK,
+            frames=frames,
+            quanta=frames // FRAMES_PER_BLOCK,
             wall=launch_wall + (_time.perf_counter() - t0),
         )
         return out_np
 
-    def _render_steps(self, n_steps: int) -> np.ndarray:
-        """Render ``n_steps`` superblocks; returns f32[channels, n_steps*S*128].
+    def _render_steps(self, n_steps: int, pack: str = None) -> np.ndarray:
+        """Render ``n_steps`` superblocks; returns f32[channels, n_steps*S*128]
+        (or flat interleaved int16 with ``pack="int16"``).
 
         Drains pending commands first (parity: DrainCommands at block start,
         AudioContextBase.cs:272), then runs the jitted scan on device.
         """
-        return self._render_steps_finish(self._render_steps_launch(n_steps))
+        return self._render_steps_finish(self._render_steps_launch(n_steps, pack))
 
     def _notify_sources(self) -> None:
         """Fire ended-events / self-disposal on scheduled sources.
@@ -623,6 +642,59 @@ class AudioContextBase:
         arbitrary frame count)."""
         out = self.render(frame_count)
         return np.ascontiguousarray(out.T).reshape(-1)
+
+    def render_pcm16(self, frame_count: int) -> np.ndarray:
+        """Render ``frame_count`` frames as interleaved int16 PCM.
+
+        The interleave and the quantization ``round(clip(x, -1, 1) * 32767)``
+        run ON DEVICE, so only 2 bytes/sample cross the device link — the
+        natural wire format for PCM delivery (the reference's device path is
+        interleaved PCM as well, AudioContextBase.cs:88-161). Quantization
+        error is at most 0.5/32767 ~ 1.53e-5 of full scale.
+
+        Returns int16[frame_count * channels]. Interleaving with float
+        ``render`` calls is supported: frames carried over from an f32 render
+        quantize on host with the same formula; leftover frames of a pcm16
+        render are carried back dequantized (v / 32767), which re-quantizes
+        bit-identically on the next pcm16 call.
+        """
+        if frame_count < 0:
+            raise ValueError("frame_count must be non-negative")
+        if frame_count == 0:
+            return np.zeros(0, dtype=np.int16)
+
+        chunks = []
+        got = 0
+        if self._carry is not None and self._carry.shape[1] > 0:
+            take = min(frame_count, self._carry.shape[1])
+            part = self._carry[:, :take]
+            self._carry = (
+                self._carry[:, take:] if take < self._carry.shape[1] else None
+            )
+            pcm = np.round(np.clip(part, -1.0, 1.0) * np.float32(32767.0))
+            chunks.append(
+                np.ascontiguousarray(pcm.T.astype(np.int16)).reshape(-1)
+            )
+            got += take
+
+        remaining = frame_count - got
+        if remaining > 0:
+            frames_per_step = self.superblock * FRAMES_PER_BLOCK
+            n_steps = -(-remaining // frames_per_step)
+            out = self._render_steps(n_steps, pack="int16")
+            ch = max(self._dest_channels or 0, 1)
+            total = out.shape[0] // ch
+            if total > remaining:
+                flat = out.reshape(total, ch)
+                self._carry = np.ascontiguousarray(
+                    flat[remaining:].T.astype(np.float32) / np.float32(32767.0)
+                )
+                out = np.ascontiguousarray(flat[:remaining]).reshape(-1)
+            chunks.append(out)
+
+        if len(chunks) == 1:
+            return chunks[0]
+        return np.concatenate(chunks)
 
 
 def _same_structure(a, b) -> bool:

@@ -934,8 +934,15 @@ class CompiledGraph:
 
         return step, dest_channels
 
-    def make_render_fn(self):
+    def make_render_fn(self, pack: str = None):
         """Jitted multi-superblock renderer: scan step over frame offsets.
+
+        ``pack="int16"`` appends a device-side wire-format stage: the audio
+        interleaves and quantizes to int16 PCM ([n_steps*T*C] flat) before
+        leaving the device, halving device->host bytes — the natural PCM
+        delivery format (the reference's device path is interleaved too,
+        AudioContextBase.cs:88-161). Quantization error <= 0.5/32767 ~ 1.5e-5
+        of full scale (~7.6e-6 absolute for typical signals).
 
         With a context mesh and a shardable plan, the WHOLE scan runs inside
         ``shard_map``: every group's lane axis is split over the mesh's
@@ -958,6 +965,9 @@ class CompiledGraph:
             states, outs = jax.lax.scan(body, states, (frame0s, block_times))
             # outs: [n_steps, C, T] -> [C, n_steps*T]
             outs = jnp.swapaxes(outs, 0, 1).reshape(outs.shape[1], -1)
+            if pack == "int16":
+                pcm = jnp.round(jnp.clip(outs, -1.0, 1.0) * jnp.float32(32767.0))
+                outs = pcm.astype(jnp.int16).T.reshape(-1)  # interleaved
             return states, outs
 
         if not sharded:

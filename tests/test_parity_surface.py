@@ -173,6 +173,47 @@ def test_render_interleaved_matches_render():
     np.testing.assert_array_equal(inter.reshape(300, 2).T, planar)
 
 
+def test_render_pcm16_matches_quantized_f32():
+    """Device-side int16 packing == round(clip(f32)*32767), interleaved."""
+    ctx = _sine_context()
+    ctx2 = _sine_context()
+    pcm = ctx.render_pcm16(300)
+    planar = ctx2.render(300)
+    assert pcm.dtype == np.int16
+    assert pcm.shape == (300 * 2,)
+    expect = np.round(np.clip(planar, -1.0, 1.0) * np.float32(32767.0))
+    np.testing.assert_array_equal(
+        pcm.reshape(300, 2).T, expect.astype(np.int16)
+    )
+
+
+def test_render_pcm16_carry_roundtrip():
+    """Leftover pcm16 frames carry dequantized and re-quantize identically:
+    two pcm16 calls splitting a superblock == one call for the total."""
+    ctx = _sine_context()
+    ctx2 = _sine_context()
+    a = ctx.render_pcm16(100)
+    b = ctx.render_pcm16(200)
+    whole = ctx2.render_pcm16(300)
+    np.testing.assert_array_equal(np.concatenate([a, b]), whole)
+
+
+def test_render_pcm16_after_f32_carry():
+    """f32-carried frames quantize on host with the same formula."""
+    ctx = _sine_context()
+    ctx2 = _sine_context()
+    f32_part = ctx.render(100)
+    pcm_rest = ctx.render_pcm16(200)
+    whole = ctx2.render_pcm16(300)
+    expect_head = np.round(
+        np.clip(f32_part, -1.0, 1.0) * np.float32(32767.0)
+    ).astype(np.int16)
+    np.testing.assert_array_equal(
+        np.concatenate([np.ascontiguousarray(expect_head.T).reshape(-1), pcm_rest]),
+        whole,
+    )
+
+
 def test_block_apis_on_realtime_context():
     """The block APIs live on the BASE context, so realtime contexts have
     them too (the reference defines ProcessBlock on AudioContextBase)."""
