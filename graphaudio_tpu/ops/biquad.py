@@ -147,6 +147,113 @@ def _first_order_scan(p, u, s_init):
     return cum_p * s_init[:, None] + cum_b
 
 
+def _make_first_order_matmul(p):
+    """Build the blocked-matmul solver for s_t = p_t s_{t-1} + u_t (exact,
+    TIME-VARYING poles) and return ``solve(u, s_init) -> s``.
+
+    The associative scan solves this in 2*log2(T) launch-bound passes of tiny
+    elementwise work (~0.07 ms each on a link-attached TPU); a 4-biquad
+    cascade pays 16 of them per step. This form replaces each solve with a
+    handful of MXU matmuls whose kernels depend only on the POLES:
+
+      within block b (128 samples):  s_n = sum_{k<=n} K_b[n,k] u_k + A_b[n] c_b
+        with  K_b[n,k] = prod_{k<sigma<=n} p_sigma = exp(L_n - L_k) (log-polar),
+      across blocks:  c_b = sum_{j<b} W[b,j] t_j + (prod_{i<b} G_i) s_init,
+        W[b,j] = prod_{j<i<b} G_i,  G_i = block-total pole product,
+        t_j = within-block tail — the SAME exp-of-cumsum-differences trick
+        one level up, so no sequential dependency survives anywhere.
+
+    Numerics: log-magnitude/phase cumulate in f64 (tiny [T] tensors) and
+    difference before casting to f32, so every kernel entry is exp/cos/sin of
+    a SMALL argument; magnitudes clamp at exp(0) (stable filters) and logs at
+    -18 (taps below 1.5e-8 of their input cannot affect f32 audio). Matmuls
+    run at HIGHEST precision. Agreement with the associative scan is ~1e-6
+    relative (vs the ~1e-7 of exact f32 products) — inside the 1e-5 parity
+    budget.
+
+    Separating the build from the solve lets the correction pass (same poles,
+    corrected input) reuse the kernel matrices for free.
+    """
+    (T,) = p.shape
+    B = 128
+    S = T // B
+    two_pi = 2.0 * math.pi
+    hp = jax.lax.Precision.HIGHEST
+
+    pr, pi_ = jnp.real(p), jnp.imag(p)
+    r2 = pr * pr + pi_ * pi_
+    logr = jnp.maximum(0.5 * jnp.log(jnp.maximum(r2, 1e-36)), -18.0)
+    th = jnp.arctan2(pi_, pr)
+
+    Lc = jnp.cumsum(logr.astype(jnp.float64)).reshape(S, B)
+    Tc = jnp.cumsum(th.astype(jnp.float64)).reshape(S, B)
+    anchorL = jnp.concatenate([jnp.zeros((1,), jnp.float64), Lc[:-1, -1]])
+    anchorT = jnp.concatenate([jnp.zeros((1,), jnp.float64), Tc[:-1, -1]])
+    Lb = (Lc - anchorL[:, None]).astype(jnp.float32)  # [S,B] local inclusive
+    thm = jnp.mod(Tc, two_pi).astype(jnp.float32)  # cos/sin are mod-invariant
+    anchorTm = jnp.mod(anchorT, two_pi).astype(jnp.float32)
+
+    # Within-block kernel K[s,n,k] (lower-triangular; diagonal = 1).
+    dL = jnp.minimum(Lb[:, :, None] - Lb[:, None, :], 0.0)
+    n_iota = jnp.arange(B, dtype=jnp.int32)
+    mask = (n_iota[:, None] >= n_iota[None, :]).astype(jnp.float32)
+    mag = jnp.exp(dL) * mask
+    dTh = thm[:, :, None] - thm[:, None, :]
+    Kr = mag * jnp.cos(dTh)
+    Ki = mag * jnp.sin(dTh)
+
+    # Block-level carry solve pieces.
+    g64 = Lc[:, -1]  # [S] global cumulative log-magnitude at block ends
+    t64 = Tc[:, -1]
+    gprev = jnp.concatenate([jnp.zeros((1,), jnp.float64), g64[:-1]])
+    tprev_m = jnp.mod(
+        jnp.concatenate([jnp.zeros((1,), jnp.float64), t64[:-1]]), two_pi
+    ).astype(jnp.float32)
+    t64_m = jnp.mod(t64, two_pi).astype(jnp.float32)
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+    maskW = (s_iota[:, None] - 1 >= s_iota[None, :]).astype(jnp.float32)
+    dW = jnp.minimum(gprev[:, None] - g64[None, :], 0.0).astype(jnp.float32)
+    magW = jnp.exp(dW) * maskW
+    dPw = tprev_m[:, None] - t64_m[None, :]
+    Wr = magW * jnp.cos(dPw)
+    Wi = magW * jnp.sin(dPw)
+    init_mag = jnp.exp(jnp.minimum(gprev, 0.0).astype(jnp.float32))  # [S]
+    inr = init_mag * jnp.cos(tprev_m)
+    ini = init_mag * jnp.sin(tprev_m)
+
+    # Pole powers from block start (carry propagation into the block).
+    Am = jnp.exp(jnp.minimum(Lb, 0.0))
+    dPa = thm - anchorTm[:, None]
+    Ar = Am * jnp.cos(dPa)
+    Ai = Am * jnp.sin(dPa)
+
+    def solve(u, s_init):
+        C = u.shape[0]
+        ub = u.reshape(C, S, B)
+        ur, ui = jnp.real(ub), jnp.imag(ub)
+
+        def km(Kc, v):
+            return jnp.einsum("snk,csk->csn", Kc, v, precision=hp)
+
+        sr = km(Kr, ur) - km(Ki, ui)
+        si = km(Kr, ui) + km(Ki, ur)
+        tr, ti = sr[:, :, -1], si[:, :, -1]  # [C,S] block tails sans carry
+
+        def wm(Wc, v):
+            return jnp.einsum("sj,cj->cs", Wc, v, precision=hp)
+
+        cr = wm(Wr, tr) - wm(Wi, ti)
+        ci = wm(Wr, ti) + wm(Wi, tr)
+        s0r, s0i = jnp.real(s_init)[:, None], jnp.imag(s_init)[:, None]
+        cr = cr + inr[None, :] * s0r - ini[None, :] * s0i
+        ci = ci + inr[None, :] * s0i + ini[None, :] * s0r
+        outr = sr + Ar[None] * cr[..., None] - Ai[None] * ci[..., None]
+        outi = si + Ar[None] * ci[..., None] + Ai[None] * cr[..., None]
+        return jax.lax.complex(outr, outi).reshape(C, -1)
+
+    return solve
+
+
 def _first_order_const(p, u, s_init):
     """``_first_order_scan`` for a CONSTANT (traced c64 scalar) operator.
 
@@ -206,7 +313,7 @@ def _first_order_const(p, u, s_init):
 
 
 def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
-                 constant: bool = False):
+                 constant: bool = False, tv_method: str = "scan"):
     """Filter [C, T] samples through a (possibly time-varying) biquad.
 
     Args:
@@ -219,6 +326,16 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
         sample; replaces the associative scans with the blocked-matmul
         closed form (_first_order_const) — exact, and much cheaper to
         compile and run. Mutually exclusive with ``time_varying``.
+      tv_method: "scan" (default) uses the associative scans; "matmul"
+        solves the time-varying recurrences with blocked kernel matmuls
+        built once from the poles and shared with the correction pass
+        (_make_first_order_matmul). Measured on the axon TPU at T=4096 the
+        matmul form LOST (4.4 ms vs 1.15 ms per config-3 step — its f64
+        cumsums and per-solve matmul launches outweigh the scan's log-depth
+        passes), and the scan's step cost is nearly independent of T, so
+        larger superblocks amortize it; kept for cross-validation and for
+        small-T regimes (e.g. realtime superblocks) where the block count
+        is tiny.
 
     Returns (y f32[C, T], new_w1 f32[C], new_w2 f32[C]).
 
@@ -253,12 +370,21 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
     w_init = w1.astype(jnp.complex64)
     v_init = w_init - p2[0] * w2.astype(jnp.complex64)
 
+    if not constant and tv_method == "matmul":
+        solve1 = _make_first_order_matmul(p1)
+        solve2 = _make_first_order_matmul(p2)
+    else:
+        solve1 = solve2 = None
+
     def run(inp):
         if constant:
             # Constant poles: blocked-matmul closed form (exact), far
             # cheaper to compile and run than the associative scans.
             v = _first_order_const(p1[0], inp, v_init)
             w = _first_order_const(p2[0], v, w_init)
+        elif solve1 is not None:
+            v = solve1(inp, v_init)  # [C, T]
+            w = solve2(v, w_init)
         else:
             v = _first_order_scan(p1, inp, v_init)  # [C, T]
             w = _first_order_scan(p2, v, w_init)  # [C, T]

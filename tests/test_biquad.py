@@ -187,3 +187,61 @@ def test_cascaded_eq_chain(rng):
         b, a = _rbj(ftype.value, f, q, g)
         expect = sps.lfilter(b, a, expect)
     assert np.max(np.abs(out - expect)) < 5e-4
+
+
+def test_first_order_matmul_matches_scan(rng):
+    """The blocked kernel-matmul time-varying solver (kept for small-T
+    regimes and cross-validation) agrees with the associative scan and a
+    sequential f64 reference on random time-varying poles."""
+    from graphaudio_tpu.ops.biquad import (
+        _first_order_scan,
+        _make_first_order_matmul,
+    )
+    import jax.numpy as jnp
+
+    T, C = 1024, 2
+    r = rng.uniform(0.0, 0.9999, T)
+    th = rng.uniform(-np.pi, np.pi, T)
+    p = (r * np.exp(1j * th)).astype(np.complex64)
+    u = (
+        rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))
+    ).astype(np.complex64)
+    s0 = (rng.standard_normal(C) + 1j * rng.standard_normal(C)).astype(
+        np.complex64
+    )
+    ref = np.zeros((C, T), np.complex128)
+    s = s0.astype(np.complex128)
+    for t in range(T):
+        s = complex(p[t]) * s + u[:, t]
+        ref[:, t] = s
+    scan = np.asarray(
+        _first_order_scan(jnp.asarray(p), jnp.asarray(u), jnp.asarray(s0))
+    )
+    mm = np.asarray(
+        _make_first_order_matmul(jnp.asarray(p))(jnp.asarray(u), jnp.asarray(s0))
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(scan - ref).max() / scale < 1e-6
+    assert np.abs(mm - ref).max() / scale < 1e-5
+    assert np.abs(mm - scan).max() / scale < 1e-5
+
+
+def test_biquad_apply_tv_methods_agree(rng):
+    """scan and matmul tv_methods produce the same filtered audio."""
+    from graphaudio_tpu.ops.biquad import biquad_apply, rbj_coefficients
+    import jax.numpy as jnp
+
+    T, C = 512, 2
+    x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32) * 0.3)
+    f = jnp.asarray(
+        np.linspace(300.0, 4000.0, T).astype(np.float32)
+    )
+    q = jnp.asarray(np.linspace(0.5, 4.0, T).astype(np.float32))
+    coeffs = rbj_coefficients("peaking", f, q, 3.0, 48000.0)
+    w1 = jnp.zeros((C,), jnp.float32)
+    w2 = jnp.zeros((C,), jnp.float32)
+    ys, _, _ = biquad_apply(x, coeffs, w1, w2, time_varying=True,
+                            tv_method="scan")
+    ym, _, _ = biquad_apply(x, coeffs, w1, w2, time_varying=True,
+                            tv_method="matmul")
+    assert np.max(np.abs(np.asarray(ys) - np.asarray(ym))) < 1e-5
