@@ -881,7 +881,27 @@ class OracleContext:
         self.destination = None
         self._block = 0
         self._time = 0.0
+        # Listener transform (SteamAudioContext.SetListener, :136-164):
+        # right-handed basis with ahead = -forward.
+        self.listener_pos = np.zeros(3)
+        self.listener_right = np.array([1.0, 0.0, 0.0])
+        self.listener_up = np.array([0.0, 1.0, 0.0])
+        self.listener_ahead = np.array([0.0, 0.0, 1.0])
         self.destination = _OracleDestination(self)
+
+    def set_listener(self, position, forward, up):
+        position = np.asarray(position, np.float64)
+        f = np.asarray(forward, np.float64)
+        u = np.asarray(up, np.float64)
+        f = f / max(np.linalg.norm(f), 1e-9)
+        u = u / max(np.linalg.norm(u), 1e-9)
+        right = np.cross(f, u)
+        right /= max(np.linalg.norm(right), 1e-9)
+        true_up = np.cross(right, f)
+        self.listener_pos = position
+        self.listener_right = right
+        self.listener_up = true_up
+        self.listener_ahead = -f
 
     def process_block(self):
         self._block += 1
@@ -1047,3 +1067,201 @@ class OracleChannelMerger(OracleNode):
                 out[i] = inp.buffer[0]
                 has_audio = True
         self._set_output(0, out, not has_audio)
+
+
+# ---------------------------------------------------------------------------
+# SpatialPannerNode (GraphAudio.SteamAudio/Nodes/SpatialPannerNode.cs:94-284)
+# ---------------------------------------------------------------------------
+
+class OracleSpatialPanner(OracleNode):
+    """Closed-form direct path + binaural HRIR render, implemented literally.
+
+    Mirrors SpatialPannerNode.cs: 17 k-rate params (:94-110),
+    listener-relative direction in the listener basis (:133-164), cone
+    directivity (:166-204), distance attenuation with the
+    Linear/Inverse/Exponential model override (:206-216, 263-284), occlusion
+    with 3-band frequency-dependent transmission (:218-248), HRTF render
+    with bilinear interpolation and the SpatialBlend 2D/3D crossfade
+    (:250-260).
+
+    The HRIR grid (f32[E, A, 2, L] — the model's data table, supplied by the
+    caller) is shared with the production node; everything DOWNSTREAM of the
+    table — bilinear interpolation, per-block overlap-add convolution, the
+    3-band one-pole crossover split, gain math, and state carry — is an
+    independent per-block numpy reimplementation (time-domain convolution
+    here vs the production node's frequency-domain form; equal by linearity
+    of DFT and interpolation).
+    """
+
+    XOVER_LOW_HZ = 800.0
+    XOVER_HIGH_HZ = 8000.0
+
+    def __init__(self, ctx, hrir_grid, distance_model="inverse"):
+        super().__init__(ctx, 1, 1)
+        self.inputs[0].channel_count = 2
+        self.inputs[0].mode = "clamped-max"
+        self.grid = np.asarray(hrir_grid, np.float64)  # [E, A, 2, L]
+        self.distance_model = distance_model
+        FMAX = 3.4028235e38
+        P = lambda d, lo, hi: self._param(d, lo, hi, a_rate=False)  # noqa: E731
+        self.position_x = P(0.0, -FMAX, FMAX)
+        self.position_y = P(0.0, -FMAX, FMAX)
+        self.position_z = P(0.0, -FMAX, FMAX)
+        self.orientation_x = P(1.0, -1.0, 1.0)
+        self.orientation_y = P(0.0, -1.0, 1.0)
+        self.orientation_z = P(0.0, -1.0, 1.0)
+        self.ref_distance = P(1.0, 0.0, FMAX)
+        self.max_distance = P(10000.0, 0.0, FMAX)
+        self.rolloff_factor = P(1.0, 0.0, FMAX)
+        self.cone_inner_angle = P(360.0, 0.0, 360.0)
+        self.cone_outer_angle = P(360.0, 0.0, 360.0)
+        self.cone_outer_gain = P(0.0, 0.0, 1.0)
+        self.spatial_blend = P(1.0, 0.0, 1.0)
+        self.occlusion = P(0.0, 0.0, 1.0)
+        self.transmission_low = P(0.0, 0.0, 1.0)
+        self.transmission_mid = P(0.0, 0.0, 1.0)
+        self.transmission_high = P(0.0, 0.0, 1.0)
+        self._ola = np.zeros((2, FRAMES))
+        self._xlow = None  # per-channel crossover states, sized on first use
+        self._xhigh = None
+
+    def _direct_gains(self):
+        k = lambda p: float(p.computed[0])  # noqa: E731
+        ctx = self.ctx
+        lp = ctx.listener_pos
+        wd = np.array([
+            k(self.position_x) - lp[0],
+            k(self.position_y) - lp[1],
+            k(self.position_z) - lp[2],
+        ])
+        distance = float(np.sqrt(np.sum(wd * wd)))
+        if distance <= 1e-4:
+            dx, dy, dz = 0.0, 0.0, -1.0
+            distance = 0.0
+            wdn = np.zeros(3)
+        else:
+            wdn = wd / distance
+            dx = float(np.dot(wdn, ctx.listener_right))
+            dy = float(np.dot(wdn, ctx.listener_up))
+            dz = float(np.dot(wdn, ctx.listener_ahead))
+
+        # Cone directivity (:166-204).
+        o = np.array([
+            k(self.orientation_x), k(self.orientation_y),
+            k(self.orientation_z),
+        ])
+        inner = k(self.cone_inner_angle)
+        outer = k(self.cone_outer_angle)
+        outer_gain = k(self.cone_outer_gain)
+        omag = float(np.sqrt(np.sum(o * o)))
+        directivity = 1.0
+        if (inner < 360.0 or outer < 360.0) and omag > 1e-4:
+            dot = min(max(-float(np.dot(o, wdn)) / max(omag, 1e-9), -1.0), 1.0)
+            angle = abs(math.degrees(math.acos(dot)))
+            half_inner, half_outer = inner * 0.5, outer * 0.5
+            if angle <= half_inner:
+                directivity = 1.0
+            elif angle >= half_outer:
+                directivity = outer_gain
+            else:
+                t = (angle - half_inner) / max(half_outer - half_inner, 1e-6)
+                directivity = 1.0 + t * (outer_gain - 1.0)
+
+        # Distance attenuation (:206-216, 263-284).
+        ref = k(self.ref_distance)
+        mx = k(self.max_distance)
+        rolloff = k(self.rolloff_factor)
+        dc = min(max(distance, ref), mx)
+        if self.distance_model == "linear":
+            atten = 1.0 - rolloff * (dc - ref) / max(mx - ref, 1e-9)
+        elif self.distance_model == "exponential":
+            atten = max(dc / max(ref, 1e-9), 1e-9) ** (-rolloff)
+        else:  # inverse
+            atten = 1.0 if distance <= ref else ref / max(distance, 1e-9)
+        atten = min(max(atten, 0.0), 1.0)
+
+        # Occlusion + 3-band transmission (:218-248).
+        occ = k(self.occlusion)
+        tl = k(self.transmission_low)
+        tm = k(self.transmission_mid)
+        th = k(self.transmission_high)
+        any_trans = tl > 0.0 or tm > 0.0 or th > 0.0
+
+        def band(tr):
+            if occ <= 0.0:
+                return 1.0
+            if any_trans:
+                return (1.0 - occ) + occ * tr
+            return 1.0 - occ
+
+        base = atten * directivity
+        gains = (base * band(tl), base * band(tm), base * band(th))
+        return dx, dy, dz, gains, k(self.spatial_blend)
+
+    def _interp_hrir(self, azimuth, elevation):
+        E, A, _, L = self.grid.shape
+        az = math.fmod(azimuth, 2 * math.pi)
+        if az < 0:
+            az += 2 * math.pi
+        azf = az / (2 * math.pi) * A
+        elf = (elevation + math.pi / 2) / math.pi * (E - 1)
+        a0 = int(math.floor(azf)) % A
+        a1 = (a0 + 1) % A
+        fa = azf - math.floor(azf)
+        e0 = min(max(int(math.floor(elf)), 0), E - 1)
+        e1 = min(e0 + 1, E - 1)
+        fe = elf - math.floor(elf)
+        return (
+            self.grid[e0, a0] * ((1 - fa) * (1 - fe))
+            + self.grid[e0, a1] * (fa * (1 - fe))
+            + self.grid[e1, a0] * ((1 - fa) * fe)
+            + self.grid[e1, a1] * (fa * fe)
+        )  # [2, L]
+
+    def process(self, t0):
+        inp = self.inputs[0]
+        x = inp.buffer.astype(np.float64)  # [C, 128]
+        C = x.shape[0]
+        if self._xlow is None or self._xlow.shape[0] != C:
+            self._xlow = np.zeros(C)
+            self._xhigh = np.zeros(C)
+
+        dx, dy, dz, (gl, gm, gh), blend = self._direct_gains()
+
+        # 3-band split: two sequential one-pole lowpasses
+        # (y[n] = a*y[n-1] + (1-a)*x[n]), crossovers at 800 Hz / 8 kHz.
+        sr = self.ctx.sample_rate
+        a_lo = math.exp(-2.0 * math.pi * self.XOVER_LOW_HZ / sr)
+        a_hi = math.exp(-2.0 * math.pi * self.XOVER_HIGH_HZ / sr)
+        low = np.zeros_like(x)
+        lowmid = np.zeros_like(x)
+        for c in range(C):
+            yl, yh = self._xlow[c], self._xhigh[c]
+            for i in range(FRAMES):
+                yl = a_lo * yl + (1.0 - a_lo) * x[c, i]
+                yh = a_hi * yh + (1.0 - a_hi) * x[c, i]
+                low[c, i] = yl
+                lowmid[c, i] = yh
+            self._xlow[c], self._xhigh[c] = yl, yh
+        mid = lowmid - low
+        high = x - lowmid
+        direct = low * gl + mid * gm + high * gh  # [C, 128]
+
+        # Binaural render: mono mean -> interpolated HRIR -> overlap-add.
+        mono = np.mean(direct, axis=0)  # [128]
+        azimuth = math.atan2(dx, -dz)
+        elevation = math.asin(min(max(dy, -1.0), 1.0))
+        h = self._interp_hrir(azimuth, elevation)  # [2, L]
+        wet = np.zeros((2, FRAMES))
+        new_ola = np.zeros((2, FRAMES))
+        for ear in range(2):
+            full = np.convolve(mono, h[ear])  # [128 + L - 1]
+            wet[ear] = full[:FRAMES] + self._ola[ear]
+            tail = full[FRAMES:]
+            new_ola[ear, : tail.shape[0]] = tail
+        self._ola = new_ola
+
+        # SpatialBlend crossfade; dry up-mixes mono -> stereo by broadcast.
+        dry = np.broadcast_to(direct[0], (2, FRAMES)) if C == 1 else direct[:2]
+        out = wet * blend + dry * (1.0 - blend)
+        self._set_output(0, out.astype(f32), False)

@@ -428,3 +428,117 @@ def test_process_block_matches_oracle(rng):
         want = octx.process_block()
         assert got.shape == want.shape
         assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_spatial_panner_matches_oracle(rng):
+    """The REAL SpatialPannerNode vs the literal numpy oracle: moving
+    sources, cone directivity, occlusion + 3-band transmission, and all
+    three distance models, sharing only the HRIR grid data table."""
+    from graphaudio_tpu.ops.hrtf import build_hrir_grid
+    from graphaudio_tpu.testing.oracle import OracleSpatialPanner
+
+    grid = build_hrir_grid(SR)
+    voices = 4
+    sigs = [(rng.standard_normal(SR // 4) * 0.1).astype(np.float32)
+            for _ in range(voices)]
+    models_ga = [ga.DistanceModelType.INVERSE, ga.DistanceModelType.LINEAR,
+                 ga.DistanceModelType.EXPONENTIAL, ga.DistanceModelType.INVERSE]
+    models_o = ["inverse", "linear", "exponential", "inverse"]
+
+    def build(ctx, ga_api):
+        ctx.set_listener([0.5, -0.25, 1.0], [0.2, 0.0, -1.0], [0.0, 1.0, 0.1])
+        for v in range(voices):
+            if ga_api:
+                src = ga.AudioBufferSourceNode(ctx)
+                src.buffer = ga.PlayableAudioBuffer.from_mono_array(sigs[v], SR)
+                p = ga.SpatialPannerNode(ctx)
+                p.distance_model = models_ga[v]
+            else:
+                src = OracleBufferSource(ctx)
+                src.set_buffer(sigs[v], SR)
+                p = OracleSpatialPanner(ctx, grid)
+                p.distance_model = models_o[v]
+            src.loop = True
+            ang = 2 * np.pi * v / voices
+            p.position_x.set_value_at_time(3.0 * np.cos(ang), 0.0)
+            p.position_x.linear_ramp_to_value_at_time(3.0 * np.cos(ang + 1.0), 0.25)
+            p.position_y.value = 0.5 * (v - 1.5)
+            p.position_z.set_value_at_time(3.0 * np.sin(ang), 0.0)
+            p.position_z.linear_ramp_to_value_at_time(3.0 * np.sin(ang + 1.0), 0.25)
+            if v == 1:  # cone pointing away from the listener
+                p.orientation_x.value = 1.0
+                p.orientation_z.value = 0.0
+                p.cone_inner_angle.value = 60.0
+                p.cone_outer_angle.value = 180.0
+                p.cone_outer_gain.value = 0.3
+            if v == 2:  # occluded with band-dependent transmission
+                p.occlusion.set_value_at_time(0.0, 0.0)
+                p.occlusion.linear_ramp_to_value_at_time(0.8, 0.25)
+                p.transmission_low.value = 0.9
+                p.transmission_mid.value = 0.4
+                p.transmission_high.value = 0.1
+            if v == 3:  # partial spatial blend
+                p.spatial_blend.set_value_at_time(1.0, 0.0)
+                p.spatial_blend.linear_ramp_to_value_at_time(0.25, 0.25)
+            src.connect(p).connect(ctx.destination)
+            src.start(0)
+
+    got, want = render_both(build, frames=SR // 4)
+    # Skip block 1: the oracle resolves clamped-max channel counts from
+    # stale buffers on the first block (documented startup transient).
+    assert np.max(np.abs(got[:, 128:] - want[:, 128:])) < 1e-5
+
+
+def test_config5_spatial_scene_matches_oracle(rng):
+    """BASELINE config 5 at oracle scale with the REAL spatializer: mono
+    voices -> SpatialPannerNode -> master gain -> destination, plus a
+    shared convolution-reverb send off the master bus (the Kit
+    AudioBus/EffectChain topology's core graph)."""
+    from graphaudio_tpu.ops.hrtf import build_hrir_grid
+    from graphaudio_tpu.testing.oracle import OracleSpatialPanner
+
+    grid = build_hrir_grid(SR)
+    voices = 8
+    sigs = [(rng.standard_normal(SR // 4) * 0.05).astype(np.float32)
+            for _ in range(voices)]
+    ir_len = SR // 8
+    ir = (rng.standard_normal(ir_len)
+          * np.exp(-np.arange(ir_len) / (0.02 * SR))).astype(np.float32)
+
+    def build(ctx, ga_api):
+        ctx.set_listener([0, 0, 0], [0, 0, -1], [0, 1, 0])
+        if ga_api:
+            master = ga.GainNode(ctx)
+            wet = ga.GainNode(ctx)
+            conv = ga.ConvolverNode(ctx)
+            conv.buffer = ga.PlayableAudioBuffer.from_mono_array(ir, SR)
+        else:
+            master = OracleGain(ctx)
+            wet = OracleGain(ctx)
+            conv = OracleConvolver(ctx)
+            conv.set_buffer(ir, SR)
+        master.gain.value = 0.8
+        wet.gain.value = 0.3
+        master.connect(ctx.destination)
+        master.connect(conv)
+        conv.connect(wet).connect(ctx.destination)
+        for v in range(voices):
+            if ga_api:
+                src = ga.AudioBufferSourceNode(ctx)
+                src.buffer = ga.PlayableAudioBuffer.from_mono_array(sigs[v], SR)
+                p = ga.SpatialPannerNode(ctx)
+            else:
+                src = OracleBufferSource(ctx)
+                src.set_buffer(sigs[v], SR)
+                p = OracleSpatialPanner(ctx, grid)
+            src.loop = True
+            ang = 2 * np.pi * v / voices
+            p.position_x.set_value_at_time(5.0 * np.cos(ang), 0.0)
+            p.position_x.linear_ramp_to_value_at_time(5.0 * np.cos(ang + 0.7), 0.25)
+            p.position_z.set_value_at_time(5.0 * np.sin(ang), 0.0)
+            p.position_z.linear_ramp_to_value_at_time(5.0 * np.sin(ang + 0.7), 0.25)
+            src.connect(p).connect(master)
+            src.start(0)
+
+    got, want = render_both(build, frames=SR // 4)
+    assert np.max(np.abs(got[:, 128:] - want[:, 128:])) < 1e-5
