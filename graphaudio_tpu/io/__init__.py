@@ -14,6 +14,7 @@ from graphaudio_tpu.io.decode import (
     write_flac,
     write_mp3,
     write_ogg,
+    write_opus,
     write_wav,
 )
 from graphaudio_tpu.io.stream import AudioDecoderStreamNode, StreamState
@@ -24,6 +25,7 @@ __all__ = [
     "write_flac",
     "write_mp3",
     "write_ogg",
+    "write_opus",
     "write_wav",
     "AudioDecoderStreamNode",
     "StreamState",

@@ -260,17 +260,21 @@ def codec_capabilities() -> dict:
     lib = native.load()
     if lib is None:
         return {"wav": True, "aiff": False, "mp3": False, "ogg": False,
-                "flac": False, "mp3_encode": False, "ogg_encode": False,
-                "flac_encode": False}
+                "flac": False, "adpcm": False, "opus": False,
+                "mp3_encode": False, "ogg_encode": False,
+                "flac_encode": False, "opus_encode": False}
     return {
         "wav": True,
         "aiff": True,
         "mp3": bool(lib.gac_has_mp3()),
         "ogg": bool(lib.gac_has_vorbis()),
         "flac": bool(lib.gac_has_flac()),
+        "adpcm": bool(lib.gac_has_adpcm()),
+        "opus": bool(lib.gac_has_opus()),
         "mp3_encode": bool(lib.gac_has_mp3_encode()),
         "ogg_encode": bool(lib.gac_has_vorbis_encode()),
         "flac_encode": bool(lib.gac_has_flac_encode()),
+        "opus_encode": bool(lib.gac_has_opus_encode()),
     }
 
 
@@ -314,6 +318,25 @@ def write_flac(path, data: np.ndarray, sample_rate: int, bits: int = 16) -> None
     )
     if r != 0:
         raise RuntimeError("FLAC encoding failed")
+
+
+def write_opus(path, data: np.ndarray, sample_rate: int,
+               bitrate_bps: int = 96000) -> None:
+    """Encode planar f32[channels, n] audio as Ogg Opus (RFC 7845; system
+    libopus + libogg, both dlopen'd). ``sample_rate`` must be an Opus native
+    rate (8/12/16/24/48 kHz); decoding always yields 48 kHz. Parity surface:
+    libsndfile SF_FORMAT_OPUS (GraphAudio.IO/Libsndfile.cs format table)."""
+    data, inter = _interleave(data)
+    lib = native.load()
+    if lib is None or not lib.gac_has_opus_encode():
+        raise RuntimeError("Opus encoding unavailable (libopus/libogg not found)")
+    r = lib.gac_write_opus(
+        os.fspath(path).encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[1], data.shape[0], int(sample_rate), int(bitrate_bps),
+    )
+    if r != 0:
+        raise RuntimeError("Opus encoding failed")
 
 
 def write_ogg(path, data: np.ndarray, sample_rate: int, quality: float = 0.5) -> None:

@@ -60,6 +60,14 @@ def _configure(lib) -> None:
             c.c_int,
             [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
         ),
+        # IMA/MS ADPCM decode natively; Ogg Opus via dlopen'd libogg+libopus.
+        "gac_has_adpcm": (c.c_int, []),
+        "gac_has_opus": (c.c_int, []),
+        "gac_has_opus_encode": (c.c_int, []),
+        "gac_write_opus": (
+            c.c_int,
+            [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
+        ),
     }
     for name, (restype, argtypes) in sigs.items():
         f = getattr(lib, name)

@@ -49,13 +49,20 @@ struct Decoder {
     int64_t frame_pos = 0;   // current frame position
 
     // compressed backends (0 = raw pcm parser, 1 = mpg123, 2 = vorbisfile,
-    // 3 = native FLAC)
+    // 3 = native FLAC, 4 = native ADPCM, 5 = Ogg Opus)
     int backend = 0;
     void* mh = nullptr;           // mpg123 handle
     void* vf = nullptr;           // OggVorbis_File storage
     void* flac = nullptr;         // FlacStream storage
+    void* opus = nullptr;         // OpusStream storage
     std::vector<float> carry;     // interleaved overflow from block decodes
     size_t carry_pos = 0;
+
+    // ADPCM (WAV tags 0x11 IMA / 0x02 MS): block-coded, decoded per block.
+    uint16_t adpcm_tag = 0;
+    uint32_t block_align = 0;
+    uint32_t samples_per_block = 0;
+    int64_t adpcm_block = -1;     // block index currently in `carry`
 
     size_t bytes_per_frame() const { return size_t(channels) * (bits / 8); }
 };
@@ -117,6 +124,7 @@ bool valid_layout(const Decoder* d) {
     if (d->sample_rate < 1 || d->sample_rate > kMaxSampleRate) return false;
     if (d->format == 3 || d->format == 7) return d->bits == 32 || d->bits == 64;
     if (d->format == 5 || d->format == 6) return d->bits == 8;
+    if (d->format == 8) return d->bits == 4;  // ADPCM nibbles
     return d->bits == 8 || d->bits == 16 || d->bits == 24 || d->bits == 32;
 }
 
@@ -126,6 +134,7 @@ bool parse_wav(Decoder* d) {
     if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0) return false;
 
     bool have_fmt = false;
+    int64_t fact_samples = -1;
     while (true) {
         uint8_t ch[8];
         if (!dread(d, ch, 8)) break;
@@ -137,6 +146,7 @@ bool parse_wav(Decoder* d) {
             uint16_t tag = rd_u16le(fmt.data());
             d->channels = rd_u16le(fmt.data() + 2);
             d->sample_rate = int(rd_u32le(fmt.data() + 4));
+            d->block_align = rd_u16le(fmt.data() + 12);
             d->bits = rd_u16le(fmt.data() + 14);
             if (tag == 0xFFFE) {  // WAVE_FORMAT_EXTENSIBLE
                 if (size < 40) return false;
@@ -144,9 +154,40 @@ bool parse_wav(Decoder* d) {
             }
             if (tag == 1) d->format = 1;       // PCM
             else if (tag == 3) d->format = 3;  // IEEE float
+            else if (tag == 2 || tag == 0x11) {  // MS / IMA ADPCM
+                d->format = 8;
+                d->backend = 4;
+                d->adpcm_tag = tag;
+                d->bits = 4;
+                // Derive samples/block from the layout; header sizes are
+                // 7 bytes/ch (MS: coef idx + delta + 2 history samples) and
+                // 4 bytes/ch (IMA: predictor + step index).
+                uint32_t chn = uint32_t(d->channels);
+                if (chn < 1 || chn > 64) return false;
+                uint32_t hdr_b = (tag == 2 ? 7 : 4) * chn;
+                if (d->block_align <= hdr_b ||
+                    d->block_align > (1u << 20)) return false;
+                uint32_t payload = d->block_align - hdr_b;
+                if (tag == 2) {
+                    d->samples_per_block = payload * 2 / chn + 2;
+                } else {
+                    // IMA payload is 4-byte words per channel.
+                    if (payload % (4 * chn)) return false;
+                    d->samples_per_block = payload / chn * 2 + 1;
+                }
+                if (d->samples_per_block < 2 ||
+                    d->samples_per_block > (1u << 18)) return false;
+            }
             else return false;
             if (!valid_layout(d)) return false;
             have_fmt = true;
+            if (size & 1) dseek(d, dtell(d) + 1);
+        } else if (memcmp(ch, "fact", 4) == 0) {
+            if (size < 4 || size > kMaxHeaderChunk) return false;
+            uint8_t fc[4];
+            if (!dread(d, fc, 4)) return false;
+            fact_samples = int64_t(rd_u32le(fc));
+            if (size > 4 && !dseek(d, dtell(d) + (size - 4))) return false;
             if (size & 1) dseek(d, dtell(d) + 1);
         } else if (memcmp(ch, "data", 4) == 0) {
             if (!have_fmt) return false;
@@ -156,7 +197,15 @@ bool parse_wav(Decoder* d) {
             int64_t avail = dsize(d) - d->data_start;
             if (avail < 0) avail = 0;
             int64_t bytes = int64_t(size) < avail ? int64_t(size) : avail;
-            d->total_frames = bytes / int64_t(d->bytes_per_frame());
+            if (d->format == 8) {
+                int64_t blocks = bytes / int64_t(d->block_align);
+                d->total_frames = blocks * int64_t(d->samples_per_block);
+                // `fact` gives the true count (last block may be partial).
+                if (fact_samples >= 0 && fact_samples < d->total_frames)
+                    d->total_frames = fact_samples;
+            } else {
+                d->total_frames = bytes / int64_t(d->bytes_per_frame());
+            }
             return true;
         } else {
             if (!dseek(d, dtell(d) + size + (size & 1))) return false;
@@ -490,6 +539,174 @@ inline float cvt_sample(const uint8_t* p, int bits, int format) {
         }
     }
     return 0.0f;
+}
+
+// ---- ADPCM (native, from spec) ----------------------------------------------
+//
+// IMA/DVI ADPCM (WAV tag 0x11) and Microsoft ADPCM (tag 0x02): the two
+// block-coded 4-bit formats libsndfile decodes for game freight
+// (GraphAudio.IO/Libsndfile.cs:26-68 format table). Each block is
+// independently decodable (headers carry the predictor state), so seeking
+// is exact at block granularity.
+
+const int kImaIndexTable[16] = {-1, -1, -1, -1, 2, 4, 6, 8,
+                                -1, -1, -1, -1, 2, 4, 6, 8};
+const int kImaStepTable[89] = {
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767};
+const int kMsAdapt[16] = {230, 230, 230, 230, 307, 409, 512, 614,
+                          768, 614, 512, 409, 307, 230, 230, 230};
+const int kMsCoef1[7] = {256, 512, 0, 192, 240, 460, 392};
+const int kMsCoef2[7] = {0, -256, 0, 64, 0, -208, -232};
+
+inline int16_t ima_step(int& pred, int& index, int nib) {
+    int step = kImaStepTable[index];
+    int diff = step >> 3;
+    if (nib & 1) diff += step >> 2;
+    if (nib & 2) diff += step >> 1;
+    if (nib & 4) diff += step;
+    if (nib & 8) pred -= diff; else pred += diff;
+    if (pred > 32767) pred = 32767;
+    if (pred < -32768) pred = -32768;
+    index += kImaIndexTable[nib];
+    if (index < 0) index = 0;
+    if (index > 88) index = 88;
+    return int16_t(pred);
+}
+
+// Decode one ADPCM block (possibly truncated) into interleaved float32.
+// Returns the number of frames decoded.
+uint32_t adpcm_decode_block(Decoder* d, const uint8_t* blk, size_t blk_size,
+                            std::vector<float>& out) {
+    const uint32_t ch = uint32_t(d->channels);
+    const uint32_t spb = d->samples_per_block;
+    out.assign(size_t(spb) * ch, 0.0f);
+    const float inv = 1.0f / 32768.0f;
+    if (d->adpcm_tag == 0x11) {  // IMA
+        if (blk_size < size_t(4) * ch) return 0;
+        std::vector<int> pred(ch), index(ch);
+        for (uint32_t c = 0; c < ch; c++) {
+            const uint8_t* h = blk + size_t(4) * c;
+            pred[c] = int(int16_t(rd_u16le(h)));
+            index[c] = h[2] > 88 ? 88 : h[2];
+            out[c] = float(pred[c]) * inv;  // header predictor = sample 0
+        }
+        uint32_t frames = 1;
+        size_t pos = size_t(4) * ch;
+        // payload: per channel 4-byte words round-robin; 8 samples per word.
+        uint32_t written = 1;
+        while (written < spb && pos + size_t(4) * ch <= blk_size) {
+            for (uint32_t c = 0; c < ch; c++) {
+                const uint8_t* w = blk + pos + size_t(4) * c;
+                for (int b = 0; b < 4; b++) {
+                    uint32_t s0 = written + uint32_t(2 * b);
+                    if (s0 < spb)
+                        out[size_t(s0) * ch + c] =
+                            float(ima_step(pred[c], index[c], w[b] & 0xF)) * inv;
+                    if (s0 + 1 < spb)
+                        out[size_t(s0 + 1) * ch + c] =
+                            float(ima_step(pred[c], index[c], w[b] >> 4)) * inv;
+                }
+            }
+            pos += size_t(4) * ch;
+            uint32_t got = 8;
+            written += got;
+            frames = written < spb ? written : spb;
+        }
+        return frames;
+    }
+    // MS ADPCM
+    if (blk_size < size_t(7) * ch) return 0;
+    std::vector<int> coef1(ch), coef2(ch), delta(ch), s1(ch), s2(ch);
+    for (uint32_t c = 0; c < ch; c++) {
+        int ci = blk[c];
+        if (ci > 6) ci = 6;
+        coef1[c] = kMsCoef1[ci];
+        coef2[c] = kMsCoef2[ci];
+    }
+    const uint8_t* p = blk + ch;
+    for (uint32_t c = 0; c < ch; c++, p += 2) delta[c] = int(int16_t(rd_u16le(p)));
+    for (uint32_t c = 0; c < ch; c++, p += 2) s1[c] = int(int16_t(rd_u16le(p)));
+    for (uint32_t c = 0; c < ch; c++, p += 2) s2[c] = int(int16_t(rd_u16le(p)));
+    // The two header samples are the block's first two frames (s2 older).
+    for (uint32_t c = 0; c < ch; c++) {
+        out[c] = float(s2[c]) * inv;
+        if (spb > 1) out[size_t(ch) + c] = float(s1[c]) * inv;
+    }
+    uint32_t frames = spb < 2 ? spb : 2;
+    size_t nibbles_avail = (blk_size - size_t(7) * ch) * 2;
+    size_t nib_i = 0;
+    const uint8_t* data = blk + size_t(7) * ch;
+    for (uint32_t s = 2; s < spb; s++) {
+        for (uint32_t c = 0; c < ch; c++, nib_i++) {
+            if (nib_i >= nibbles_avail) return frames;
+            uint8_t byte = data[nib_i >> 1];
+            int nib = (nib_i & 1) ? (byte & 0xF) : (byte >> 4);
+            int signed_nib = nib >= 8 ? nib - 16 : nib;
+            int pred = (s1[c] * coef1[c] + s2[c] * coef2[c]) >> 8;
+            pred += signed_nib * delta[c];
+            if (pred > 32767) pred = 32767;
+            if (pred < -32768) pred = -32768;
+            out[size_t(s) * ch + c] = float(pred) * inv;
+            s2[c] = s1[c];
+            s1[c] = pred;
+            delta[c] = (kMsAdapt[nib] * delta[c]) >> 8;
+            if (delta[c] < 16) delta[c] = 16;
+        }
+        frames = s + 1;
+    }
+    return frames;
+}
+
+// Ensure the block containing `frame` is decoded into d->carry.
+bool adpcm_load_block(Decoder* d, int64_t block_idx) {
+    if (d->adpcm_block == block_idx) return true;
+    if (!dseek(d, d->data_start + block_idx * int64_t(d->block_align)))
+        return false;
+    std::vector<uint8_t> blk(d->block_align);
+    size_t got = 0;
+    {
+        // tolerate a truncated final block
+        uint8_t* p = blk.data();
+        if (d->file) got = fread(p, 1, blk.size(), d->file);
+        else {
+            size_t avail = d->mem_size - d->mem_pos;
+            got = blk.size() < avail ? blk.size() : avail;
+            memcpy(p, d->mem + d->mem_pos, got);
+            d->mem_pos += got;
+        }
+    }
+    if (got == 0) return false;
+    adpcm_decode_block(d, blk.data(), got, d->carry);
+    d->adpcm_block = block_idx;
+    return true;
+}
+
+int64_t read_adpcm(Decoder* d, float* out, int64_t frames) {
+    int64_t avail = d->total_frames - d->frame_pos;
+    if (frames > avail) frames = avail;
+    if (frames <= 0) return 0;
+    const uint32_t ch = uint32_t(d->channels);
+    const int64_t spb = int64_t(d->samples_per_block);
+    int64_t done = 0;
+    while (done < frames) {
+        int64_t block_idx = d->frame_pos / spb;
+        int64_t in_block = d->frame_pos % spb;
+        if (!adpcm_load_block(d, block_idx)) break;
+        int64_t take = spb - in_block;
+        if (take > frames - done) take = frames - done;
+        memcpy(out + size_t(done) * ch,
+               d->carry.data() + size_t(in_block) * ch,
+               size_t(take) * ch * sizeof(float));
+        done += take;
+        d->frame_pos += take;
+    }
+    return done;
 }
 
 // ---- shared raw-stream helpers for the dlopen'd backends --------------------
@@ -893,6 +1110,301 @@ VorbisEncApi& vorbisenc_api() {
 #undef VSYM
     a.ok = true;
     return a;
+}
+
+// ---- Ogg Opus via libogg + libopus (dlopen) ---------------------------------
+//
+// libsndfile decodes Ogg Opus (GraphAudio.IO/Libsndfile.cs format table);
+// this image ships libopus + libogg but NOT libopusfile, so the Ogg layer
+// (page sync, packet reassembly, RFC 7845 OpusHead/OpusTags) runs through
+// dlopen'd libogg and packets decode through dlopen'd libopus. Output is
+// always 48 kHz float (Opus's native rate); preskip and end trimming follow
+// the granulepos rules. Encoder: 20 ms frames, mapping family 0.
+
+struct OpusApi {
+    void* ogg = nullptr;
+    void* opus = nullptr;
+    // libogg
+    int (*sync_init)(void*) = nullptr;
+    char* (*sync_buffer)(void*, long) = nullptr;
+    int (*sync_wrote)(void*, long) = nullptr;
+    int (*sync_pageout)(void*, OggPage*) = nullptr;
+    int (*sync_clear)(void*) = nullptr;
+    int (*stream_init)(void*, int) = nullptr;
+    int (*stream_pagein)(void*, OggPage*) = nullptr;
+    int (*stream_packetout)(void*, OggPacket*) = nullptr;
+    int (*stream_packetin)(void*, OggPacket*) = nullptr;
+    int (*stream_pageout)(void*, OggPage*) = nullptr;
+    int (*stream_flush)(void*, OggPage*) = nullptr;
+    int (*stream_clear)(void*) = nullptr;
+    int (*page_serialno)(OggPage*) = nullptr;
+    int64_t (*page_granulepos)(OggPage*) = nullptr;
+    int (*page_bos)(OggPage*) = nullptr;
+    // libopus
+    void* (*decoder_create)(int32_t, int, int*) = nullptr;
+    int (*decode_float)(void*, const unsigned char*, int32_t, float*, int, int) = nullptr;
+    void (*decoder_destroy)(void*) = nullptr;
+    void* (*encoder_create)(int32_t, int, int, int*) = nullptr;
+    int32_t (*encode_float)(void*, const float*, int, unsigned char*, int32_t) = nullptr;
+    int (*encoder_ctl)(void*, int, ...) = nullptr;
+    void (*encoder_destroy)(void*) = nullptr;
+    bool ok = false;
+};
+
+OpusApi& opus_api() {
+    static OpusApi a;
+    static bool tried = false;
+    if (tried) return a;
+    tried = true;
+    a.ogg = dlopen("libogg.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (!a.ogg) a.ogg = dlopen("libogg.so", RTLD_NOW | RTLD_GLOBAL);
+    a.opus = dlopen("libopus.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (!a.opus) a.opus = dlopen("libopus.so", RTLD_NOW | RTLD_GLOBAL);
+    if (!a.ogg || !a.opus) return a;
+#define OSYM(field, lib, name) \
+    a.field = reinterpret_cast<decltype(a.field)>(dlsym(a.lib, name)); \
+    if (!a.field) return a;
+    OSYM(sync_init, ogg, "ogg_sync_init")
+    OSYM(sync_buffer, ogg, "ogg_sync_buffer")
+    OSYM(sync_wrote, ogg, "ogg_sync_wrote")
+    OSYM(sync_pageout, ogg, "ogg_sync_pageout")
+    OSYM(sync_clear, ogg, "ogg_sync_clear")
+    OSYM(stream_init, ogg, "ogg_stream_init")
+    OSYM(stream_pagein, ogg, "ogg_stream_pagein")
+    OSYM(stream_packetout, ogg, "ogg_stream_packetout")
+    OSYM(stream_packetin, ogg, "ogg_stream_packetin")
+    OSYM(stream_pageout, ogg, "ogg_stream_pageout")
+    OSYM(stream_flush, ogg, "ogg_stream_flush")
+    OSYM(stream_clear, ogg, "ogg_stream_clear")
+    OSYM(page_serialno, ogg, "ogg_page_serialno")
+    OSYM(page_granulepos, ogg, "ogg_page_granulepos")
+    OSYM(page_bos, ogg, "ogg_page_bos")
+    OSYM(decoder_create, opus, "opus_decoder_create")
+    OSYM(decode_float, opus, "opus_decode_float")
+    OSYM(decoder_destroy, opus, "opus_decoder_destroy")
+    OSYM(encoder_create, opus, "opus_encoder_create")
+    OSYM(encode_float, opus, "opus_encode_float")
+    OSYM(encoder_ctl, opus, "opus_encoder_ctl")
+    OSYM(encoder_destroy, opus, "opus_encoder_destroy")
+#undef OSYM
+    a.ok = true;
+    return a;
+}
+
+constexpr size_t kOggStateSize = 4096;  // >= sizeof(ogg_sync/stream_state)
+constexpr int kOpusMaxFrame = 5760;     // 120 ms @ 48 kHz
+
+struct OpusStream {
+    uint8_t sync[kOggStateSize];
+    uint8_t stream[kOggStateSize];
+    bool sync_inited = false;
+    bool stream_inited = false;
+    void* dec = nullptr;
+    int serial = 0;
+    int preskip = 0;          // 48 kHz samples to drop at stream start
+    float gain = 1.0f;        // OpusHead output gain (Q7.8 dB)
+    int64_t skip_left = 0;    // remaining samples to drop (preskip / seek)
+    int packets_seen = 0;     // OpusHead + OpusTags are packets 0 and 1
+    bool at_end = false;
+
+    ~OpusStream() {
+        OpusApi& a = opus_api();
+        if (dec) a.decoder_destroy(dec);
+        if (stream_inited) a.stream_clear(stream);
+        if (sync_inited) a.sync_clear(sync);
+    }
+};
+
+// Feed raw bytes until the next page is available. Returns false at EOF.
+bool opus_next_page(Decoder* d, OpusStream* os, OggPage* pg) {
+    OpusApi& a = opus_api();
+    while (a.sync_pageout(os->sync, pg) != 1) {
+        char* buf = a.sync_buffer(os->sync, 65536);
+        if (!buf) return false;
+        size_t got = dread_some(d, buf, 65536);
+        if (got == 0) return false;
+        a.sync_wrote(os->sync, long(got));
+    }
+    return true;
+}
+
+// Parse OpusHead (RFC 7845 section 5.1) from the first BOS page whose
+// payload starts "OpusHead". Returns false if none is found.
+bool opus_read_head(Decoder* d, OpusStream* os) {
+    OpusApi& a = opus_api();
+    OggPage pg;
+    while (opus_next_page(d, os, &pg)) {
+        if (!a.page_bos(&pg) || pg.body_len < 19 ||
+            memcmp(pg.body, "OpusHead", 8) != 0)
+            continue;
+        os->serial = a.page_serialno(&pg);
+        a.stream_init(os->stream, os->serial);
+        os->stream_inited = true;
+        a.stream_pagein(os->stream, &pg);
+        OggPacket pkt;
+        if (a.stream_packetout(os->stream, &pkt) != 1 || pkt.bytes < 19)
+            return false;
+        const uint8_t* b = pkt.packet;
+        int version = b[8];
+        if ((version >> 4) != 0) return false;
+        d->channels = b[9];
+        os->preskip = int(rd_u16le(b + 10));
+        int16_t gain_q8 = int16_t(rd_u16le(b + 16));
+        os->gain = powf(10.0f, float(gain_q8) / (20.0f * 256.0f));
+        int mapping = b[18];
+        if (mapping != 0 || d->channels < 1 || d->channels > 2)
+            return false;  // mapping family 0 only (mono/stereo)
+        os->packets_seen = 1;
+        return true;
+    }
+    return false;
+}
+
+bool open_opus(Decoder* d) {
+    OpusApi& a = opus_api();
+    if (!a.ok) return false;
+    OpusStream* os = new OpusStream();
+    a.sync_init(os->sync);
+    os->sync_inited = true;
+    dseek(d, 0);
+    if (!opus_read_head(d, os)) { delete os; return false; }
+
+    // Duration: last granulepos of our serial, scanned from the raw bytes
+    // (granulepos counts 48 kHz samples INCLUDING preskip, RFC 7845 §4).
+    int64_t last_gp = -1;
+    {
+        int64_t pos = dtell(d);
+        dseek(d, 0);
+        std::vector<uint8_t> buf(1 << 16);
+        size_t have = 0;
+        int64_t base = 0;
+        for (;;) {
+            size_t got = dread_some(d, buf.data() + have, buf.size() - have);
+            if (got == 0) break;
+            have += got;
+            size_t scan_end = have >= 27 ? have - 27 : 0;
+            for (size_t i = 0; i + 27 <= have; i++) {
+                if (memcmp(buf.data() + i, "OggS", 4) != 0 || buf[i + 4] != 0)
+                    continue;
+                int serial = int(rd_u32le(buf.data() + i + 14));
+                if (serial != os->serial) continue;
+                uint64_t gp_lo = rd_u32le(buf.data() + i + 6);
+                uint64_t gp_hi = rd_u32le(buf.data() + i + 10);
+                int64_t gp = int64_t(gp_lo | (gp_hi << 32));
+                if (gp >= 0) last_gp = gp;
+            }
+            (void)base;
+            // keep a 26-byte tail so headers spanning chunks are seen
+            if (have > 26) {
+                memmove(buf.data(), buf.data() + have - 26, 26);
+                have = 26;
+            }
+            (void)scan_end;
+        }
+        dseek(d, pos);
+    }
+    int64_t total = last_gp >= 0 ? last_gp - os->preskip : 0;
+    if (total < 0) total = 0;
+
+    int err = 0;
+    os->dec = a.decoder_create(48000, d->channels, &err);
+    if (!os->dec || err != 0) { delete os; return false; }
+    os->skip_left = os->preskip;
+    d->backend = 5;
+    d->opus = os;
+    d->sample_rate = 48000;
+    d->bits = 32;
+    d->format = 3;
+    d->total_frames = total;
+    d->frame_pos = 0;
+    return true;
+}
+
+int64_t read_opus(Decoder* d, float* out, int64_t frames) {
+    OpusApi& a = opus_api();
+    OpusStream* os = (OpusStream*)d->opus;
+    const int ch = d->channels;
+    int64_t avail = d->total_frames - d->frame_pos;
+    if (frames > avail) frames = avail;
+    if (frames <= 0) return 0;
+    int64_t done = 0;
+    std::vector<float> pcm(size_t(kOpusMaxFrame) * ch);
+    while (done < frames) {
+        // serve carried samples first
+        size_t have = d->carry.size() / size_t(ch) - d->carry_pos;
+        if (have > 0) {
+            size_t take = size_t(frames - done) < have
+                              ? size_t(frames - done) : have;
+            memcpy(out + size_t(done) * ch,
+                   d->carry.data() + d->carry_pos * size_t(ch),
+                   take * size_t(ch) * sizeof(float));
+            d->carry_pos += take;
+            done += int64_t(take);
+            continue;
+        }
+        d->carry.clear();
+        d->carry_pos = 0;
+        if (os->at_end) break;
+        OggPacket pkt;
+        int r = a.stream_packetout(os->stream, &pkt);
+        if (r == 0) {
+            OggPage pg;
+            if (!opus_next_page(d, os, &pg)) { os->at_end = true; continue; }
+            if (a.page_serialno(&pg) == os->serial)
+                a.stream_pagein(os->stream, &pg);
+            continue;
+        }
+        if (r < 0) continue;  // hole in data; resync
+        os->packets_seen++;
+        if (os->packets_seen <= 2) continue;  // OpusTags
+        int n = a.decode_float(os->dec, pkt.packet, int32_t(pkt.bytes),
+                               pcm.data(), kOpusMaxFrame, 0);
+        if (n <= 0) continue;
+        int64_t start = 0;
+        if (os->skip_left > 0) {
+            start = os->skip_left < n ? os->skip_left : n;
+            os->skip_left -= start;
+        }
+        if (start >= n) continue;
+        size_t count = size_t(n - start) * size_t(ch);
+        const float* src = pcm.data() + size_t(start) * ch;
+        d->carry.resize(count);
+        if (os->gain != 1.0f) {
+            for (size_t i = 0; i < count; i++)
+                d->carry[i] = src[i] * os->gain;
+        } else {
+            memcpy(d->carry.data(), src, count * sizeof(float));
+        }
+    }
+    d->frame_pos += done;
+    return done;
+}
+
+int opus_seek(Decoder* d, int64_t frame) {
+    // Sample-exact by decode-from-start (packet boundaries are not
+    // addressable without an index; streaming seeks are rare and short).
+    OpusStream* os = (OpusStream*)d->opus;
+    OpusApi& a = opus_api();
+    int serial = os->serial;
+    int preskip = os->preskip;
+    float gain = os->gain;
+    if (os->dec) { a.decoder_destroy(os->dec); os->dec = nullptr; }
+    if (os->stream_inited) { a.stream_clear(os->stream); os->stream_inited = false; }
+    if (os->sync_inited) { a.sync_clear(os->sync); os->sync_inited = false; }
+    a.sync_init(os->sync);
+    os->sync_inited = true;
+    dseek(d, 0);
+    if (!opus_read_head(d, os)) return -1;
+    (void)serial; (void)preskip; (void)gain;
+    int err = 0;
+    os->dec = a.decoder_create(48000, d->channels, &err);
+    if (!os->dec || err != 0) return -1;
+    os->at_end = false;
+    os->skip_left = int64_t(os->preskip) + frame;
+    d->carry.clear();
+    d->carry_pos = 0;
+    d->frame_pos = frame;
+    return 0;
 }
 
 // ---- FLAC (native, from the format spec — no libFLAC dependency) ------------
@@ -1378,7 +1890,21 @@ bool open_any(Decoder* d) {
         dseek(d, d->data_start);
         return true;
     }
-    if (memcmp(magic, "OggS", 4) == 0) return open_vorbis(d);
+    if (memcmp(magic, "OggS", 4) == 0) {
+        // Opus vs Vorbis: the first page's payload starts at byte 28 for a
+        // single-segment BOS page; "OpusHead" vs "\x01vorbis" identifies
+        // the codec (both begin their ID header there).
+        uint8_t probe[64] = {0};
+        dseek(d, 0);
+        size_t got = dread_some(d, probe, sizeof(probe));
+        bool is_opus = false;
+        for (size_t i = 28; got >= 8 && i + 8 <= got && i < 40; i++) {
+            if (memcmp(probe + i, "OpusHead", 8) == 0) { is_opus = true; break; }
+        }
+        dseek(d, 0);
+        if (is_opus) return open_opus(d);
+        return open_vorbis(d);
+    }
     if (memcmp(magic, "fLaC", 4) == 0) return open_flac(d);
     if (memcmp(magic, ".snd", 4) == 0) {
         if (!parse_au(d)) return false;
@@ -1438,6 +1964,124 @@ int gac_has_mp3_encode() { return lame_api().ok ? 1 : 0; }
 int gac_has_vorbis_encode() { return vorbisenc_api().ok ? 1 : 0; }
 int gac_has_flac() { return 1; }         // native decoder, no system library
 int gac_has_flac_encode() { return 1; }  // native encoder
+int gac_has_adpcm() { return 1; }        // native IMA/MS ADPCM decoder
+int gac_has_opus() { return opus_api().ok ? 1 : 0; }
+int gac_has_opus_encode() { return opus_api().ok ? 1 : 0; }
+
+// Encode interleaved float32 frames as an Ogg Opus file (RFC 7845, mapping
+// family 0, 20 ms frames). sample_rate must be one of Opus's native rates
+// (8/12/16/24/48 kHz); output always decodes at 48 kHz. Returns 0 on
+// success, -1 on error/unavailable codec.
+int gac_write_opus(const char* path, const float* data, int64_t frames,
+                   int channels, int sample_rate, int bitrate_bps) {
+    OpusApi& a = opus_api();
+    if (!a.ok || channels < 1 || channels > 2 || frames < 0) return -1;
+    if (sample_rate != 8000 && sample_rate != 12000 && sample_rate != 16000 &&
+        sample_rate != 24000 && sample_rate != 48000)
+        return -1;
+    if (bitrate_bps <= 0) bitrate_bps = 96000;
+    int err = 0;
+    void* enc = a.encoder_create(sample_rate, channels, 2049 /*AUDIO*/, &err);
+    if (!enc || err != 0) return -1;
+    a.encoder_ctl(enc, 4002 /*OPUS_SET_BITRATE*/, bitrate_bps);
+    int lookahead = 0;
+    a.encoder_ctl(enc, 4027 /*OPUS_GET_LOOKAHEAD*/, &lookahead);
+    const int up = 48000 / sample_rate;
+    const uint16_t preskip48 = uint16_t(lookahead * up);
+
+    FILE* f = fopen(path, "wb");
+    if (!f) { a.encoder_destroy(enc); return -1; }
+    std::vector<uint8_t> osbuf(kOggStateSize);
+    a.stream_init(osbuf.data(), 0x6F707573);
+    int rc = 0;
+    OggPage pg;
+    auto write_pages = [&](bool flush) {
+        for (;;) {
+            int r = flush ? a.stream_flush(osbuf.data(), &pg)
+                          : a.stream_pageout(osbuf.data(), &pg);
+            if (r == 0) break;
+            if (fwrite(pg.header, 1, size_t(pg.header_len), f) !=
+                    size_t(pg.header_len) ||
+                fwrite(pg.body, 1, size_t(pg.body_len), f) !=
+                    size_t(pg.body_len)) {
+                rc = -1;
+                break;
+            }
+        }
+    };
+
+    // OpusHead (own page) + OpusTags (own page).
+    uint8_t head[19];
+    memcpy(head, "OpusHead", 8);
+    head[8] = 1;
+    head[9] = uint8_t(channels);
+    head[10] = uint8_t(preskip48 & 0xFF);
+    head[11] = uint8_t(preskip48 >> 8);
+    uint32_t insr = uint32_t(sample_rate);
+    memcpy(head + 12, &insr, 4);
+    head[16] = head[17] = 0;  // output gain 0 dB
+    head[18] = 0;             // mapping family 0
+    OggPacket pkt{};
+    pkt.packet = head;
+    pkt.bytes = 19;
+    pkt.b_o_s = 1;
+    pkt.packetno = 0;
+    a.stream_packetin(osbuf.data(), &pkt);
+    write_pages(true);
+    static const char vendor[] = "gacodec";
+    uint8_t tags[8 + 4 + sizeof(vendor) - 1 + 4];
+    memcpy(tags, "OpusTags", 8);
+    uint32_t vlen = uint32_t(sizeof(vendor) - 1);
+    memcpy(tags + 8, &vlen, 4);
+    memcpy(tags + 12, vendor, vlen);
+    memset(tags + 12 + vlen, 0, 4);  // zero user comments
+    pkt = OggPacket{};
+    pkt.packet = tags;
+    pkt.bytes = long(sizeof(tags));
+    pkt.packetno = 1;
+    a.stream_packetin(osbuf.data(), &pkt);
+    write_pages(true);
+
+    const int fsz = sample_rate / 50;  // 20 ms
+    const int64_t total48 = frames * up;
+    // Encode past the input by the lookahead so the decoder still has
+    // `frames` samples left after trimming preskip from the front.
+    const int64_t enc_end = frames + lookahead;
+    std::vector<float> frame_buf(size_t(fsz) * channels);
+    std::vector<uint8_t> out(8192);
+    int64_t pos = 0;
+    int64_t gp = preskip48;
+    int64_t packetno = 2;
+    while (pos < enc_end && rc == 0) {
+        int64_t n = frames - pos < fsz ? frames - pos : fsz;
+        if (n < 0) n = 0;
+        if (n > 0)
+            memcpy(frame_buf.data(), data + size_t(pos) * channels,
+                   size_t(n) * channels * sizeof(float));
+        if (n < fsz)
+            memset(frame_buf.data() + size_t(n) * channels, 0,
+                   size_t(fsz - n) * channels * sizeof(float));
+        int32_t bytes = a.encode_float(enc, frame_buf.data(), fsz, out.data(),
+                                       int32_t(out.size()));
+        if (bytes < 0) { rc = -1; break; }
+        pos += fsz;
+        bool last = pos >= enc_end;
+        gp += int64_t(fsz) * up;
+        pkt = OggPacket{};
+        pkt.packet = out.data();
+        pkt.bytes = long(bytes);
+        pkt.e_o_s = last ? 1 : 0;
+        // final granulepos signals end trimming (RFC 7845 section 4.5)
+        pkt.granulepos = last ? int64_t(preskip48) + total48 : gp;
+        pkt.packetno = packetno++;
+        a.stream_packetin(osbuf.data(), &pkt);
+        write_pages(last);
+    }
+    a.stream_clear(osbuf.data());
+    a.encoder_destroy(enc);
+    fclose(f);
+    return rc;
+}
 
 // Encode interleaved float32 frames as a FLAC file (fixed predictors 0-2 +
 // Rice residuals, fixed 4096-sample blocks). bits: 16 or 24. Returns 0 on
@@ -1571,6 +2215,8 @@ int64_t gac_read_f32(void* h, float* out, int64_t frames) {
         if (d->total_frames > 0 && frames > avail) frames = avail;
         return frames > 0 ? read_flac(d, out, frames) : 0;
     }
+    if (d->backend == 4) return read_adpcm(d, out, frames);
+    if (d->backend == 5) return read_opus(d, out, frames);
     int64_t avail = d->total_frames - d->frame_pos;
     if (frames > avail) frames = avail;
     if (frames <= 0) return 0;
@@ -1608,6 +2254,11 @@ int gac_seek(void* h, int64_t frame) {
         return 0;
     }
     if (d->backend == 3) return flac_seek(d, frame);
+    if (d->backend == 4) {  // block-exact: decode resumes mid-block
+        d->frame_pos = frame;
+        return 0;
+    }
+    if (d->backend == 5) return opus_seek(d, frame);
     if (!dseek(d, d->data_start + frame * int64_t(d->bytes_per_frame()))) return -1;
     d->frame_pos = frame;
     return 0;
@@ -1626,6 +2277,7 @@ void gac_close(void* h) {
         free(d->vf);
     }
     if (d->backend == 3 && d->flac) delete (FlacStream*)d->flac;
+    if (d->backend == 5 && d->opus) delete (OpusStream*)d->opus;
     if (d->file) fclose(d->file);
     delete d;
 }

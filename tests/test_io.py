@@ -658,3 +658,327 @@ def test_tiny_buffer_extreme_downsample_renders():
     src.start(0)
     out = np.asarray(ctx.render(1024))
     assert np.isfinite(out).all()
+
+
+# ---- ADPCM (IMA + MS) --------------------------------------------------------
+#
+# The tests carry their own spec-literal Python encoders AND decoders: the
+# native decoder must match the Python decoder bit-exactly (both implement
+# the published tables), and both must track the original signal to within
+# ADPCM quantization error.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+_MS_C1, _MS_C2 = 256, 0  # coefficient set 0
+
+
+def _ima_step(pred, idx, nib):
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _ima_encode_nibble(s, pred, idx):
+    step = _IMA_STEPS[idx]
+    diff = s - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    return nib
+
+
+def _wav_adpcm(tag, channels, sr, block_align, spb, n_frames, data_bytes):
+    import struct
+    fmt = struct.pack("<HHIIHHH", tag, channels, sr,
+                      sr * block_align // spb, block_align, 4, spb)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<II", 4, n_frames)
+              + b"data" + struct.pack("<I", len(data_bytes)) + data_bytes)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ima_encode(pcm):  # pcm: int16[ch, n] -> (blocks bytes, spb, block_align)
+    ch, n = pcm.shape
+    words_per_ch = 8  # payload: 8 x 4-byte words per channel
+    spb = words_per_ch * 8 + 1
+    block_align = 4 * ch + 4 * words_per_ch * ch
+    out = bytearray()
+    pred = [0] * ch
+    idx = [0] * ch
+    pos = 0
+    while pos < n:
+        for c in range(ch):
+            pred[c] = int(pcm[c, pos]) if pos < n else 0
+            out += int(pred[c]).to_bytes(2, "little", signed=True)
+            out += bytes([idx[c], 0])
+        s = pos + 1
+        for w in range(words_per_ch):
+            for c in range(ch):
+                word = 0
+                for k in range(8):
+                    j = s + w * 8 + k
+                    target = int(pcm[c, j]) if j < n else 0
+                    nib = _ima_encode_nibble(target, pred[c], idx[c])
+                    pred[c], idx[c] = _ima_step(pred[c], idx[c], nib)
+                    word |= nib << (4 * k)
+                out += word.to_bytes(4, "little")
+        pos += spb
+    return bytes(out), spb, block_align
+
+
+def _ima_decode_py(blocks, ch, spb, block_align, n_frames):
+    out = np.zeros((ch, n_frames), np.float64)
+    nb = len(blocks) // block_align
+    f = 0
+    for b in range(nb):
+        blk = blocks[b * block_align:(b + 1) * block_align]
+        pred = [0] * ch
+        idx = [0] * ch
+        for c in range(ch):
+            h = blk[4 * c:4 * c + 4]
+            pred[c] = int.from_bytes(h[:2], "little", signed=True)
+            idx[c] = min(h[2], 88)
+            if f < n_frames:
+                out[c, f] = pred[c] / 32768.0
+        s = 1
+        pos = 4 * ch
+        while s < spb and pos + 4 * ch <= block_align:
+            for c in range(ch):
+                word = blk[pos + 4 * c: pos + 4 * c + 4]
+                for k in range(8):
+                    nib = (word[k // 2] >> (4 * (k % 2))) & 0xF
+                    pred[c], idx[c] = _ima_step(pred[c], idx[c], nib)
+                    if f + s + k < n_frames and s + k < spb:
+                        out[c, f + s + k] = pred[c] / 32768.0
+            pos += 4 * ch
+            s += 8
+        f += spb
+    return out[:, :n_frames]
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_ima_adpcm_decode(tmp_path, rng, channels):
+    from graphaudio_tpu.io import codec_capabilities
+    if not codec_capabilities().get("adpcm"):
+        pytest.skip("native codec unavailable")
+    n = 700
+    t = np.arange(n) / SR
+    sig = np.stack([
+        np.sin(2 * np.pi * (220.0 * (c + 1)) * t) * 0.5 for c in range(channels)
+    ])
+    pcm = np.clip(np.rint(sig * 32767), -32768, 32767).astype(np.int16)
+    blocks, spb, ba = _ima_encode(pcm)
+    wav = _wav_adpcm(0x11, channels, SR, ba, spb, n, blocks)
+    path = tmp_path / "ima.wav"
+    path.write_bytes(wav)
+    with AudioDecoder(str(path)) as dec:
+        assert dec.channels == channels
+        assert dec.sample_rate == SR
+        got = dec.decode_planar(n + 64)
+    assert got.shape == (channels, n)  # fact chunk trims the padded block
+    want = _ima_decode_py(blocks, channels, spb, ba, n)
+    np.testing.assert_array_equal(got.astype(np.float64), want.astype(np.float32))
+    # tracks the original signal to ADPCM quantization accuracy once the
+    # step size has adapted (the cold-start attack is part of the format)
+    assert np.max(np.abs(got[:, 100:] - sig[:, 100:n])) < 0.03
+
+
+def test_ms_adpcm_decode(tmp_path, rng):
+    from graphaudio_tpu.io import codec_capabilities
+    if not codec_capabilities().get("adpcm"):
+        pytest.skip("native codec unavailable")
+    ch, n = 2, 600
+    t = np.arange(n) / SR
+    sig = np.stack([np.sin(2 * np.pi * 330 * t) * 0.4,
+                    np.sin(2 * np.pi * 550 * t) * 0.4])
+    pcm = np.clip(np.rint(sig * 32767), -32768, 32767).astype(np.int16)
+
+    spb = 128
+    ba = 7 * ch + (spb - 2) * ch // 2
+    out = bytearray()
+    pos = 0
+    state = None
+    py = np.zeros((ch, n))
+    f = 0
+    while pos < n:
+        def S(c, j):
+            return int(pcm[c, pos + j]) if pos + j < n else 0
+        delta = [64] * ch
+        s1 = [S(c, 1) for c in range(ch)]
+        s2 = [S(c, 0) for c in range(ch)]
+        out += bytes([0] * ch)  # coefficient set 0 per channel
+        for c in range(ch):
+            out += int(delta[c]).to_bytes(2, "little", signed=True)
+        for c in range(ch):
+            out += int(s1[c]).to_bytes(2, "little", signed=True)
+        for c in range(ch):
+            out += int(s2[c]).to_bytes(2, "little", signed=True)
+        for c in range(ch):
+            if f < n:
+                py[c, f] = s2[c] / 32768.0
+            if f + 1 < n:
+                py[c, f + 1] = s1[c] / 32768.0
+        nibs = []
+        for j in range(2, spb):
+            for c in range(ch):
+                predictor = (s1[c] * _MS_C1 + s2[c] * _MS_C2) >> 8
+                target = S(c, j)
+                err = target - predictor
+                nib = max(-8, min(7, int(round(err / delta[c]))))
+                nibs.append(nib & 0xF)
+                newv = max(-32768, min(32767, predictor + nib * delta[c]))
+                if pos + j < n:
+                    py[c, pos + j] = newv / 32768.0
+                s2[c] = s1[c]
+                s1[c] = newv
+                delta[c] = max(16, (_MS_ADAPT[nib & 0xF] * delta[c]) >> 8)
+        for i in range(0, len(nibs), 2):
+            out += bytes([(nibs[i] << 4) | nibs[i + 1]])
+        pos += spb
+        f += spb
+    del state
+    wav = _wav_adpcm(0x02, ch, SR, ba, spb, n, bytes(out))
+    path = tmp_path / "ms.wav"
+    path.write_bytes(wav)
+    with AudioDecoder(str(path)) as dec:
+        got = dec.decode_planar(n + 200)
+    assert got.shape == (ch, n)
+    np.testing.assert_array_equal(got.astype(np.float64), py.astype(np.float32))
+    assert np.max(np.abs(got - sig[:, :n])) < 0.05
+
+
+def test_adpcm_seek_block_exact(tmp_path, rng):
+    from graphaudio_tpu.io import codec_capabilities
+    if not codec_capabilities().get("adpcm"):
+        pytest.skip("native codec unavailable")
+    n = 1300
+    sig = (rng.standard_normal(n) * 0.3).astype(np.float64)
+    pcm = np.clip(np.rint(sig * 32767), -32768, 32767).astype(np.int16)[None]
+    blocks, spb, ba = _ima_encode(pcm)
+    wav = _wav_adpcm(0x11, 1, SR, ba, spb, n, blocks)
+    path = tmp_path / "seek.wav"
+    path.write_bytes(wav)
+    with AudioDecoder(str(path)) as dec:
+        whole = dec.decode_planar(n)
+        assert dec.try_seek(500 / SR)
+        rest = dec.decode_planar(n)
+    np.testing.assert_array_equal(rest, whole[:, 500:])
+
+
+def test_adpcm_malformed_headers_never_crash(rng):
+    """Hostile block_align / samples-per-block combinations must be
+    rejected or decoded within bounds, never crash."""
+    from graphaudio_tpu.io import native
+    import struct
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    base = _wav_adpcm(0x11, 1, SR, 36, 65, 130, b"\x00" * 72)
+    for _ in range(200):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        payload = bytes(buf)  # must outlive the handle (memory-backed open)
+        h = lib.gac_open_memory(payload, len(payload))
+        if h:
+            out = np.zeros(4096, np.float32)
+            import ctypes as c
+            lib.gac_read_f32(h, out.ctypes.data_as(c.POINTER(c.c_float)), 1024)
+            lib.gac_close(h)
+        del payload
+    # degenerate geometry: block_align smaller than its header
+    bad = _wav_adpcm(0x11, 2, SR, 8, 65, 100, b"\x00" * 64)
+    assert lib.gac_open_memory(bad, len(bad)) is None
+    bad2 = _wav_adpcm(0x02, 1, SR, 6, 4, 100, b"\x00" * 64)
+    assert lib.gac_open_memory(bad2, len(bad2)) is None
+
+
+# ---- Ogg Opus ----------------------------------------------------------------
+
+
+def test_opus_roundtrip(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_opus
+    caps = codec_capabilities()
+    if not (caps.get("opus") and caps.get("opus_encode")):
+        pytest.skip("system opus codec unavailable")
+    n = SR  # 1 s stereo at 48 kHz
+    t = np.arange(n) / SR
+    sig = np.stack([np.sin(2 * np.pi * 440 * t) * 0.5,
+                    np.sin(2 * np.pi * 660 * t) * 0.5]).astype(np.float32)
+    path = tmp_path / "t.opus"
+    write_opus(path, sig, SR)
+    with AudioDecoder(str(path)) as dec:
+        assert dec.channels == 2
+        assert dec.sample_rate == 48000
+        assert dec.frames == n  # preskip + end trim applied
+        got = dec.decode_planar(n)
+    assert got.shape == (2, n)
+    # lossy codec: verify alignment + fidelity by normalized correlation
+    mid = slice(1000, n - 1000)
+    for c in range(2):
+        a, b = sig[c, mid], got[c, mid].astype(np.float64)
+        corr = np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b))
+        assert corr > 0.99, corr
+
+
+def test_opus_24k_input_decodes_at_48k(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_opus
+    caps = codec_capabilities()
+    if not (caps.get("opus") and caps.get("opus_encode")):
+        pytest.skip("system opus codec unavailable")
+    n = 24000 // 2
+    t = np.arange(n) / 24000.0
+    sig = (np.sin(2 * np.pi * 220 * t) * 0.4).astype(np.float32)[None]
+    path = tmp_path / "t24.opus"
+    write_opus(path, sig, 24000)
+    with AudioDecoder(str(path)) as dec:
+        assert dec.sample_rate == 48000
+        assert dec.frames == 2 * n
+        got = dec.decode_planar(2 * n)
+    assert got.shape == (1, 2 * n)
+    spec = np.abs(np.fft.rfft(got[0]))
+    assert abs(spec.argmax() * 48000 / got.shape[1] - 220.0) < 3.0
+
+
+def test_opus_seek_deterministic(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_opus
+    caps = codec_capabilities()
+    if not (caps.get("opus") and caps.get("opus_encode")):
+        pytest.skip("system opus codec unavailable")
+    n = SR // 2
+    rng = np.random.default_rng(7)
+    sig = (rng.standard_normal(n) * 0.2).astype(np.float32)[None]
+    path = tmp_path / "s.opus"
+    write_opus(path, sig, SR)
+    with AudioDecoder(str(path)) as dec:
+        whole = dec.decode_planar(n)
+        assert dec.try_seek(10000 / 48000.0)
+        rest = dec.decode_planar(n)
+    np.testing.assert_array_equal(rest, whole[:, 10000:])
