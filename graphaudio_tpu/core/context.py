@@ -82,10 +82,50 @@ class AudioContextBase:
             "listener_ahead": np.array([0, 0, 1], np.float32),
         }
 
+        # Context-level default HRIR set (parity: SteamAudioContext lazily
+        # creates a default HRTF per context, SteamAudioContext.cs:82-106).
+        # None = the analytic spherical-head+pinna model.
+        self._default_hrir = None
+        self._default_hrir_uid = 0
+
         # Destination created last so subclass attributes exist first.
         from graphaudio_tpu.nodes.destination import AudioDestinationNode
 
         self.destination = AudioDestinationNode(self)
+
+    def set_default_hrir(self, source, n_azimuth=None, n_elevation=None,
+                         length=None) -> None:
+        """Install a measured HRIR set as this context's DEFAULT for every
+        SpatialPannerNode that has no per-node override (parity: the
+        reference gets phonon's built-in measured HRTF per context,
+        SteamAudioContext.cs:82-106 — no public-domain measured set can be
+        bundled in this build environment, so the default ships as the
+        analytic model and upgrades to measured data with one call).
+
+        ``source``: SOFA path, .npz path, or dict with ``hrir`` /
+        ``azimuth_deg`` / ``elevation_deg`` / ``sample_rate`` (see
+        ops/hrtf.load_hrir_grid). Pass None to revert to the analytic model.
+        """
+        if source is None:
+            grid = None
+        else:
+            from graphaudio_tpu.ops.hrtf import (
+                N_AZIMUTH, N_ELEVATION, load_hrir_grid,
+            )
+
+            grid = load_hrir_grid(
+                source, self.sample_rate,
+                n_azimuth=n_azimuth or N_AZIMUTH,
+                n_elevation=n_elevation or N_ELEVATION,
+                length=length,
+            )
+
+        def do(ctx):
+            ctx._default_hrir = grid
+            ctx._default_hrir_uid += 1
+            ctx._invalidate_topology()  # grid is baked into panner kernels
+
+        self.execute_or_post(do)
 
     def set_listener(self, position, forward, up) -> None:
         """Set the listener transform (parity: SteamAudioContext.SetListener).

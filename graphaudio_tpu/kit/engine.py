@@ -59,6 +59,12 @@ class AudioEngine:
         self._listener_up = np.asarray(up, np.float32)
         self.context.set_listener(position, forward, up)
 
+    def set_default_hrir(self, source, **kwargs) -> None:
+        """Install a measured HRIR set as the engine context's default for
+        all spatialized sounds (see AudioContextBase.set_default_hrir)."""
+        self._check()
+        self.context.set_default_hrir(source, **kwargs)
+
     # -- buses (parity: :81-130) -----------------------------------------------------
 
     def get_bus(self, path: str) -> AudioBus:

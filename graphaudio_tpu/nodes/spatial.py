@@ -149,10 +149,15 @@ class SpatialPannerNode(AudioNode):
     def group_key(self, input_channels):
         if self._params_modulated():
             return None
-        # A custom HRIR bakes node-specific constants into the kernel, so
-        # such panners only group with themselves.
-        hrir_key = (self.node_id, self._custom_hrir_uid) \
-            if self._custom_hrir is not None else None
+        # A per-node HRIR bakes node-specific constants into the kernel, so
+        # such panners only group with themselves; panners sharing the
+        # CONTEXT default (analytic or measured) batch together.
+        if self._custom_hrir is not None:
+            hrir_key = (self.node_id, self._custom_hrir_uid)
+        elif self.context._default_hrir is not None:
+            hrir_key = ("ctx-default", self.context._default_hrir_uid)
+        else:
+            hrir_key = None
         return ("spatial-panner", input_channels[0], self._distance_model,
                 hrir_key)
 
@@ -293,8 +298,12 @@ class SpatialPannerNode(AudioNode):
         mono = jnp.mean(direct, axis=0).reshape(S, FRAMES_PER_BLOCK)
         azimuth = jnp.arctan2(dx, -dz)  # phonon convention: -z is ahead
         elevation = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
-        grid_np = (self._custom_hrir if self._custom_hrir is not None
-                   else _hrir_grid(rc.sample_rate))
+        if self._custom_hrir is not None:
+            grid_np = self._custom_hrir
+        elif self.context._default_hrir is not None:
+            grid_np = self.context._default_hrir
+        else:
+            grid_np = _hrir_grid(rc.sample_rate)
         sr_grid, si_grid = hrir_grid_spectra(grid_np)
         hr = interp_hrir(jnp.asarray(sr_grid), azimuth, elevation)  # [S,2,129]
         hi = interp_hrir(jnp.asarray(si_grid), azimuth, elevation)

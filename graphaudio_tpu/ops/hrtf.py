@@ -111,7 +111,20 @@ def build_hrir_grid(sample_rate: int,
                     tau = a_c * (theta_inc - np.pi / 2)
                 delay = base_delay + tau * sample_rate
                 ir = _sphere_shadow_ir(theta_inc, sample_rate, length)
-                # Gentle elevation rolloff stands in for pinna cues.
+                # Pinna elevation cue (Spagnol/Satarzadeh-style structural
+                # approximation): one negative concha reflection whose delay
+                # shrinks as the source rises, sweeping the first pinna
+                # notch from ~6 kHz (below) to ~11 kHz (above) — the
+                # dominant monaural elevation cue a bare spherical head
+                # lacks. Applied per ear before the ITD delay.
+                notch_hz = 6000.0 + 5000.0 * (el + np.pi / 2) / np.pi
+                tau_pinna = sample_rate / (2.0 * notch_hz)  # samples
+                # positive reflection -> comb nulls at odd multiples of
+                # 1/(2*tau); normalized to unity DC gain
+                rho = 0.4 * np.cos(el)
+                ir = (ir + rho * _fractional_delay(ir, tau_pinna, length)) \
+                    / (1.0 + rho)
+                # Gentle elevation rolloff stands in for torso shadowing.
                 elev_gain = 1.0 - 0.15 * (1.0 - np.cos(el))
                 grid[ei, ai, ear] = (
                     _fractional_delay(ir, delay, length) * elev_gain

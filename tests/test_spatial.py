@@ -248,3 +248,84 @@ def test_spatial_panner_load_hrir_changes_render(rng):
     # analytic model restored (different segment of the loop, so just check
     # the custom-set signature is gone: delayed delta vs spherical shadow)
     assert not np.allclose(custom, back)
+
+
+def test_pinna_elevation_notch_in_analytic_grid():
+    """The analytic default's pinna reflection produces an elevation-
+    dependent spectral notch: the first notch frequency rises with
+    elevation (the dominant monaural elevation cue)."""
+    from graphaudio_tpu.ops.hrtf import build_hrir_grid
+
+    grid = build_hrir_grid(48000)
+    E, A = grid.shape[:2]
+
+    def first_notch_hz(ei):
+        ir = grid[ei, 0, 0].astype(np.float64)  # straight ahead, left ear
+        spec = np.abs(np.fft.rfft(ir, 512))
+        freqs = np.arange(spec.shape[0]) * 48000 / 512
+        band = (freqs > 3500) & (freqs < 14000)
+        return freqs[band][np.argmin(spec[band])]
+
+    low = first_notch_hz(1)       # below the horizon
+    mid = first_notch_hz(E // 2)  # horizontal
+    high = first_notch_hz(E - 2)  # above
+    assert low < mid < high, (low, mid, high)
+
+
+def test_context_default_hrir_applies_to_all_panners(rng):
+    """set_default_hrir upgrades every panner without a per-node override
+    (parity: the reference's per-context default HRTF,
+    SteamAudioContext.cs:82-106), matches the per-node load_hrir render,
+    keeps voices batched in one group, and reverts with None."""
+    sig = (rng.standard_normal(SR // 4) * 0.2).astype(np.float32)
+    measured = _synthetic_measured_set()
+
+    def scene():
+        ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4)
+        pans = []
+        for i in range(2):
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+            pan = SpatialPannerNode(ctx)
+            pan.position_x.value = 2.0 * (1 if i == 0 else -1)
+            src.connect(pan).connect(ctx.destination)
+            src.start(0)
+            pans.append(pan)
+        return ctx, pans
+
+    ctx1, pans1 = scene()
+    ctx1.set_default_hrir(measured)
+    got = np.asarray(ctx1.render(1024))
+    # one batched spatial-panner group (shared context default)
+    groups = [sp for sp in ctx1._compiled.plan
+              if sp["group_key"] and sp["group_key"][0] == "spatial-panner"]
+    assert len(groups) == 1 and groups[0]["n_lanes"] == 2
+
+    ctx2, pans2 = scene()
+    for p in pans2:
+        p.load_hrir(measured)
+    want = np.asarray(ctx2.render(1024))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    ctx3, _ = scene()
+    base = np.asarray(ctx3.render(1024))
+    assert not np.allclose(got, base)  # measured default actually in use
+    ctx1.set_default_hrir(None)
+    reverted = np.asarray(ctx1.render(1024))
+    analytic_cont = np.asarray(ctx3.render(1024))
+    # carried per-voice state (OLA tail, crossover one-poles) from the
+    # measured segment decays within ~2 quanta; compare past it
+    np.testing.assert_allclose(
+        reverted[:, 256:], analytic_cont[:, 256:], atol=1e-6
+    )
+
+
+def test_engine_default_hrir_passthrough():
+    from graphaudio_tpu.kit import AudioEngine
+
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    engine = AudioEngine(ctx)
+    engine.set_default_hrir(_synthetic_measured_set())
+    assert ctx._default_hrir is not None
+    engine.set_default_hrir(None)
+    assert ctx._default_hrir is None
