@@ -153,9 +153,13 @@ def _pair_scan(p1, p2, x, v_init, w_init):
 
     Each step is [v,w] <- [[p1,0],[p1,p2]]@[v,w] + [x,x]; products of
     triangular operators stay triangular, so the scan carries 5 sequences
-    (a,b,d = matrix, e,f = offset) and HALVES the launch-bound scan passes
-    vs two chained scalar scans (the dominant cost of the biquad stage on a
-    link-attached TPU).
+    (a,b,d = matrix, e,f = offset), halving the scan PASSES vs two chained
+    scalar scans at ~1.75x the per-pass work.
+
+    MEASURED DEAD END on the axon TPU (kept for cross-validation): the
+    config-3 step went 1.237 -> 1.373 ms/step — the scans are work-bound,
+    not launch-bound, at T >= 4096, so fewer/fatter passes lose. The
+    production path keeps the two scalar scans.
 
     Conditioning: unlike the companion-matrix form (whose entries grow ~Q^2
     with heavy cancellation), the triangular factorization keeps the
@@ -428,7 +432,8 @@ def biquad_apply(x, coeffs, w1, w2, time_varying: bool = False,
             v = solve1(inp, v_init)  # [C, T]
             w = solve2(v, w_init)
         else:
-            _, w = _pair_scan(p1, p2, inp, v_init, w_init)  # one scan
+            v = _first_order_scan(p1, inp, v_init)  # [C, T]
+            w = _first_order_scan(p2, v, w_init)  # [C, T]
         w_t = jnp.real(w)
         w_tm1 = jnp.concatenate(
             [jnp.broadcast_to(w1[:, None], (C, 1)), w_t[:, :-1]], axis=1

@@ -245,3 +245,28 @@ def test_biquad_apply_tv_methods_agree(rng):
     ym, _, _ = biquad_apply(x, coeffs, w1, w2, time_varying=True,
                             tv_method="matmul")
     assert np.max(np.abs(np.asarray(ys) - np.asarray(ym))) < 1e-5
+
+
+def test_pair_scan_matches_scalar_scans(rng):
+    """The triangular pair scan (recorded dead end; see its docstring)
+    stays numerically pinned to the chained scalar scans."""
+    from graphaudio_tpu.ops.biquad import _first_order_scan, _pair_scan
+    import jax.numpy as jnp
+
+    T, C = 1024, 2
+    r = rng.uniform(0.2, 0.9999, T)
+    th = rng.uniform(-np.pi, np.pi, T)
+    p1 = jnp.asarray((r * np.exp(1j * th)).astype(np.complex64))
+    p2 = jnp.conj(p1)
+    x = jnp.asarray(
+        (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))
+         ).astype(np.complex64)
+    )
+    v0 = jnp.asarray((rng.standard_normal(C)).astype(np.complex64))
+    w0 = jnp.asarray((rng.standard_normal(C)).astype(np.complex64))
+    v_ref = _first_order_scan(p1, x, v0)
+    w_ref = _first_order_scan(p2, v_ref, w0)
+    v, w = _pair_scan(p1, p2, x, v0, w0)
+    scale = float(np.abs(np.asarray(w_ref)).max())
+    assert np.abs(np.asarray(v) - np.asarray(v_ref)).max() / scale < 1e-5
+    assert np.abs(np.asarray(w) - np.asarray(w_ref)).max() / scale < 1e-5
