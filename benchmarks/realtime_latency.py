@@ -112,6 +112,13 @@ def main():
         },
     }
     print(json.dumps(result))
+    import os
+
+    if backend != "cpu":
+        results_dir = os.path.join(os.path.dirname(__file__), "results")
+        os.makedirs(results_dir, exist_ok=True)
+        with open(os.path.join(results_dir, "realtime_latency.json"), "w") as f:
+            json.dump(result, f, indent=1)
     return 0
 
 

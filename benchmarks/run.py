@@ -1,17 +1,28 @@
 """Run BASELINE benchmark configs: python -m benchmarks.run [--config N] [--seconds S].
 
-Prints one JSON line per config: xRT, p50 quantum time, compile time.
+Prints one JSON line per config (xRT, p50 quantum time, compile time) and
+writes each as a reproducible artifact under benchmarks/results/ so every
+number quoted in the README has a committed provenance.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 from benchmarks.configs import CONFIGS
+
+# Per-config superblock tuning (quanta per device step). The biquad chain's
+# associative scans have a large T-independent cost component, so config 3
+# runs fastest at a much larger superblock (measured 69x/89x/99x at
+# SB=32/64/128 on the axon TPU).
+SUPERBLOCKS = {3: 128}
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 
 
 def _xrt_compute(ctx, n_steps: int) -> float:
@@ -59,7 +70,7 @@ def _xrt_compute(ctx, n_steps: int) -> float:
 def run_config(n: int, seconds: float = 30.0, compute: bool = True) -> dict:
     name, builder = CONFIGS[n]
     t0 = time.perf_counter()
-    ctx = builder()
+    ctx = builder(superblock=SUPERBLOCKS.get(n, 32))
     frames_per_step = ctx.superblock * 128
     frames = int(seconds * ctx.sample_rate) // frames_per_step * frames_per_step
     ctx.render(frames)  # compile + warm
@@ -75,6 +86,7 @@ def run_config(n: int, seconds: float = 30.0, compute: bool = True) -> dict:
         "xrt": round(rendered / wall, 2),
         "wall_seconds": round(wall, 4),
         "rendered_seconds": rendered,
+        "superblock": ctx.superblock,
         "mean_quantum_us": round(wall / (out.shape[1] // 128) * 1e6, 3),
         "compile_seconds": round(compile_s, 1),
         "output_rms": float(np.sqrt(np.mean(out.astype(np.float64) ** 2))),
@@ -90,10 +102,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0, help="config 1-5; 0 = all")
     ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--no-artifacts", action="store_true",
+                    help="skip writing benchmarks/results/config<N>.json")
     args = ap.parse_args()
     targets = [args.config] if args.config else sorted(CONFIGS)
+    import jax
+
+    backend = jax.devices()[0].platform
     for n in targets:
-        print(json.dumps(run_config(n, args.seconds)), flush=True)
+        result = run_config(n, args.seconds)
+        result["backend"] = backend
+        print(json.dumps(result), flush=True)
+        if not args.no_artifacts and backend != "cpu":
+            os.makedirs(RESULTS_DIR, exist_ok=True)
+            path = os.path.join(RESULTS_DIR, f"config{n}.json")
+            with open(path, "w") as f:
+                json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
