@@ -280,8 +280,10 @@ class CompiledGraph:
                 self.state_ref[nodes[0].node_id] = (key, None)
 
         # Param encoding capacities (pow2 padding keeps jit cache stable while
-        # event lists grow). Group members share one capacity so encodings
-        # stack.
+        # event lists grow). ALL params of a group share one capacity so the
+        # step can STACK every param's encoding and evaluate a whole group's
+        # automation in one batched pass (17 separate vmapped evaluations
+        # dominated the spatial stage's dispatch count).
         for node in topo:
             for name, p in node.params.items():
                 self.param_capacity[(node.node_id, name)] = _next_pow2(
@@ -289,11 +291,13 @@ class CompiledGraph:
                 )
         for kind, nodes, _ in stages:
             if kind == "group":
-                for name in nodes[0].params:
-                    cap = max(
-                        self.param_capacity[(n.node_id, name)] for n in nodes
-                    )
-                    for n in nodes:
+                cap = max(
+                    (self.param_capacity[(n.node_id, name)]
+                     for n in nodes for name in n.params),
+                    default=1,
+                )
+                for n in nodes:
+                    for name in n.params:
                         self.param_capacity[(n.node_id, name)] = cap
 
         # ---- buffer-source arenas (traced constants) -----------------------
@@ -671,11 +675,13 @@ class CompiledGraph:
                     self.param_capacity[key] = _next_pow2(p.event_count())
         for kind, nodes, _ in self.stages:
             if kind == "group":
-                for name in nodes[0].params:
-                    cap = max(
-                        self.param_capacity[(n.node_id, name)] for n in nodes
-                    )
-                    for n in nodes:
+                cap = max(
+                    (self.param_capacity[(n.node_id, name)]
+                     for n in nodes for name in n.params),
+                    default=1,
+                )
+                for n in nodes:
+                    for name in n.params:
                         self.param_capacity[(n.node_id, name)] = cap
         encs = {}
         for si, (kind, nodes, _) in enumerate(self.stages):
@@ -848,14 +854,41 @@ class CompiledGraph:
                 pvals = {}
                 rates = {}
                 if wants_params:
+                    # One batched evaluation per (rate, exactness) kind:
+                    # every param of the group shares one encoding capacity
+                    # (see param_capacity), so the per-param encodings stack
+                    # into a [P, V, ...] pytree and evaluate with a single
+                    # doubly-vmapped pass — P separate vmapped evaluations
+                    # (17 for the spatial panner) cost ~10 dispatches EACH.
+                    by_kind: Dict[Tuple[bool, bool], list] = {}
                     for name, a_rate, exact in sp["params"]:
-                        npb = FRAMES_PER_BLOCK if a_rate else 1
-                        pvals[name] = jax.vmap(
-                            lambda e, npb=npb, exact=exact: eval_intrinsic_blocked(
-                                e, rc.block_times, npb, rc.dt, exact=exact
-                            )
-                        )(encs[f"{key}/{name}"])  # [V, T or S]
+                        by_kind.setdefault((a_rate, exact), []).append(name)
                         rates[name] = a_rate
+                    for (a_rate, exact), names in by_kind.items():
+                        npb = FRAMES_PER_BLOCK if a_rate else 1
+                        first = encs[f"{key}/{names[0]}"]
+                        if len(names) == 1:
+                            stacked = {
+                                k: jnp.asarray(first[k])[None] for k in first
+                            }
+                        else:
+                            stacked = {
+                                k: jnp.stack(
+                                    [jnp.asarray(encs[f"{key}/{n}"][k])
+                                     for n in names]
+                                )
+                                for k in first
+                            }
+                        vals = jax.vmap(
+                            jax.vmap(
+                                lambda e, npb=npb, exact=exact:
+                                eval_intrinsic_blocked(
+                                    e, rc.block_times, npb, rc.dt, exact=exact
+                                )
+                            )
+                        )(stacked)  # [P, V, T or S]
+                        for i, n in enumerate(names):
+                            pvals[n] = vals[i]
                 inputs_stacked = [
                     stacked_inputs(sp, i) for i in range(len(sp["inputs"]))
                 ]
