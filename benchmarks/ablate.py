@@ -64,9 +64,28 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     name, builder = CONFIGS[n]
-    print(f"config {n} ({name}), {n_steps}-step scans, "
-          f"backend={jax.devices()[0].platform}")
-    ablate(builder(), n_steps)
+    backend = jax.devices()[0].platform
+    print(f"config {n} ({name}), {n_steps}-step scans, backend={backend}")
+    results = ablate(builder(), n_steps)
+    if backend != "cpu":
+        import json
+        import os
+
+        results_dir = os.path.join(os.path.dirname(__file__), "results")
+        os.makedirs(results_dir, exist_ok=True)
+        payload = {
+            "config": n,
+            "name": name,
+            "n_steps": n_steps,
+            "backend": backend,
+            "stages": [
+                {"prefix": k, "stage": label, "cum_ms_per_step": round(ms, 4),
+                 "marginal_ms_per_step": round(d, 4)}
+                for k, label, ms, d in results
+            ],
+        }
+        with open(os.path.join(results_dir, f"ablate_config{n}.json"), "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
