@@ -94,6 +94,19 @@ class SpatialPannerNode(AudioNode):
         self.transmission_low = p("transmissionLow", 0.0, 0.0, 1.0, k)
         self.transmission_mid = p("transmissionMid", 0.0, 0.0, 1.0, k)
         self.transmission_high = p("transmissionHigh", 0.0, 0.0, 1.0, k)
+        # Pristine occlusion compiles the band-split OUT of the kernel (all
+        # three band gains are provably equal then); first touch recompiles
+        # with the full 3-band crossover path.
+        for prm in (self.occlusion, self.transmission_low,
+                    self.transmission_mid, self.transmission_high):
+            prm.notify_first_touch = True
+
+    def _occlusion_active(self) -> bool:
+        return any(
+            prm.touched or prm.has_events() or prm._mod_outputs
+            for prm in (self.occlusion, self.transmission_low,
+                        self.transmission_mid, self.transmission_high)
+        )
 
     @property
     def distance_model(self) -> DistanceModelType:
@@ -159,7 +172,7 @@ class SpatialPannerNode(AudioNode):
         else:
             hrir_key = None
         return ("spatial-panner", input_channels[0], self._distance_model,
-                hrir_key)
+                hrir_key, self._occlusion_active())
 
     def init_state(self, info):
         c = self._channels
@@ -281,16 +294,23 @@ class SpatialPannerNode(AudioNode):
 
         dx, dy, dz, (gl, gm, gh), blend = self._direct_gains(params, listener, rc)
 
-        # Direct effect: per-band per-block gains (the reference applies the
-        # DirectEffect in place on the input, :247-248).
-        (low, mid, high), new_xlow, new_xhigh = self._split_bands(x, state, rc)
-
         def expand(g):  # [S] -> [T]
             return jnp.repeat(g, FRAMES_PER_BLOCK, total_repeat_length=rc.frames)
 
-        direct = (
-            low * expand(gl)[None] + mid * expand(gm)[None] + high * expand(gh)[None]
-        )
+        if self._occlusion_active():
+            # Direct effect: per-band per-block gains (the reference applies
+            # the DirectEffect in place on the input, :247-248).
+            (low, mid, high), new_xlow, new_xhigh = self._split_bands(x, state, rc)
+            direct = (
+                low * expand(gl)[None] + mid * expand(gm)[None]
+                + high * expand(gh)[None]
+            )
+        else:
+            # Occlusion/transmission pristine: all band gains equal
+            # attenuation*directivity, so the crossover split reduces to one
+            # broadband gain — compiled out (first touch recompiles).
+            direct = x * expand(gl)[None]
+            new_xlow, new_xhigh = state["xlow"], state["xhigh"]
 
         # Binaural render: mono downmix -> per-quantum interpolated HRIR,
         # applied in the FREQUENCY domain (interpolating precomputed grid

@@ -329,3 +329,23 @@ def test_engine_default_hrir_passthrough():
     assert ctx._default_hrir is not None
     engine.set_default_hrir(None)
     assert ctx._default_hrir is None
+
+
+def test_occlusion_first_touch_recompiles(rng):
+    """Pristine occlusion compiles the band split out; touching it
+    mid-stream recompiles into the 3-band path and attenuates."""
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    src = ga.AudioBufferSourceNode(ctx)
+    sig = (rng.standard_normal(SR // 2) * 0.3).astype(np.float32)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+    src.loop = True
+    pan = SpatialPannerNode(ctx)
+    pan.position_x.value = 2.0
+    src.connect(pan).connect(ctx.destination)
+    src.start(0)
+    before = np.asarray(ctx.render(1024))
+    key_before = pan.group_key([1])
+    pan.occlusion.value = 0.9  # no transmission: heavy broadband cut
+    after = np.asarray(ctx.render(1024))
+    assert pan.group_key([1]) != key_before
+    assert _rms(after) < 0.25 * _rms(before)
