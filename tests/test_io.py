@@ -982,3 +982,28 @@ def test_opus_seek_deterministic(tmp_path):
         assert dec.try_seek(10000 / 48000.0)
         rest = dec.decode_planar(n)
     np.testing.assert_array_equal(rest, whole[:, 10000:])
+
+
+def test_opus_stream_node_with_loop(tmp_path):
+    """Ogg Opus feeds the streaming node end-to-end, including the gapless
+    rewind-and-refill loop path (exercises opus decode-from-start seek)."""
+    from graphaudio_tpu.io import codec_capabilities, write_opus
+    caps = codec_capabilities()
+    if not (caps.get("opus") and caps.get("opus_encode")):
+        pytest.skip("system opus codec unavailable")
+    n = 24000  # 0.5 s
+    t = np.arange(n) / SR
+    sig = (np.sin(2 * np.pi * 440 * t) * 0.5).astype(np.float32)[None]
+    path = tmp_path / "s.opus"
+    write_opus(path, sig, SR)
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    node = AudioDecoderStreamNode.from_file(ctx, str(path))
+    node.loop = True
+    node.connect(ctx.destination)
+    node.play()
+    out = ctx.render(2 * n)  # spans the loop seam at 0.5 s
+    spec = np.abs(np.fft.rfft(out[0].astype(np.float64)))
+    peak_hz = spec.argmax() * SR / out.shape[1]
+    assert abs(peak_hz - 440.0) < 10.0
+    # audio keeps flowing after the seam
+    assert float(np.sqrt(np.mean(out[0, n:].astype(np.float64) ** 2))) > 0.2
