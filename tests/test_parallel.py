@@ -147,3 +147,50 @@ def test_context_part_sharded_convolver_matches_single_device(rng):
     assert np.abs(out - ref).max() < 1e-5
     # delay-line continuity across steps under sharding
     assert np.abs(ctx.render(4096) - ref_ctx.render(4096)).max() < 1e-5
+
+
+def test_context_mesh_shards_spatial_voices(rng):
+    """A binaural scene's spatial-panner group shards over the 'voice' mesh
+    axis (sources -> CHAIN panners -> psum fan-in) and matches the
+    single-device render — the multi-chip path for BASELINE config 5."""
+    from jax.sharding import Mesh
+
+    import graphaudio_tpu as ga
+    from graphaudio_tpu.nodes.spatial import SpatialPannerNode
+
+    sr = 48000
+
+    def build(mesh):
+        ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=4)
+        if mesh is not None:
+            ctx.set_mesh(mesh)
+        ctx.set_listener([0, 0, 0], [0, 0, -1], [0, 1, 0])
+        r = np.random.default_rng(11)
+        for v in range(8):
+            buf = ga.PlayableAudioBuffer.from_mono_array(
+                (r.standard_normal(4800) * 0.1).astype(np.float32), sr
+            )
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = buf
+            src.loop = True
+            pan = SpatialPannerNode(ctx)
+            ang = 2 * np.pi * v / 8
+            pan.position_x.value = 3 * np.cos(ang)
+            pan.position_z.value = 3 * np.sin(ang)
+            src.connect(pan).connect(ctx.destination)
+            src.start(0)
+        return ctx
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(devs[:4]).reshape(4), axis_names=("voice",))
+    ref_ctx, ctx = build(None), build(mesh)
+    ref, out = ref_ctx.render(2048), ctx.render(2048)
+    spatial_sharded = any(
+        ctx._compiled.plan[si]["group_key"]
+        and ctx._compiled.plan[si]["group_key"][0] == "spatial-panner"
+        for si in ctx._compiled.sharded_stages
+    )
+    assert spatial_sharded, "spatial-panner group did not shard"
+    assert np.abs(out - ref).max() < 1e-6
