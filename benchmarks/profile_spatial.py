@@ -20,15 +20,22 @@ from graphaudio_tpu.ops.onepole import onepole_lowpass
 from graphaudio_tpu.ops.param_eval import encode_events, eval_intrinsic
 
 
+def _sync(out):
+    # block_until_ready is a NO-OP on the axon backend; only a device_get of
+    # a value depending on the work actually synchronizes.
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(jnp.sum(leaves[0]))
+
+
 def timeit(name, fn, *args, reps=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:28s} {dt*1e3:9.3f} ms")
+    print(f"{name:28s} {dt*1e3:9.3f} ms  (incl. one link round trip)")
     return dt
 
 
