@@ -1277,12 +1277,10 @@ bool open_opus(Decoder* d) {
         dseek(d, 0);
         std::vector<uint8_t> buf(1 << 16);
         size_t have = 0;
-        int64_t base = 0;
         for (;;) {
             size_t got = dread_some(d, buf.data() + have, buf.size() - have);
             if (got == 0) break;
             have += got;
-            size_t scan_end = have >= 27 ? have - 27 : 0;
             for (size_t i = 0; i + 27 <= have; i++) {
                 if (memcmp(buf.data() + i, "OggS", 4) != 0 || buf[i + 4] != 0)
                     continue;
@@ -1293,13 +1291,11 @@ bool open_opus(Decoder* d) {
                 int64_t gp = int64_t(gp_lo | (gp_hi << 32));
                 if (gp >= 0) last_gp = gp;
             }
-            (void)base;
             // keep a 26-byte tail so headers spanning chunks are seen
             if (have > 26) {
                 memmove(buf.data(), buf.data() + have - 26, 26);
                 have = 26;
             }
-            (void)scan_end;
         }
         dseek(d, pos);
     }
@@ -1385,9 +1381,6 @@ int opus_seek(Decoder* d, int64_t frame) {
     // addressable without an index; streaming seeks are rare and short).
     OpusStream* os = (OpusStream*)d->opus;
     OpusApi& a = opus_api();
-    int serial = os->serial;
-    int preskip = os->preskip;
-    float gain = os->gain;
     if (os->dec) { a.decoder_destroy(os->dec); os->dec = nullptr; }
     if (os->stream_inited) { a.stream_clear(os->stream); os->stream_inited = false; }
     if (os->sync_inited) { a.sync_clear(os->sync); os->sync_inited = false; }
@@ -1395,7 +1388,6 @@ int opus_seek(Decoder* d, int64_t frame) {
     os->sync_inited = true;
     dseek(d, 0);
     if (!opus_read_head(d, os)) return -1;
-    (void)serial; (void)preskip; (void)gain;
     int err = 0;
     os->dec = a.decoder_create(48000, d->channels, &err);
     if (!os->dec || err != 0) return -1;
