@@ -30,11 +30,15 @@ SECONDS = 30.0
 SR = 48000
 VOICES = 64
 TARGET_XRT = 500.0
-SUPERBLOCK = int(os.environ.get("GA_BENCH_SUPERBLOCK", "32"))
-# One launch-chunk shape (351 steps = 3 x 117) -> a single compiled scan
+# Superblock 64 measured ~14% more per-step compute throughput than 32 on
+# the flagship graph (the scan-carry fixed costs amortize over 2x frames).
+SUPERBLOCK = int(os.environ.get("GA_BENCH_SUPERBLOCK", "64"))
+# One launch-chunk shape (175 steps = 5 x 35) -> a single compiled scan
 # length for the whole render; the remote compile service prices each new
 # program shape at tens of seconds cold.
-os.environ.setdefault("GA_RENDER_CHUNK", "117")
+os.environ.setdefault(
+    "GA_RENDER_CHUNK", "35" if SUPERBLOCK == 64 else "117"
+)
 
 
 def build_graph():

@@ -19,8 +19,9 @@ from benchmarks.configs import CONFIGS
 # Per-config superblock tuning (quanta per device step). The biquad chain's
 # associative scans have a large T-independent cost component, so config 3
 # runs fastest at a much larger superblock (measured 69x/89x/99x at
-# SB=32/64/128 on the axon TPU).
-SUPERBLOCKS = {3: 128}
+# SB=32/64/128 on the axon TPU); the flagship convolver graph gains ~14%
+# at 64 (348x vs 397x probe measurement).
+SUPERBLOCKS = {3: 128, 4: 64}
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 

@@ -120,7 +120,14 @@ class AudioParam:
         if not self._touched:
             self._touched = True
             if self.notify_first_touch and self._owner is not None:
-                self._owner._graph_changed()
+                # _config_changed (not just _graph_changed): the touch flips
+                # a STATIC kernel variant baked into the owner's compiled
+                # program. Group stages re-key via group_key, but a
+                # modulated owner compiles as a single stage whose program-
+                # cache identity is the static fingerprint — without the
+                # version bump the stale variant's cached program would be
+                # reused.
+                self._owner._config_changed()
 
     @value.setter
     def value(self, v: float) -> None:
@@ -147,7 +154,7 @@ class AudioParam:
         if not self._had_events:
             self._had_events = True
             if self.notify_first_event and self._owner is not None:
-                self._owner._graph_changed()
+                self._owner._config_changed()  # see _mark_touched
 
     def set_value_at_time(self, value: float, start_time: float) -> "AudioParam":
         """Parity: AudioParam.SetValueAtTime (:252-261). Value clamped at insert."""

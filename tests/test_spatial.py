@@ -349,3 +349,42 @@ def test_occlusion_first_touch_recompiles(rng):
     after = np.asarray(ctx.render(1024))
     assert pan.group_key([1]) != key_before
     assert _rms(after) < 0.25 * _rms(before)
+
+
+def test_occlusion_touch_recompiles_modulated_single_stage(rng):
+    """A panner with a modulated param compiles as a SINGLE stage keyed by
+    its static fingerprint; touching occlusion must still invalidate the
+    cached band-less program (first-touch bumps the config version)."""
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    src = ga.AudioBufferSourceNode(ctx)
+    sig = (rng.standard_normal(SR // 2) * 0.3).astype(np.float32)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+    src.loop = True
+    pan = SpatialPannerNode(ctx)
+    pan.position_z.value = -2.0
+    mod = ga.ConstantSourceNode(ctx)
+    mod.offset.value = 0.0
+    mod.connect(pan.spatial_blend)  # param modulation -> single stage
+    mod.start(0)
+    src.connect(pan).connect(ctx.destination)
+    src.start(0)
+    # Same render length before and after the touch: an equal-length scan
+    # would NOT retrace a reused cached program, so only the config-version
+    # bump separates the variants (this is the regression).
+    ctx.render(4096)
+    assert any(
+        sp["kind"] == "single" and type(sp["rep"]).__name__ == "SpatialPannerNode"
+        for sp in ctx._compiled.plan
+    )
+    # Occlude fully with high-band-only transmission: a stale band-less
+    # kernel would apply the LOW band's gain (0 -> silence) broadband.
+    pan.occlusion.value = 1.0
+    pan.transmission_high.value = 0.9
+    out = np.asarray(ctx.render(4096))
+    assert np.sqrt(np.mean(out[:, 2048:] ** 2)) > 1e-4
+    # and the high band dominates the spectrum (3-band path really active)
+    spec = np.abs(np.fft.rfft(out[0, 2048:].astype(np.float64)))
+    freqs = np.arange(spec.shape[0]) * SR / 2048
+    low = spec[(freqs > 100) & (freqs < 800)].mean()
+    high = spec[(freqs > 9000) & (freqs < 20000)].mean()
+    assert high > 3 * low
