@@ -130,21 +130,37 @@ def _first_order_scan(p, u, s_init):
     conditioned (unlike companion-matrix products, whose ~Q^2 transient growth
     amplifies f32 rounding catastrophically for high-Q resonators).
 
-    Layout: the scan runs over the LAST axis so time rides the 128-lane
-    dimension — the [T, C] orientation put C (often 2) on the lanes and
-    wasted ~98% of every vector op (measured 0.28 ms/step per automated
-    biquad at T=4096; this orientation is ~3x faster).
+    Layout: TWO-LEVEL scan with time tiled onto the 128-lane axis — a flat
+    scan over [C, T] pays 2*log2(T) passes over the FULL sequence (traffic-
+    bound once T >= 4096); tiling to [C, S, 128] pays 2*log2(128) full-
+    sequence passes plus a scan over the tiny [C, S] block-total operators,
+    ~4x less memory traffic at T = 16384. (The round-2 "hierarchical B=16"
+    dead end tried this in the launch-bound small-T regime where the extra
+    level only added dispatches; at the large superblocks config 3 runs at,
+    the tradeoff flips — measured, see benchmarks/results/config3.json.)
     """
     C, T = u.shape
-    pc = jnp.broadcast_to(p[None, :], (C, T))
+    B = 128 if T % 128 == 0 and T > 128 else T
+    S = T // B
+    pc = jnp.broadcast_to(p[None, :], (C, T)).reshape(C, S, B)
+    u3 = u.reshape(C, S, B)
 
     def comb(lhs, rhs):
         p1, b1 = lhs
         p2, b2 = rhs
         return p1 * p2, p2 * b1 + b2
 
-    cum_p, cum_b = jax.lax.associative_scan(comb, (pc, u), axis=1)
-    return cum_p * s_init[:, None] + cum_b
+    cp, cb = jax.lax.associative_scan(comb, (pc, u3), axis=2)
+    if S == 1:
+        return (cp * s_init[:, None, None] + cb).reshape(C, T)
+    # Block-total affine ops -> tiny scan over the superblock axis.
+    bp, bb = jax.lax.associative_scan(
+        comb, (cp[:, :, -1], cb[:, :, -1]), axis=1
+    )  # [C, S]: state at each block's END given s_init
+    carry = jnp.concatenate(
+        [s_init[:, None], bp[:, :-1] * s_init[:, None] + bb[:, :-1]], axis=1
+    )  # [C, S] carry INTO each block
+    return (cp * carry[:, :, None] + cb).reshape(C, T)
 
 
 def _pair_scan(p1, p2, x, v_init, w_init):
