@@ -4,7 +4,9 @@ Usage: python -m benchmarks.ablate [config_number] [n_steps]
 
 Times the compiled step scanned over n_steps superblocks, truncated to the
 first k stages for k = 1..len(plan). The marginal time between consecutive
-prefixes is each stage's cost. Measurement rules for this backend (see
+prefixes is each stage's cost. NOTE: cumulative values include the per-call
+link round trip amortized over n_steps (~0.1 ms/step at n_steps=256 on the
+tunneled dev setup); MARGINALS cancel it and are the trustworthy numbers. Measurement rules for this backend (see
 .claude/skills/verify/SKILL.md): sync via device_get of a value that
 depends on all work (stage_limit probes return a sum of every output),
 pass encodings/constants as ARGUMENTS (closure constants let XLA fold the
