@@ -323,6 +323,13 @@ class CompiledGraph:
             built = [n.build_region(w, front) for n in nodes]
             regions = [b[0] for b in built]
             geoms = [b[1] for b in built]
+            if variant[0] == "unity":
+                # 128-align each voice's arena offset so the aligned variant's
+                # row-gather fetch holds; harmless padding otherwise.
+                regions = [
+                    np.pad(r, ((0, 0), (0, (-r.shape[1]) % FRAMES_PER_BLOCK)))
+                    for r in regions
+                ]
             widths = [r.shape[1] for r in regions]
             offs = list(np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.int32))
             arena = np.concatenate(regions, axis=1)
@@ -909,7 +916,8 @@ class CompiledGraph:
                         outs = [outs]
                     elif variant[0] == "unity":
                         sts, outs = type(rep).process_unity_group(
-                            states_stacked, arena, geoms, rc, w
+                            states_stacked, arena, geoms, rc, w,
+                            aligned=variant[1],
                         )
                         outs = [outs]
                     else:

@@ -462,15 +462,27 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         return (int(p), int(q))
 
     def kernel_variant(self):
-        """Static kernel selection: ("unity",) exact copy path,
+        """Static kernel selection: ("unity", aligned) exact copy path,
         ("poly", p, q) static polyphase matmul, or ("resample", bound)
         general time-varying path. Baked into group_key and the compiled
         program; the context recompiles when a node's variant changes
-        (CompiledGraph.static_config_stale)."""
+        (CompiledGraph.static_config_stale).
+
+        ``aligned``: the playback position stays a multiple of 128 forever
+        (start offset lands on a block boundary; loop length is a multiple
+        of 128, which wraps preserve since the loop-start term cancels mod
+        128) — window reads then reduce to pure row gathers with NO
+        lane-shift matmul (measured ~1/3 of the unity stage's cost)."""
         if self._buffer is None:
             return ("none",)
         if self._static_unity_rate_cfg():
-            return ("unity",)
+            pos0 = float(self._state_overrides.get("pos", 0.0)) \
+                if hasattr(self, "_state_overrides") else 0.0
+            aligned = pos0 % FRAMES_PER_BLOCK == 0.0
+            if self._loop:
+                _, _, llen = self.loop_frames()
+                aligned = aligned and llen % FRAMES_PER_BLOCK == 0
+            return ("unity", aligned)
         r = self.static_ratio()
         if r is not None:
             return ("poly",) + r
@@ -1018,9 +1030,16 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         return shifted.reshape(V, C, (nrows - 1) * FRAMES_PER_BLOCK)[:, :, :w]
 
     @classmethod
-    def process_unity_group(cls, states, arena, geom, rc, w: int):
+    def process_unity_group(cls, states, arena, geom, rc, w: int,
+                            aligned: bool = False):
         """Group form of _process_unity (exact copy path): same semantics,
-        bit-identical output, gathers replaced as described above."""
+        bit-identical output, gathers replaced as described above.
+
+        ``aligned``: every voice's position stays a multiple of 128 (see
+        kernel_variant), so the window fetch is a pure 128-row gather —
+        the lane-shift matmul (an exact identity at delta=0) is dropped,
+        saving ~1/3 of this stage's measured cost. Requires the arena's
+        per-voice offsets to be 128-aligned (the compiler pads regions)."""
         S = rc.superblock
         C = arena.shape[0]
         V = geom["off"].shape[0]
@@ -1047,13 +1066,31 @@ class AudioBufferSourceNode(ScheduledSourceNode):
 
         qmod = jnp.mod(p0 - lsf, jnp.maximum(llen, 1.0))
         e0 = jnp.where(looping & (p0 >= lsf), lsf + llen + qmod, p0)
-        start = jnp.clip(e0.astype(i32), 0, region_len.astype(i32) - w)
-        window = cls._gather_windows_group(arena, off + front + start, w)
+        if aligned:
+            # Positions and arena offsets are multiples of 128 by variant
+            # contract; floor the end-clip to keep the start aligned (only
+            # past-the-end voices clip, and their samples are masked).
+            hi = (region_len.astype(i32) - w) // FRAMES_PER_BLOCK \
+                * FRAMES_PER_BLOCK
+            start = jnp.clip(e0.astype(i32), 0, hi)
+            W = arena.shape[1]
+            rows = arena.reshape(C, W // FRAMES_PER_BLOCK, FRAMES_PER_BLOCK)
+            row0 = (off + front + start) // FRAMES_PER_BLOCK  # [V] exact
+            ridx = jnp.clip(
+                row0[:, None] + jnp.arange(S, dtype=row0.dtype)[None, :],
+                0, W // FRAMES_PER_BLOCK - 1,
+            )
+            blocks = jnp.moveaxis(
+                jnp.take(rows, ridx, axis=1), 0, 1
+            )  # [V, C, S, 128] pure row gather
+        else:
+            start = jnp.clip(e0.astype(i32), 0, region_len.astype(i32) - w)
+            window = cls._gather_windows_group(arena, off + front + start, w)
+            blocks = window[:, :, : S * FRAMES_PER_BLOCK].reshape(
+                V, C, S, FRAMES_PER_BLOCK
+            )
 
         delta_b = (pos_b - p0[:, None]).astype(i32)  # [V, S]
-        blocks = window[:, :, : S * FRAMES_PER_BLOCK].reshape(
-            V, C, S, FRAMES_PER_BLOCK
-        )
         bidx = jnp.clip(delta_b // FRAMES_PER_BLOCK, 0, S - 1)
         samples = jnp.take_along_axis(blocks, bidx[:, None, :, None], axis=2)
         i = jnp.arange(FRAMES_PER_BLOCK, dtype=i32)

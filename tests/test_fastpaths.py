@@ -173,3 +173,41 @@ def test_program_cache_pow2_voice_buckets():
     for _ in range(3):
         shot(ctx2)
     assert np.array_equal(ctx2.render(2048), out3)
+
+
+def test_unity_alignment_variant_and_offset_fallback(rng):
+    """Aligned unity voices (offset on a block boundary, loop length a
+    multiple of 128) compile the row-gather variant; starting with a
+    misaligned offset flips to the shifted variant and still plays the
+    right samples."""
+    import graphaudio_tpu as ga
+
+    sig = (rng.standard_normal(12800) * 0.4).astype(np.float32)
+
+    def play(offset_frames):
+        ctx = ga.OfflineAudioContext(sample_rate=48000, superblock=4)
+        src = ga.AudioBufferSourceNode(ctx)
+        src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, 48000)
+        src.start(0, offset=offset_frames / 48000.0)
+        src.connect(ctx.destination)
+        out = ctx.render(2048)
+        return src.kernel_variant(), out
+
+    v_aligned, out_a = play(0)
+    assert v_aligned == ("unity", True)
+    np.testing.assert_array_equal(out_a[0], sig[:2048])
+
+    v_off, out_o = play(300)  # not a multiple of 128
+    assert v_off == ("unity", False)
+    np.testing.assert_array_equal(out_o[0], sig[300:300 + 2048])
+
+    # loop length not a multiple of 128 -> shifted variant
+    ctx = ga.OfflineAudioContext(sample_rate=48000, superblock=4)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig[:3000], 48000)
+    src.loop = True
+    src.start(0)
+    src.connect(ctx.destination)
+    assert src.kernel_variant() == ("unity", False)
+    out = ctx.render(9216)[0]
+    np.testing.assert_array_equal(out, sig[:3000][np.arange(9216) % 3000])
