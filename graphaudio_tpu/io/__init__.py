@@ -1,11 +1,13 @@
 """Audio IO: decoding (native codec) and streaming source nodes.
 
 Parity: GraphAudio.IO — libsndfile-backed AudioDecoder (ours decodes
-WAV/AIFF natively plus MP3/Ogg-Vorbis through the system's
-libmpg123/libvorbisfile, dlopen'd at runtime; see codec_capabilities())
+WAV/RF64/Wave64/AIFF/AU/CAF/FLAC/IMA+MS-ADPCM natively, plus MP3,
+Ogg/Vorbis, and Ogg Opus through the system's libmpg123 / libvorbisfile /
+libogg+libopus, dlopen'd at runtime; see codec_capabilities())
 (LibsndfileDecoder.cs) and the double-buffered decoder-thread streaming node
 (AudioDecoderStreamNode.cs). The native backend here is our own C++ codec
-(native/gacodec.cpp, WAV/AIFF) with a pure-Python WAV fallback.
+(native/gacodec.cpp) with a pure-Python WAV fallback; encoders cover
+WAV/FLAC/MP3/Ogg/Opus.
 """
 
 from graphaudio_tpu.io.decode import (
