@@ -21,6 +21,7 @@ from collections import OrderedDict, deque
 from typing import Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from graphaudio_tpu.core.constants import (
@@ -30,6 +31,20 @@ from graphaudio_tpu.core.constants import (
 )
 from graphaudio_tpu.core.graph import CompiledGraph, StaticRenderInfo
 from graphaudio_tpu.utils.profiling import RenderStats
+
+
+@jax.jit
+def _pack_int16(outs):
+    """Device-side wire-format stage: [C, T] f32 audio -> flat interleaved
+    int16 PCM. Applied as a tiny postprocess program to the f32 renderer's
+    on-device output, so pcm16 delivery shares the ONE compiled renderer per
+    topology (a dedicated pcm16 renderer would double the compiled-program
+    count; the remote compile service prices every program). Quantization
+    ``round(clip(x,-1,1)*32767)`` error is <= 0.5/32767 ~ 1.53e-5 full scale
+    (the reference's device path is interleaved PCM, AudioContextBase.cs:88-161).
+    """
+    pcm = jnp.round(jnp.clip(outs, -1.0, 1.0) * jnp.float32(32767.0))
+    return pcm.astype(jnp.int16).T.reshape(-1)
 
 
 class AudioContextBase:
@@ -123,7 +138,20 @@ class AudioContextBase:
         def do(ctx):
             ctx._default_hrir = grid
             ctx._default_hrir_uid += 1
-            ctx._invalidate_topology()  # grid is baked into panner kernels
+            # The grid is baked into panner kernels. Modulated panners compile
+            # as SINGLE stages keyed by the node's static fingerprint (the
+            # group key's ('ctx-default', uid) entry doesn't apply to them),
+            # so every consumer of the context default must bump its own
+            # config version — mirroring load_hrir — or the program cache
+            # replays a kernel with the previous grid baked in.
+            for node in ctx._nodes.values():
+                if (
+                    hasattr(node, "_custom_hrir")
+                    and node._custom_hrir is None
+                    and hasattr(node, "_config_changed")
+                ):
+                    node._config_changed()
+            ctx._invalidate_topology()
 
         self.execute_or_post(do)
 
@@ -488,11 +516,14 @@ class AudioContextBase:
         # parallel device->host streams (tunneled links gain 2-3x from
         # concurrency), larger ones fewer dispatch round trips.
         chunk = int(_os.environ.get("GA_RENDER_CHUNK", "64"))
-        render_fn = self._render_fn_by_pack.get(pack)
+        render_fn = self._render_fn_by_pack.get(None)
         if render_fn is None:
-            render_fn, _ = self._get_render_fn(pack)
-            self._render_fn_by_pack[pack] = render_fn
+            render_fn, _ = self._get_render_fn(None)
+            self._render_fn_by_pack[None] = render_fn
+        pack_fn = _pack_int16 if pack == "int16" else None
+        t_prep = _time.perf_counter() - t0
         pending = []
+        chunk_dispatch_s = []
         launched = 0
         while launched < n_steps:
             this = min(chunk, n_steps - launched)
@@ -500,28 +531,50 @@ class AudioContextBase:
                 self._current_frame
                 + frames_per_step * (launched + np.arange(this, dtype=np.int64))
             )
+            t_d = _time.perf_counter()
             self._states, out = render_fn(
                 self._states, self._encs, self._consts, feeds, frame0s,
                 all_block_times[launched:launched + this],
             )
+            if pack_fn is not None:
+                out = pack_fn(out)
+            chunk_dispatch_s.append(_time.perf_counter() - t_d)
             pending.append(out)
             launched += this
         # Start device->host copies for every chunk NOW: the copies enqueue
         # behind their producing computations and run concurrently with both
         # later chunks' compute and each other (parallel streams measured
         # ~2-3x the single-stream link bandwidth on tunneled devices).
+        t_c = _time.perf_counter()
         for out in pending:
             try:
                 out.copy_to_host_async()
             except AttributeError:  # non-array outputs under shard_map probes
                 pass
+        # Prefetch the stop-time leaves the finish-side notification will
+        # read, so its device_get is served from the in-flight copy instead
+        # of paying a fresh link round trip.
+        _, fetch = self._notify_refs()
+        for arr in fetch.values():
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        copy_start_s = _time.perf_counter() - t_c
         self._current_frame += n_steps * frames_per_step
         self._current_time = float(
             all_block_times[-1, -1]
             + np.float64(FRAMES_PER_BLOCK) / self.sample_rate
         )
         self._step_count += n_steps
-        return pending, _time.perf_counter() - t0, pack
+        breakdown = {
+            "prep_s": t_prep,
+            "dispatch_s": sum(chunk_dispatch_s),
+            "chunk_dispatch_s": chunk_dispatch_s,
+            "copy_start_s": copy_start_s,
+            "n_chunks": len(pending),
+        }
+        return pending, _time.perf_counter() - t0, pack, breakdown
 
     def _render_steps_finish(self, handle) -> np.ndarray:
         """Materialize a launch's audio, fire source notifications, record
@@ -530,25 +583,35 @@ class AudioContextBase:
         pipelined caller overlaps other steps, is excluded)."""
         import time as _time
 
-        pending, launch_wall, pack = handle
+        pending, launch_wall, pack, breakdown = handle
         t0 = _time.perf_counter()
         axis = 0 if pack == "int16" else 1  # pcm16 chunks are flat interleaved
-        if len(pending) == 1:
-            out_np = np.asarray(jax.device_get(pending[0]))
-        else:
-            out_np = np.concatenate(
-                [np.asarray(jax.device_get(o)) for o in pending], axis=axis
-            )
+        chunk_transfer_s = []
+        parts = []
+        for o in pending:
+            t_x = _time.perf_counter()
+            parts.append(np.asarray(jax.device_get(o)))
+            chunk_transfer_s.append(_time.perf_counter() - t_x)
+        out_np = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=axis)
+        t_n = _time.perf_counter()
+        transfer_s = t_n - t0
         self._notify_sources()
+        notify_s = _time.perf_counter() - t_n
         frames = (
             out_np.shape[0] // max(self._dest_channels, 1)
             if pack == "int16"
             else out_np.shape[1]
         )
+        breakdown.update(
+            transfer_s=transfer_s,
+            chunk_transfer_s=chunk_transfer_s,
+            notify_s=notify_s,
+        )
         self.stats.record(
             frames=frames,
             quanta=frames // FRAMES_PER_BLOCK,
             wall=launch_wall + (_time.perf_counter() - t0),
+            breakdown=breakdown,
         )
         return out_np
 
@@ -561,17 +624,19 @@ class AudioContextBase:
         """
         return self._render_steps_finish(self._render_steps_launch(n_steps, pack))
 
-    def _notify_sources(self) -> None:
-        """Fire ended-events / self-disposal on scheduled sources.
-
-        All wanted state leaves transfer in ONE device_get — per-node
-        transfers over the device tunnel cost tens of ms each.
-        """
-        end_time = self.current_time
+    def _notify_refs(self):
+        """Scheduled sources that could actually end, with their stop-time
+        arrays. A source that never started, already raised ended, or can
+        neither hit a finite scheduled stop nor self-stop on the device
+        (looping / unstopped sources) is skipped ENTIRELY — the common
+        all-voices-looping scene then renders with zero notification
+        round-trips (~28 ms/render on the tunneled link otherwise)."""
         wanted = []
         fetch = {}
         for node in self._compiled.topo:
             if not getattr(node, "wants_notify", False):
+                continue
+            if not getattr(node, "may_notify", lambda: True)():
                 continue
             ref = self._compiled.state_ref.get(node.node_id)
             if ref is None or ref[0] not in self._states:
@@ -581,6 +646,16 @@ class AudioContextBase:
                 continue
             wanted.append((node, ref))
             fetch.setdefault(ref[0], entry["stop_time"])
+        return wanted, fetch
+
+    def _notify_sources(self) -> None:
+        """Fire ended-events / self-disposal on scheduled sources.
+
+        All wanted state leaves transfer in ONE device_get — per-node
+        transfers over the device tunnel cost tens of ms each.
+        """
+        end_time = self.current_time
+        wanted, fetch = self._notify_refs()
         if not wanted:
             return
         batch = jax.device_get(fetch)  # one transfer for all sources

@@ -163,6 +163,22 @@ class ScheduledSourceNode(AudioNode):
 
     # -- host-side ended handling ------------------------------------------------
 
+    def _device_may_end(self) -> bool:
+        """True when the device kernel itself can shorten ``stop_time``
+        (buffer exhaustion); such nodes must be polled after each render.
+        Pure-schedule sources (oscillator, constant) only end at a host-
+        scheduled stop."""
+        return False
+
+    def may_notify(self) -> bool:
+        """Host-side screen: can this source possibly raise ``ended``?
+        False for sources that never started, already ended, or can neither
+        reach a finite scheduled stop nor self-stop on the device — the
+        context then skips the post-render stop-time readback entirely."""
+        if not self._has_started or self._ended_raised:
+            return False
+        return math.isfinite(self._host_stop_time) or self._device_may_end()
+
     def notify_rendered(self, state, end_time: float) -> None:
         if self._ended_raised or not self._has_started:
             return
@@ -357,6 +373,11 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         self.playback_rate.notify_first_touch = True
 
     # -- buffer & loop configuration -------------------------------------------
+
+    def _device_may_end(self) -> bool:
+        # A non-looping buffer exhausts on device (kernel shortens
+        # stop_time); a looping one can only end at a scheduled stop.
+        return not self._loop
 
     @property
     def buffer(self):

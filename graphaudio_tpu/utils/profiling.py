@@ -22,15 +22,28 @@ class RenderStats:
     quanta_rendered: int = 0
     frames_rendered: int = 0
     wall_seconds: float = 0.0
+    dispatch_seconds: float = 0.0
+    transfer_seconds: float = 0.0
     compile_count: int = 0
     program_reuse_count: int = 0
+    #: wall composition of the most recent render call: prep_s (drain/compile/
+    #: encode/feed staging), dispatch_s (program launches; per-chunk list in
+    #: chunk_dispatch_s), copy_start_s, transfer_s (device->host materialize;
+    #: per-chunk list in chunk_transfer_s), notify_s (source ended-events).
+    last_breakdown: dict = field(default_factory=dict)
     _call_quantum_us: List[float] = field(default_factory=list)
 
-    def record(self, frames: int, quanta: int, wall: float) -> None:
+    def record(
+        self, frames: int, quanta: int, wall: float, breakdown: dict = None
+    ) -> None:
         self.render_calls += 1
         self.frames_rendered += frames
         self.quanta_rendered += quanta
         self.wall_seconds += wall
+        if breakdown is not None:
+            self.last_breakdown = breakdown
+            self.dispatch_seconds += breakdown.get("dispatch_s", 0.0)
+            self.transfer_seconds += breakdown.get("transfer_s", 0.0)
         if quanta > 0:
             self._call_quantum_us.append(wall / quanta * 1e6)
             if len(self._call_quantum_us) > 4096:
@@ -88,6 +101,8 @@ class RenderStats:
             "quanta_rendered": self.quanta_rendered,
             "frames_rendered": self.frames_rendered,
             "wall_seconds": round(self.wall_seconds, 6),
+            "dispatch_seconds": round(self.dispatch_seconds, 6),
+            "transfer_seconds": round(self.transfer_seconds, 6),
             "xrt": round(self.xrt(sample_rate), 2),
             "p50_quantum_us": round(self.p50_quantum_us(), 3),
             "p99_quantum_us": round(self.p99_quantum_us(), 3),

@@ -320,6 +320,41 @@ def test_context_default_hrir_applies_to_all_panners(rng):
     )
 
 
+def test_default_hrir_reaches_modulated_single_stage_panner(rng):
+    """A panner with a MODULATED param compiles as a single stage keyed by
+    its static fingerprint; set_default_hrir must bump that fingerprint
+    (mirroring load_hrir) or the program cache replays the analytic kernel
+    with the old grid baked in (round-3 advisor finding, context.py:126)."""
+    sig = (rng.standard_normal(SR // 4) * 0.2).astype(np.float32)
+    measured = _synthetic_measured_set()
+
+    def scene():
+        ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4)
+        src = ga.AudioBufferSourceNode(ctx)
+        src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+        pan = SpatialPannerNode(ctx)
+        pan.position_x.value = 2.0
+        lfo = ga.ConstantSourceNode(ctx)
+        lfo.offset.value = 0.5
+        lfo.connect(pan.position_z)  # modulation input -> single-stage compile
+        lfo.start(0)
+        src.connect(pan).connect(ctx.destination)
+        src.start(0)
+        return ctx
+
+    ctx1 = scene()
+    ctx1.render(1024)  # compile + run the analytic-model program first
+    ctx1.set_default_hrir(measured)
+    got = np.asarray(ctx1.render(1024))
+
+    ctx2 = scene()
+    ctx2.set_default_hrir(measured)  # installed before any render
+    want = np.asarray(ctx2.render(2048))[:, 1024:]
+    # carried per-voice state (OLA tail) from ctx1's analytic segment decays
+    # within ~2 quanta; compare past it
+    np.testing.assert_allclose(got[:, 512:], want[:, 512:], atol=1e-6)
+
+
 def test_engine_default_hrir_passthrough():
     from graphaudio_tpu.kit import AudioEngine
 
