@@ -134,6 +134,8 @@ bool parse_wav(Decoder* d) {
     if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0) return false;
 
     bool have_fmt = false;
+    bool have_data = false;
+    int64_t data_bytes = 0;
     int64_t fact_samples = -1;
     while (true) {
         uint8_t ch[8];
@@ -187,6 +189,7 @@ bool parse_wav(Decoder* d) {
             uint8_t fc[4];
             if (!dread(d, fc, 4)) return false;
             fact_samples = int64_t(rd_u32le(fc));
+            if (have_data) break;  // post-data fact: scan complete
             if (size > 4 && !dseek(d, dtell(d) + (size - 4))) return false;
             if (size & 1) dseek(d, dtell(d) + 1);
         } else if (memcmp(ch, "data", 4) == 0) {
@@ -196,22 +199,30 @@ bool parse_wav(Decoder* d) {
             // must not promise frames past EOF.
             int64_t avail = dsize(d) - d->data_start;
             if (avail < 0) avail = 0;
-            int64_t bytes = int64_t(size) < avail ? int64_t(size) : avail;
-            if (d->format == 8) {
-                int64_t blocks = bytes / int64_t(d->block_align);
-                d->total_frames = blocks * int64_t(d->samples_per_block);
-                // `fact` gives the true count (last block may be partial).
-                if (fact_samples >= 0 && fact_samples < d->total_frames)
-                    d->total_frames = fact_samples;
-            } else {
-                d->total_frames = bytes / int64_t(d->bytes_per_frame());
-            }
-            return true;
+            data_bytes = int64_t(size) < avail ? int64_t(size) : avail;
+            have_data = true;
+            // ADPCM frame counts need the `fact` chunk (the final block may
+            // be partial), and `fact` may legally FOLLOW data — keep
+            // scanning for it instead of trusting block-derived padding.
+            if (d->format != 8 || fact_samples >= 0) break;
+            if (!dseek(d, d->data_start + size + (size & 1))) break;
         } else {
-            if (!dseek(d, dtell(d) + size + (size & 1))) return false;
+            if (!dseek(d, dtell(d) + size + (size & 1))) {
+                break;
+            }
         }
     }
-    return false;
+    if (!have_fmt || !have_data) return false;
+    if (d->format == 8) {
+        int64_t blocks = data_bytes / int64_t(d->block_align);
+        d->total_frames = blocks * int64_t(d->samples_per_block);
+        // `fact` gives the true count (last block may be partial).
+        if (fact_samples >= 0 && fact_samples < d->total_frames)
+            d->total_frames = fact_samples;
+    } else {
+        d->total_frames = data_bytes / int64_t(d->bytes_per_frame());
+    }
+    return true;
 }
 
 bool parse_aiff(Decoder* d) {
@@ -1269,34 +1280,33 @@ bool open_opus(Decoder* d) {
     dseek(d, 0);
     if (!opus_read_head(d, os)) { delete os; return false; }
 
-    // Duration: last granulepos of our serial, scanned from the raw bytes
-    // (granulepos counts 48 kHz samples INCLUDING preskip, RFC 7845 §4).
+    // Duration: last granulepos of our serial (granulepos counts 48 kHz
+    // samples INCLUDING preskip, RFC 7845 §4). Pages are enumerated with a
+    // second ogg_sync state — libogg CRC-checks each candidate — because a
+    // raw 'OggS' byte scan can alias page-header patterns inside compressed
+    // packet payloads and report a bogus final granulepos.
     int64_t last_gp = -1;
     {
         int64_t pos = dtell(d);
         dseek(d, 0);
-        std::vector<uint8_t> buf(1 << 16);
-        size_t have = 0;
+        uint8_t scan_state[kOggStateSize];
+        a.sync_init(scan_state);
+        OggPage pg;
         for (;;) {
-            size_t got = dread_some(d, buf.data() + have, buf.size() - have);
+            char* dst = a.sync_buffer(scan_state, 1 << 16);
+            size_t got = dread_some(d, (uint8_t*)dst, 1 << 16);
             if (got == 0) break;
-            have += got;
-            for (size_t i = 0; i + 27 <= have; i++) {
-                if (memcmp(buf.data() + i, "OggS", 4) != 0 || buf[i + 4] != 0)
-                    continue;
-                int serial = int(rd_u32le(buf.data() + i + 14));
-                if (serial != os->serial) continue;
-                uint64_t gp_lo = rd_u32le(buf.data() + i + 6);
-                uint64_t gp_hi = rd_u32le(buf.data() + i + 10);
-                int64_t gp = int64_t(gp_lo | (gp_hi << 32));
+            a.sync_wrote(scan_state, long(got));
+            for (;;) {
+                int r = a.sync_pageout(scan_state, &pg);
+                if (r == 0) break;      // need more data
+                if (r != 1) continue;   // desync: bytes skipped, retry
+                if (a.page_serialno(&pg) != os->serial) continue;
+                int64_t gp = a.page_granulepos(&pg);
                 if (gp >= 0) last_gp = gp;
             }
-            // keep a 26-byte tail so headers spanning chunks are seen
-            if (have > 26) {
-                memmove(buf.data(), buf.data() + have - 26, 26);
-                have = 26;
-            }
         }
+        a.sync_clear(scan_state);
         dseek(d, pos);
     }
     int64_t total = last_gp >= 0 ? last_gp - os->preskip : 0;
@@ -2042,7 +2052,11 @@ int gac_write_opus(const char* path, const float* data, int64_t frames,
     std::vector<float> frame_buf(size_t(fsz) * channels);
     std::vector<uint8_t> out(8192);
     int64_t pos = 0;
-    int64_t gp = preskip48;
+    // granulepos = total 48 kHz samples decodable through this packet; the
+    // preskip junk at the stream head is part of that count already, so gp
+    // starts at ZERO (an opusfile-style demuxer seeks at gp - preskip, and
+    // seeding gp with preskip48 would offset every intermediate page by it).
+    int64_t gp = 0;
     int64_t packetno = 2;
     while (pos < enc_end && rc == 0) {
         int64_t n = frames - pos < fsz ? frames - pos : fsz;
@@ -2063,7 +2077,8 @@ int gac_write_opus(const char* path, const float* data, int64_t frames,
         pkt.packet = out.data();
         pkt.bytes = long(bytes);
         pkt.e_o_s = last ? 1 : 0;
-        // final granulepos signals end trimming (RFC 7845 section 4.5)
+        // final granulepos = preskip + source length, signalling how many
+        // trailing padding samples to trim (RFC 7845 section 4.5)
         pkt.granulepos = last ? int64_t(preskip48) + total48 : gp;
         pkt.packetno = packetno++;
         a.stream_packetin(osbuf.data(), &pkt);
