@@ -1050,6 +1050,37 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         V = abs_start.shape[0]
         return shifted.reshape(V, C, (nrows - 1) * FRAMES_PER_BLOCK)[:, :, :w]
 
+    @staticmethod
+    def _gather_blocks_group(arena, abs_start, bidx):
+        """Fused form of ``_gather_windows_group`` + the per-superblock block
+        select: result[v, c, s] = arena[c, abs_start[v] + 128*bidx[v, s] :][:128]
+        with NO element gathers and no intermediate window tensor — the block
+        index folds into the row index ((a + 128*b)//128 == a//128 + b), so
+        one row-gather pair + the lane-shift matmul produce the selected
+        blocks directly. Returns f32[V, C, S, 128]."""
+        i32 = jnp.int32
+        C, W = arena.shape
+        S = bidx.shape[1]
+        rows = arena.reshape(C, W // FRAMES_PER_BLOCK, FRAMES_PER_BLOCK)
+        row0 = abs_start // FRAMES_PER_BLOCK  # [V]
+        delta = (abs_start % FRAMES_PER_BLOCK).astype(i32)
+        nrows = W // FRAMES_PER_BLOCK
+        ridx = jnp.clip(row0[:, None] + bidx.astype(row0.dtype), 0, nrows - 1)
+        sel_lo = jnp.take(rows, ridx, axis=1)  # [C, V, S, 128]
+        sel_hi = jnp.take(rows, jnp.clip(ridx + 1, 0, nrows - 1), axis=1)
+        l_iota = jnp.arange(FRAMES_PER_BLOCK, dtype=i32)
+        dlt = delta[:, None, None]
+        sh_lo = (l_iota[:, None] == l_iota[None, :] + dlt).astype(jnp.float32)
+        sh_hi = (
+            l_iota[:, None] + FRAMES_PER_BLOCK == l_iota[None, :] + dlt
+        ).astype(jnp.float32)  # [V, 128(src), 128(dst)]
+        shifted = jnp.einsum(
+            "cvns,vsd->vcnd", sel_lo, sh_lo, precision=_HIGHEST
+        ) + jnp.einsum(
+            "cvns,vsd->vcnd", sel_hi, sh_hi, precision=_HIGHEST
+        )  # [V, C, S, 128]
+        return shifted
+
     @classmethod
     def process_unity_group(cls, states, arena, geom, rc, w: int,
                             aligned: bool = False):
@@ -1084,9 +1115,16 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             jnp.cumsum(adv, axis=1) - adv
         )  # [V, S] f64 exclusive cumsum
         p0 = states["pos"]
+        delta_b = (pos_b - p0[:, None]).astype(i32)  # [V, S]
+        bidx = jnp.clip(delta_b // FRAMES_PER_BLOCK, 0, S - 1)
 
         qmod = jnp.mod(p0 - lsf, jnp.maximum(llen, 1.0))
         e0 = jnp.where(looping & (p0 >= lsf), lsf + llen + qmod, p0)
+        # The per-superblock block index composes into the row fetch itself
+        # (rows[row0 + s][bidx[s]] == rows[row0 + bidx[s]]): ONE row gather
+        # replaces the gather + take_along_axis pair (measured 0.058 ->
+        # 0.034 ms/step for the 128-voice aligned stage,
+        # benchmarks/results/micro_probe.json).
         if aligned:
             # Positions and arena offsets are multiples of 128 by variant
             # contract; floor the end-clip to keep the start aligned (only
@@ -1098,22 +1136,18 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             rows = arena.reshape(C, W // FRAMES_PER_BLOCK, FRAMES_PER_BLOCK)
             row0 = (off + front + start) // FRAMES_PER_BLOCK  # [V] exact
             ridx = jnp.clip(
-                row0[:, None] + jnp.arange(S, dtype=row0.dtype)[None, :],
+                row0[:, None] + bidx.astype(row0.dtype),
                 0, W // FRAMES_PER_BLOCK - 1,
             )
-            blocks = jnp.moveaxis(
+            samples = jnp.moveaxis(
                 jnp.take(rows, ridx, axis=1), 0, 1
             )  # [V, C, S, 128] pure row gather
         else:
-            start = jnp.clip(e0.astype(i32), 0, region_len.astype(i32) - w)
-            window = cls._gather_windows_group(arena, off + front + start, w)
-            blocks = window[:, :, : S * FRAMES_PER_BLOCK].reshape(
-                V, C, S, FRAMES_PER_BLOCK
+            samples = cls._gather_blocks_group(
+                arena, off + front
+                + jnp.clip(e0.astype(i32), 0, region_len.astype(i32) - w),
+                bidx,
             )
-
-        delta_b = (pos_b - p0[:, None]).astype(i32)  # [V, S]
-        bidx = jnp.clip(delta_b // FRAMES_PER_BLOCK, 0, S - 1)
-        samples = jnp.take_along_axis(blocks, bidx[:, None, :, None], axis=2)
         i = jnp.arange(FRAMES_PER_BLOCK, dtype=i32)
 
         g = (

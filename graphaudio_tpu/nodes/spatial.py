@@ -174,12 +174,25 @@ class SpatialPannerNode(AudioNode):
         return ("spatial-panner", input_channels[0], self._distance_model,
                 hrir_key, self._occlusion_active())
 
+    def _active_grid(self, sample_rate):
+        """The HRIR grid this panner renders with (per-node custom >
+        context default > analytic spherical head)."""
+        if self._custom_hrir is not None:
+            return self._custom_hrir
+        if self.context._default_hrir is not None:
+            return self.context._default_hrir
+        return _hrir_grid(sample_rate)
+
     def init_state(self, info):
         c = self._channels
+        from graphaudio_tpu.ops.hrtf import hrtf_fft_size
+
+        grid = self._active_grid(self.context.sample_rate)
+        tail = hrtf_fft_size(grid.shape[-1]) - FRAMES_PER_BLOCK
         return {
             # Overlap-add tail of the binaural render (frequency-domain
             # per-quantum HRIR filter; see ops/hrtf.fir_freq_per_block).
-            "ola": np.zeros((2, FRAMES_PER_BLOCK), np.float32),
+            "ola": np.zeros((2, tail), np.float32),
             # One-pole crossover states for 3-band transmission, per channel.
             "xlow": np.zeros((c,), np.float32),
             "xhigh": np.zeros((c,), np.float32),
@@ -318,12 +331,7 @@ class SpatialPannerNode(AudioNode):
         mono = jnp.mean(direct, axis=0).reshape(S, FRAMES_PER_BLOCK)
         azimuth = jnp.arctan2(dx, -dz)  # phonon convention: -z is ahead
         elevation = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
-        if self._custom_hrir is not None:
-            grid_np = self._custom_hrir
-        elif self.context._default_hrir is not None:
-            grid_np = self.context._default_hrir
-        else:
-            grid_np = _hrir_grid(rc.sample_rate)
+        grid_np = self._active_grid(rc.sample_rate)
         sr_grid, si_grid = hrir_grid_spectra(grid_np)
         hr = interp_hrir(jnp.asarray(sr_grid), azimuth, elevation)  # [S,2,129]
         hi = interp_hrir(jnp.asarray(si_grid), azimuth, elevation)

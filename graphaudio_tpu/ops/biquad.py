@@ -138,6 +138,21 @@ def _first_order_scan(p, u, s_init):
     dead end tried this in the launch-bound small-T regime where the extra
     level only added dispatches; at the large superblocks config 3 runs at,
     the tradeoff flips — measured, see benchmarks/results/config3.json.)
+
+    MEASURED DEAD END — Pallas in-kernel sequential loop (the SURVEY §7
+    candidate: replace the inner level's 2*log2(128) associative-scan
+    passes with 128 literal recurrence steps, blocks on the lane axis,
+    state in registers). A Mosaic kernel doing exactly that COMPILES AND
+    RUNS on the axon v5e, but loses to this scan at the inner level's own
+    shape: 0.0272 ms vs 0.0158 ms per [128 blocks x 128 steps] complex
+    first-order solve (benchmarks/results/micro_probe2.json,
+    fo_pallas_ms / fo_scan_ms; numerical agreement 2e-5). The sequential
+    loop issues ~128 * 8 dependent VPU ops on (1, 128) vectors — 1/8 of
+    each vreg's sublanes idle and zero instruction-level parallelism —
+    while the scan's 14 full passes run wide and saturate the VPU. A
+    Pallas HRTF FIR attempt also failed outright (scoped-vmem OOM at
+    Mosaic layout time, micro_probe2.json fir_pallas_error). Pallas stays
+    out of the production path by measurement, not by omission.
     """
     C, T = u.shape
     B = 128 if T % 128 == 0 and T > 128 else T

@@ -140,6 +140,19 @@ class ComplexDft:
         tw = sign * np.pi * k1[:, None] * k2[None, :] / n
         inst._twr = np.cos(tw).astype(np.float32)
         inst._twi = np.sin(tw).astype(np.float32)
+        # Augmented-real stage bases: a complex contraction C = A @ W equals
+        # ONE real matmul [Ar | Ai] @ [[Wr, Wi], [-Wi, Wr]] — same MACs as
+        # the 4-real-matmul form but 1/4 the op count and a full 2*n-wide
+        # contraction (the MXU's 128 lanes were half idle at n1 = n2 = 64).
+        # At the convolver's batch-1 superblock transforms the op-count is
+        # the cost, not the FLOPs (benchmarks/results/micro_probe.json:
+        # conv_big_sb32 0.137 ms/step for ~0.5 MFLOP of matmul work).
+        inst._w1a = np.block(
+            [[inst._w1r, inst._w1i], [-inst._w1i, inst._w1r]]
+        ).astype(np.float32)
+        inst._w2a = np.block(
+            [[inst._w2r, inst._w2i], [-inst._w2i, inst._w2r]]
+        ).astype(np.float32)
         inst._inverse = inverse
         cls._cache[key] = inst
         return inst
@@ -154,30 +167,29 @@ class ComplexDft:
         lead = xr.shape[:-1]
         xr = xr.reshape(lead + (n1, n2))
         xi = xi.reshape(lead + (n1, n2))
-        w1r = jnp.asarray(self._w1r)
-        w1i = jnp.asarray(self._w1i)
-        w2r = jnp.asarray(self._w2r)
-        w2i = jnp.asarray(self._w2i)
+        w1a = jnp.asarray(self._w1a)
+        w2a = jnp.asarray(self._w2a)
         twr = jnp.asarray(self._twr)
         twi = jnp.asarray(self._twi)
 
-        def cmm(ar, ai, br, bi, eq):  # complex contraction via 4 real matmuls
-            rr = jnp.einsum(eq, ar, br, precision=_HIGHEST)
-            ri = jnp.einsum(eq, ar, bi, precision=_HIGHEST)
-            ir = jnp.einsum(eq, ai, br, precision=_HIGHEST)
-            ii = jnp.einsum(eq, ai, bi, precision=_HIGHEST)
-            return rr - ii, ri + ir
-
-        # Stage 1: DFT over the j1 axis (length n1) for each j2 column.
-        yr, yi = cmm(xr, xi, w1r, w1i, "...jt,jk->...kt")
+        # Stage 1: DFT over the j1 axis (length n1) for each j2 column —
+        # j1 transposed last, re/im packed, ONE augmented-real matmul
+        # (w1 is symmetric, so the contraction-side transpose is free).
+        p = jnp.concatenate(
+            [jnp.swapaxes(xr, -1, -2), jnp.swapaxes(xi, -1, -2)], axis=-1
+        )  # [.., n2, 2*n1]
+        y = jnp.matmul(p, w1a, precision=_HIGHEST)
+        yr = jnp.swapaxes(y[..., :n1], -1, -2)  # [.., n1, n2]
+        yi = jnp.swapaxes(y[..., n1:], -1, -2)
         # Twiddle: * exp(sign*2pi*i*k1*j2/n)
         zr = yr * twr - yi * twi
         zi = yr * twi + yi * twr
         # Stage 2: DFT over the j2 axis (length n2) for each k1 row.
-        vr, vi = cmm(zr, zi, w2r, w2i, "...kt,tm->...km")
+        q = jnp.concatenate([zr, zi], axis=-1)  # [.., n1, 2*n2]
+        v = jnp.matmul(q, w2a, precision=_HIGHEST)
         # Output layout: [k1, k2] -> flat index k2*n1 + k1.
-        out_r = jnp.swapaxes(vr, -1, -2).reshape(lead + (self.n,))
-        out_i = jnp.swapaxes(vi, -1, -2).reshape(lead + (self.n,))
+        out_r = jnp.swapaxes(v[..., :n2], -1, -2).reshape(lead + (self.n,))
+        out_i = jnp.swapaxes(v[..., n2:], -1, -2).reshape(lead + (self.n,))
         if self._inverse:
             out_r = out_r / self.n
             out_i = out_i / self.n

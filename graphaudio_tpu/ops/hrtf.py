@@ -174,8 +174,19 @@ def interp_hrir(grid, azimuth, elevation):
 _spectra_cache = {}
 
 
+def hrtf_fft_size(hrir_length: int) -> int:
+    """Transform size for the per-quantum HRIR filter: the overlap-add of a
+    128-frame quantum with an L-tap kernel needs fft >= 128 + L - 1, so the
+    default 64-tap grids ride a 192-pt transform (25% fewer forward-DFT and
+    44% fewer inverse-DFT MACs than 256-pt, exactly — the spatializer stage
+    is MXU-bound at HIGHEST precision, so MACs are wall time) and only
+    measured sets longer than 64 taps pay for 256."""
+    return 192 if hrir_length <= 64 else 2 * FRAMES_PER_BLOCK
+
+
 def hrir_grid_spectra(grid):
-    """256-pt spectra of an HRIR grid: (Sr, Si) f32[E, A, 2, 129].
+    """Per-node kernel spectra of an HRIR grid: (Sr, Si) f32[E, A, 2, B]
+    where B = hrtf_fft_size(L)//2 + 1.
 
     Since bilinear interpolation is linear and the DFT is linear, the
     spectrum of the interpolated HRIR equals the interpolation of these
@@ -189,7 +200,7 @@ def hrir_grid_spectra(grid):
     entry = _spectra_cache.get(key)
     if entry is None or entry[0] is not grid:
         g = np.asarray(grid, dtype=np.float64)  # [E, A, 2, L]
-        padded = np.zeros(g.shape[:-1] + (2 * FRAMES_PER_BLOCK,))
+        padded = np.zeros(g.shape[:-1] + (hrtf_fft_size(g.shape[-1]),))
         padded[..., : g.shape[-1]] = g
         spec = np.fft.rfft(padded, axis=-1)  # [E, A, 2, 129]
         entry = (
@@ -206,34 +217,41 @@ def hrir_grid_spectra(grid):
 def fir_freq_per_block(x, hr, hi, overlap):
     """Per-quantum stereo HRIR filter in the frequency domain.
 
-    x: f32[S, 128] mono quanta; hr, hi: f32[S, 2, 129] per-quantum kernel
-    spectra; overlap: f32[2, 128] carried tail of the previous quantum.
-    Returns (y f32[2, S, 128], overlap' f32[2, 128]).
+    x: f32[S, 128] mono quanta; hr, hi: f32[S, 2, B] per-quantum kernel
+    spectra (B = fft//2 + 1, fft = hrtf_fft_size(L)); overlap:
+    f32[2, fft - 128] carried tail of the previous quantum.
+    Returns (y f32[2, S, 128], overlap' f32[2, fft - 128]).
 
-    Equivalent to the im2col FIR (HRIR length <= 128 so 256-pt overlap-add
-    is exact) but with NO [S, 128, L] window materialization — the im2col
-    buffer's HBM traffic dominated the spatializer once voices were
-    batched. Everything here is DFT matmuls (MXU) + tiny elementwise MACs.
+    Equivalent to the im2col FIR (HRIR length <= fft - 127 so the
+    overlap-add is exact) but with NO [S, 128, L] window materialization —
+    the im2col buffer's HBM traffic dominated the spatializer once voices
+    were batched. Everything here is DFT matmuls (MXU) + tiny elementwise
+    MACs.
     """
     from graphaudio_tpu.ops.fft import RealDft
 
-    dft = RealDft(FRAMES_PER_BLOCK, 2 * FRAMES_PER_BLOCK)
-    xr, xi = dft.forward(x)  # [S, 129]
+    bins = hr.shape[-1]
+    fft = 2 * (bins - 1)
+    tail = fft - FRAMES_PER_BLOCK  # 64 for 192-pt, 128 for 256-pt
+    dft = RealDft(FRAMES_PER_BLOCK, fft)
+    xr, xi = dft.forward(x)  # [S, B]
     # Complex multiply per ear: Y = X * H.
-    yr = xr[:, None, :] * hr - xi[:, None, :] * hi  # [S, 2, 129]
+    yr = xr[:, None, :] * hr - xi[:, None, :] * hi  # [S, 2, B]
     yi = xr[:, None, :] * hi + xi[:, None, :] * hr
     S = x.shape[0]
     y_full = dft.inverse(
-        yr.reshape(S * 2, NUM_SPEC_BINS), yi.reshape(S * 2, NUM_SPEC_BINS)
-    ).reshape(S, 2, 2 * FRAMES_PER_BLOCK)
+        yr.reshape(S * 2, bins), yi.reshape(S * 2, bins)
+    ).reshape(S, 2, fft)
     first = y_full[..., :FRAMES_PER_BLOCK]  # [S, 2, 128]
-    second = y_full[..., FRAMES_PER_BLOCK:]
+    second = y_full[..., FRAMES_PER_BLOCK:]  # [S, 2, tail]
     prev = jnp.concatenate([overlap[None], second[:-1]], axis=0)
+    if tail < FRAMES_PER_BLOCK:
+        prev = jnp.pad(prev, ((0, 0), (0, 0), (0, FRAMES_PER_BLOCK - tail)))
     y = first + prev  # [S, 2, 128]
     return jnp.moveaxis(y, 1, 0), second[-1]
 
 
-NUM_SPEC_BINS = FRAMES_PER_BLOCK + 1  # 129 for the 256-pt transform
+NUM_SPEC_BINS = FRAMES_PER_BLOCK + 1  # bins of the (max) 256-pt transform
 
 
 def fir_per_block(x, h, history):

@@ -195,18 +195,24 @@ def test_load_hrir_grid_exact_at_measurement_directions():
     np.testing.assert_allclose(grid[3, 10], m[2], atol=1e-7)
 
 
-def test_grid_interp_matches_direct_convolution(rng):
+import pytest
+
+
+@pytest.mark.parametrize("taps", [64, 100])
+def test_grid_interp_matches_direct_convolution(rng, taps):
     """Bilinearly interpolated grid spectra applied in the frequency domain
     must equal direct time-domain convolution with the same interpolated
     HRIR (the linearity argument the pipeline relies on)."""
     import jax.numpy as jnp
 
     from graphaudio_tpu.ops.hrtf import (
-        fir_freq_per_block, hrir_grid_spectra, interp_hrir, load_hrir_grid,
+        fir_freq_per_block, hrir_grid_spectra, hrtf_fft_size, interp_hrir,
+        load_hrir_grid,
     )
 
-    data = _synthetic_measured_set()
+    data = _synthetic_measured_set(n=taps)
     grid = load_hrir_grid(data, 48000, n_azimuth=12, n_elevation=7)
+    assert grid.shape[-1] == taps  # 64 rides the 192-pt path, 100 the 256-pt
     az = np.float32(0.7)
     el = np.float32(0.2)
 
@@ -221,8 +227,10 @@ def test_grid_interp_matches_direct_convolution(rng):
     sr_g, si_g = hrir_grid_spectra(grid)
     hr = interp_hrir(jnp.asarray(sr_g), jnp.asarray([az, az]), jnp.asarray([el, el]))
     hi = interp_hrir(jnp.asarray(si_g), jnp.asarray([az, az]), jnp.asarray([el, el]))
+    tail = hrtf_fft_size(grid.shape[-1]) - 128
     y, _ = fir_freq_per_block(
-        jnp.asarray(sig.reshape(2, 128)), hr, hi, jnp.zeros((2, 128), jnp.float32)
+        jnp.asarray(sig.reshape(2, 128)), hr, hi,
+        jnp.zeros((2, tail), jnp.float32)
     )
     got = np.asarray(y).reshape(2, 256)
     assert np.abs(got - want).max() < 1e-4
