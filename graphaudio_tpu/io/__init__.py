@@ -13,6 +13,7 @@ WAV/FLAC/MP3/Ogg/Opus.
 from graphaudio_tpu.io.decode import (
     AudioDecoder,
     codec_capabilities,
+    write_alac,
     write_flac,
     write_mp3,
     write_ogg,
@@ -24,6 +25,7 @@ from graphaudio_tpu.io.stream import AudioDecoderStreamNode, StreamState
 __all__ = [
     "AudioDecoder",
     "codec_capabilities",
+    "write_alac",
     "write_flac",
     "write_mp3",
     "write_ogg",

@@ -261,8 +261,10 @@ def codec_capabilities() -> dict:
     if lib is None:
         return {"wav": True, "aiff": False, "mp3": False, "ogg": False,
                 "flac": False, "adpcm": False, "opus": False,
+                "alac": False,
                 "mp3_encode": False, "ogg_encode": False,
-                "flac_encode": False, "opus_encode": False}
+                "flac_encode": False, "opus_encode": False,
+                "alac_encode": False}
     return {
         "wav": True,
         "aiff": True,
@@ -271,10 +273,12 @@ def codec_capabilities() -> dict:
         "flac": bool(lib.gac_has_flac()),
         "adpcm": bool(lib.gac_has_adpcm()),
         "opus": bool(lib.gac_has_opus()),
+        "alac": bool(lib.gac_has_alac()),
         "mp3_encode": bool(lib.gac_has_mp3_encode()),
         "ogg_encode": bool(lib.gac_has_vorbis_encode()),
         "flac_encode": bool(lib.gac_has_flac_encode()),
         "opus_encode": bool(lib.gac_has_opus_encode()),
+        "alac_encode": bool(lib.gac_has_alac_encode()),
     }
 
 
@@ -318,6 +322,24 @@ def write_flac(path, data: np.ndarray, sample_rate: int, bits: int = 16) -> None
     )
     if r != 0:
         raise RuntimeError("FLAC encoding failed")
+
+
+def write_alac(path, data: np.ndarray, sample_rate: int, bits: int = 16) -> None:
+    """Encode planar f32[channels, n] audio as Apple Lossless inside a CAF
+    container (native encoder; 16- or 24-bit; 1-8 channels). Lossless at the
+    chosen bit depth. Parity surface: libsndfile's caf/alac path
+    (GraphAudio.IO/Libsndfile.cs:26-68 format table)."""
+    data, inter = _interleave(data)
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError("ALAC encoding unavailable (native codec not built)")
+    r = lib.gac_write_alac(
+        os.fspath(path).encode(),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data.shape[1], data.shape[0], int(sample_rate), int(bits),
+    )
+    if r != 0:
+        raise RuntimeError("ALAC encoding failed")
 
 
 def write_opus(path, data: np.ndarray, sample_rate: int,

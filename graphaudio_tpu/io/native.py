@@ -68,6 +68,14 @@ def _configure(lib) -> None:
             c.c_int,
             [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
         ),
+        # Apple Lossless (ALAC) inside CAF: native decode + encode, from the
+        # published bitstream format.
+        "gac_has_alac": (c.c_int, []),
+        "gac_has_alac_encode": (c.c_int, []),
+        "gac_write_alac": (
+            c.c_int,
+            [c.c_char_p, c.POINTER(c.c_float), c.c_int64, c.c_int, c.c_int, c.c_int],
+        ),
     }
     for name, (restype, argtypes) in sigs.items():
         f = getattr(lib, name)

@@ -1007,3 +1007,106 @@ def test_opus_stream_node_with_loop(tmp_path):
     assert abs(peak_hz - 440.0) < 10.0
     # audio keeps flowing after the seam
     assert float(np.sqrt(np.mean(out[0, n:].astype(np.float64) ** 2))) > 0.2
+
+
+# ---- ALAC (Apple Lossless in CAF) -------------------------------------------
+
+
+def test_alac_roundtrip(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_alac
+    caps = codec_capabilities()
+    if not (caps.get("alac") and caps.get("alac_encode")):
+        pytest.skip("native codec unavailable")
+    _codec_roundtrip(tmp_path / "t.caf", lambda p, d, sr: write_alac(p, d, sr), True)
+
+
+def test_alac_lossless_matches_flac(tmp_path):
+    """ALAC is lossless: for identical float input at the same bit depth,
+    the ALAC and FLAC decodes are bit-identical (same quantizer, both
+    lossless), across packet-boundary / partial-final-packet lengths and
+    channel element layouts (SCE / CPE / mixed)."""
+    from graphaudio_tpu.io import codec_capabilities, write_alac, write_flac
+    caps = codec_capabilities()
+    if not (caps.get("alac") and caps.get("alac_encode")
+            and caps.get("flac") and caps.get("flac_encode")):
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(11)
+    for n, ch in [(57, 1), (4095, 2), (4096, 2), (12345, 3)]:
+        sig = np.clip(rng.standard_normal((ch, n)) * 0.4, -1, 1).astype(np.float32)
+        pa, pf = tmp_path / f"{n}_{ch}.caf", tmp_path / f"{n}_{ch}.flac"
+        write_alac(pa, sig, SR, bits=16)
+        write_flac(pf, sig, SR, bits=16)
+        with AudioDecoder(str(pa)) as da, AudioDecoder(str(pf)) as df:
+            assert da.frames == n and da.channels == ch
+            assert da.sample_rate == SR
+            a = da.decode_planar(n)
+            f = df.decode_planar(n)
+        assert np.array_equal(a, f), f"n={n} ch={ch} not lossless"
+
+
+def test_alac_24bit_lossless(tmp_path):
+    from graphaudio_tpu.io import codec_capabilities, write_alac
+    caps = codec_capabilities()
+    if not (caps.get("alac") and caps.get("alac_encode")):
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(12)
+    sig = np.clip(rng.standard_normal((2, 9001)) * 0.4, -1, 1).astype(np.float32)
+    path = tmp_path / "t24.caf"
+    write_alac(path, sig, SR, bits=24)
+    q = np.clip(np.rint(sig.astype(np.float64) * (1 << 23)),
+                -(1 << 23), (1 << 23) - 1)
+    expect = (q / (1 << 23)).astype(np.float32)
+    with AudioDecoder(str(path)) as dec:
+        out = dec.decode_planar(9001)
+    assert np.array_equal(out, expect)
+
+
+def test_alac_entropy_regimes(tmp_path):
+    """Each encoder entropy path round-trips: adaptive rice (smooth),
+    zero-run coding with the one-shot sign modifier (sparse impulses),
+    rice escape (mid-amplitude noise), and the verbatim fallback
+    (alternating full-scale)."""
+    from graphaudio_tpu.io import codec_capabilities, write_alac
+    caps = codec_capabilities()
+    if not (caps.get("alac") and caps.get("alac_encode")):
+        pytest.skip("native codec unavailable")
+    n = 8192
+    t = np.arange(n)
+    rng = np.random.default_rng(13)
+    sparse = np.zeros(n, np.float32)
+    sparse[::97] = 0.5
+    sparse[50::131] = -0.25
+    alt = np.where(t % 2 == 0, 0.999, -0.999).astype(np.float32)
+    cases = {
+        "smooth": (0.3 * np.sin(2 * np.pi * 440 * t / SR)).astype(np.float32),
+        "sparse": sparse,
+        "noise": np.clip(rng.standard_normal(n) * 0.3, -1, 1).astype(np.float32),
+        "verbatim": alt,
+        "silence": np.zeros(n, np.float32),
+    }
+    for name, sig in cases.items():
+        path = tmp_path / f"{name}.caf"
+        write_alac(path, sig[None], SR, bits=16)
+        q = np.clip(np.rint(sig.astype(np.float64) * 32768), -32768, 32767)
+        expect = (q / 32768.0).astype(np.float32)
+        with AudioDecoder(str(path)) as dec:
+            out = dec.decode_planar(n)
+        assert np.array_equal(out[0], expect), f"{name} not lossless"
+
+
+def test_alac_seek(tmp_path):
+    """pakt-table seek lands on the packet boundary and decodes forward."""
+    from graphaudio_tpu.io import codec_capabilities, write_alac
+    caps = codec_capabilities()
+    if not (caps.get("alac") and caps.get("alac_encode")):
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(14)
+    n = 13000
+    sig = np.clip(rng.standard_normal((1, n)) * 0.2, -1, 1).astype(np.float32)
+    path = tmp_path / "seek.caf"
+    write_alac(path, sig, SR)
+    with AudioDecoder(str(path)) as dec:
+        whole = dec.decode_planar(n)
+        assert dec.try_seek(5000 / SR)
+        rest = dec.decode_planar(n)
+    np.testing.assert_array_equal(rest, whole[:, 5000:])
