@@ -286,19 +286,17 @@ class CompiledGraph:
         # dominated the spatial stage's dispatch count).
         for node in topo:
             for name, p in node.params.items():
-                self.param_capacity[(node.node_id, name)] = _next_pow2(
-                    max(1, p.event_count())
+                # Capacity 0 <=> statically event-free: the eval fast path
+                # keys off the ZERO-length encoding shape, so the first
+                # scheduled event (count 0 -> 1) changes argument shapes and
+                # re-traces — staleness is impossible by construction.
+                c = p.event_count()
+                self.param_capacity[(node.node_id, name)] = (
+                    _next_pow2(c) if c else 0
                 )
         for kind, nodes, _ in stages:
             if kind == "group":
-                cap = max(
-                    (self.param_capacity[(n.node_id, name)]
-                     for n in nodes for name in n.params),
-                    default=1,
-                )
-                for n in nodes:
-                    for name in n.params:
-                        self.param_capacity[(n.node_id, name)] = cap
+                self._share_group_capacity(nodes)
 
         # ---- buffer-source arenas (traced constants) -----------------------
         # Source sample data travels as ARGUMENTS (one packed arena per
@@ -669,6 +667,29 @@ class CompiledGraph:
         states["__globals__"] = self.context.global_state()
         return states
 
+    def _share_group_capacity(self, nodes) -> None:
+        """Unify event capacities across a group's lanes, per param name.
+
+        A name with events anywhere in the group takes the shared max
+        capacity of all event-bearing names (so their [P, V, ...] encodings
+        stack into one batched evaluation); a name with no events on ANY
+        lane stays at capacity 0 and rides the constant fast path (the
+        batching key in run_group includes the capacity, so 0-cap names are
+        never stacked with event-bearing ones)."""
+        names = list(nodes[0].params)
+        has = {
+            nm: any(n.params[nm].event_count() > 0 for n in nodes)
+            for nm in names
+        }
+        cap = max(
+            (self.param_capacity[(n.node_id, nm)]
+             for n in nodes for nm in names if has[nm]),
+            default=0,
+        )
+        for n in nodes:
+            for nm in names:
+                self.param_capacity[(n.node_id, nm)] = cap if has[nm] else 0
+
     def encode_params(self) -> Dict[str, dict]:
         """Encode all params' event lists; bumps capacities when outgrown.
 
@@ -682,14 +703,7 @@ class CompiledGraph:
                     self.param_capacity[key] = _next_pow2(p.event_count())
         for kind, nodes, _ in self.stages:
             if kind == "group":
-                cap = max(
-                    (self.param_capacity[(n.node_id, name)]
-                     for n in nodes for name in n.params),
-                    default=1,
-                )
-                for n in nodes:
-                    for name in n.params:
-                        self.param_capacity[(n.node_id, name)] = cap
+                self._share_group_capacity(nodes)
         encs = {}
         for si, (kind, nodes, _) in enumerate(self.stages):
             if kind == "group":
@@ -867,11 +881,17 @@ class CompiledGraph:
                     # into a [P, V, ...] pytree and evaluate with a single
                     # doubly-vmapped pass — P separate vmapped evaluations
                     # (17 for the spatial panner) cost ~10 dispatches EACH.
-                    by_kind: Dict[Tuple[bool, bool], list] = {}
+                    by_kind: Dict[Tuple[bool, bool, int], list] = {}
                     for name, a_rate, exact in sp["params"]:
-                        by_kind.setdefault((a_rate, exact), []).append(name)
+                        # Capacity joins the batching key: 0-cap (statically
+                        # event-free) names take the constant fast path and
+                        # must not stack with event-bearing encodings.
+                        cap_n = encs[f"{key}/{name}"]["times"].shape[-1]
+                        by_kind.setdefault((a_rate, exact, cap_n), []).append(
+                            name
+                        )
                         rates[name] = a_rate
-                    for (a_rate, exact), names in by_kind.items():
+                    for (a_rate, exact, _cap), names in by_kind.items():
                         npb = FRAMES_PER_BLOCK if a_rate else 1
                         first = encs[f"{key}/{names[0]}"]
                         if len(names) == 1:

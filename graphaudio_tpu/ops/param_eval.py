@@ -101,6 +101,13 @@ def eval_intrinsic(enc, t):
     n = enc["n"]
     base = enc["base"]
 
+    if times.shape[0] == 0:
+        # Capacity 0 = statically event-free (the graph encodes untouched
+        # params with zero capacity; scheduling the first event grows the
+        # capacity, changing argument shapes and re-tracing). The curve is
+        # the base value everywhere — skip the whole selection machinery.
+        return jnp.broadcast_to(jnp.asarray(base, jnp.float32), t.shape)
+
     # idx = number of events with event.time <= t  (first future event index).
     # The reference walks events while `t >= evt.Time` (AudioParam.cs:181).
     idx = jnp.searchsorted(times, t, side="right").astype(jnp.int32)
@@ -194,6 +201,15 @@ def eval_intrinsic_blocked(enc, block_times, n_per_block, sample_dt,
 
     Parity: AudioParam.ComputeValueAtTime (AudioParam.cs:168-247).
     """
+    if enc["times"].shape[0] == 0:
+        # Statically event-free (capacity 0, see eval_intrinsic): constant
+        # base value. One broadcast instead of [S, n, cap] selection math —
+        # untouched params (most gains, most spatial-panner params) cost
+        # nothing per step.
+        S = block_times.shape[0]
+        return jnp.broadcast_to(
+            jnp.asarray(enc["base"], jnp.float32), (S * n_per_block,)
+        )
     if exact and n_per_block == 1:
         # EXACT k-rate (opt-in via AudioParam.exact_eval; playbackRate):
         # evaluate the curve in FULL f64 absolute time — the reference's

@@ -168,3 +168,58 @@ def test_a_rate_modulation_in_graph():
     mod.start(0)
     out = ctx.render(256)
     assert np.allclose(out, 0.75, atol=1e-7)
+
+
+def test_static_param_capacity_zero_then_first_event_retraces():
+    """Untouched params encode with ZERO event capacity (constant fast
+    path). Scheduling the first event AFTER a compiled render must still be
+    honored: the capacity bump changes encoding shapes, which re-traces the
+    cached program — no stale constant may survive."""
+    import jax.numpy as jnp  # noqa: F401
+    sr = 48000
+    ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=2)
+    src = ga.ConstantSourceNode(ctx)
+    gain = ga.GainNode(ctx)
+    src.connect(gain).connect(ctx.destination)
+    src.start(0)
+    # first render: gain untouched -> capacity 0 -> constant fast path
+    out1 = ctx.render(256)
+    assert np.allclose(out1[0], 1.0)
+    # now schedule the param's FIRST event and render on
+    t0 = ctx.current_time
+    gain.gain.set_value_at_time(0.25, t0)
+    out2 = ctx.render(256)
+    assert np.allclose(out2[0], 0.25), "first-ever event ignored (stale fast path)"
+    # plain value writes on a still-event-free param stay on the fast path
+    ctx2 = ga.OfflineAudioContext(sample_rate=sr, superblock=2)
+    src2 = ga.ConstantSourceNode(ctx2)
+    g2 = ga.GainNode(ctx2)
+    src2.connect(g2).connect(ctx2.destination)
+    src2.start(0)
+    g2.gain.value = 0.5
+    a = ctx2.render(256)
+    assert np.allclose(a[0], 0.5)
+    g2.gain.value = 0.125  # value change, still no events -> same program
+    b = ctx2.render(256)
+    assert np.allclose(b[0], 0.125)
+
+
+def test_static_group_param_first_event_on_one_lane():
+    """A group where one lane's param gains its first event later: the
+    per-name shared capacity grows for every lane, the others still read
+    their base values."""
+    sr = 48000
+    ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=2)
+    gains = []
+    for v in range(4):
+        src = ga.ConstantSourceNode(ctx)
+        g = ga.GainNode(ctx)
+        g.gain.value = float(v + 1)
+        src.connect(g).connect(ctx.destination)
+        src.start(0)
+        gains.append(g)
+    out1 = ctx.render(256)
+    assert np.allclose(out1[0], 1 + 2 + 3 + 4)
+    gains[2].gain.set_value_at_time(10.0, ctx.current_time)
+    out2 = ctx.render(256)
+    assert np.allclose(out2[0], 1 + 2 + 10 + 4)
