@@ -2150,7 +2150,12 @@ uint32_t alac_decode_element(AlacBits& b, const AlacConfig& cfg, int nch,
             pbf[c] = int(b.get(3));
             order[c] = int(b.get(5));
             if (order[c] != 31 && order[c] > 30) return 0;
-            for (int j = 0; j < order[c] && j < 32; j++)
+            // Stream order is NEWEST tap first: slot [order-1] is read
+            // first (the predictor loop pairs coefs[j] with the older
+            // sample out[i-order+j], ffmpeg alac.c reads the table
+            // reversed the same way; verified against libavcodec-encoded
+            // order-4 streams, tests/test_io.py interop tests).
+            for (int j = order[c] - 1; j >= 0; j--)
                 coefs[c][j] = int16_t(b.get(16));
         }
         if (b.fail) return 0;
@@ -2196,12 +2201,35 @@ uint32_t alac_decode_element(AlacBits& b, const AlacConfig& cfg, int nch,
 }
 
 // Decode one whole packet into st->ch[]; returns frames, 0 on error.
+// Standard ALAC multichannel layouts (Apple spec; same table as
+// libavcodec's ff_alac_channel_layout_offsets): element k's decoded
+// channel i lands at output position offsets[channels-1][pos + i], where
+// pos counts decoded channels so far. 6ch, e.g., is SCE(C) CPE(L R)
+// CPE(Ls Rs) SCE(LFE) with output order L R C LFE Ls Rs.
+static const uint8_t kAlacChanOffsets[8][8] = {
+    {0},
+    {0, 1},
+    {2, 0, 1},
+    {2, 0, 1, 3},
+    {2, 0, 1, 3, 4},
+    {2, 0, 1, 4, 5, 3},
+    {2, 0, 1, 4, 5, 6, 3},
+    {2, 6, 7, 0, 1, 4, 5, 3},
+};
+// Element channel counts per layout (SCE=1, CPE=2), zero-terminated.
+static const uint8_t kAlacElements[8][6] = {
+    {1, 0},          {2, 0},          {1, 2, 0},       {1, 2, 1, 0},
+    {1, 2, 2, 0},    {1, 2, 2, 1, 0}, {1, 2, 2, 1, 1, 0},
+    {1, 2, 2, 2, 1, 0},
+};
+
 uint32_t alac_decode_packet(AlacStream* st, const uint8_t* data,
                             size_t size) {
     AlacBits b{data, size, 0, false};
     const AlacConfig& cfg = st->cfg;
-    int ch_base = 0;
+    int pos = 0;  // decoded channels so far
     uint32_t nsamp = 0;
+    const uint8_t* offsets = kAlacChanOffsets[cfg.channels - 1];
     for (int c = 0; c < cfg.channels; c++)
         st->ch[c].resize(cfg.frame_length);
     for (;;) {
@@ -2209,18 +2237,18 @@ uint32_t alac_decode_packet(AlacStream* st, const uint8_t* data,
         if (b.fail) return 0;
         if (tag == 7) break;                    // END
         int nch = (tag == 1) ? 2 : (tag == 0 || tag == 3) ? 1 : 0;
-        if (nch == 0 || ch_base + nch > cfg.channels) return 0;
+        if (nch == 0 || pos + nch > cfg.channels) return 0;
         int32_t* out[2] = {
-            st->ch[ch_base].data(),
-            nch == 2 ? st->ch[ch_base + 1].data() : nullptr,
+            st->ch[offsets[pos]].data(),
+            nch == 2 ? st->ch[offsets[pos + 1]].data() : nullptr,
         };
         uint32_t got = alac_decode_element(b, cfg, nch, out, st);
         if (got == 0) return 0;
         if (nsamp == 0) nsamp = got;
         else if (nsamp != got) return 0;
-        ch_base += nch;
+        pos += nch;
     }
-    if (ch_base != cfg.channels) return 0;
+    if (pos != cfg.channels) return 0;
     return nsamp;
 }
 
@@ -2306,6 +2334,21 @@ bool finish_alac_caf(Decoder* d, AlacCafPieces& pieces) {
     if (valid + priming > max_frames) {
         delete st;
         return false;
+    }
+    // Some muxers (ffmpeg's cafenc) write mNumberValidFrames lazily as
+    // packets*frame_length even when the final packet is partial. ALAC
+    // elements carry their true sample count in-stream, so when the
+    // header claims an exactly-full file, probe the last packet and trust
+    // the bitstream over the header.
+    if (n_pkts > 0 && valid + priming == max_frames) {
+        size_t last = size_t(n_pkts - 1);
+        std::vector<uint8_t> buf(st->pkt_size[last]);
+        if (dseek(d, st->pkt_off[last]) && dread(d, buf.data(), buf.size())) {
+            uint32_t nsamp = alac_decode_packet(st, buf.data(), buf.size());
+            if (nsamp > 0)
+                valid = (n_pkts - 1) * int64_t(st->cfg.frame_length) +
+                        int64_t(nsamp) - priming;
+        }
     }
     st->priming = priming;
     d->alac = st;
@@ -2499,7 +2542,10 @@ void alac_encode_element(AlacBitWriter& w, const AlacConfig& cfg,
     }
     for (int c = 0; c < nch; c++) {
         body.put(0, 4);   // prediction mode 0
-        body.put(0, 4);   // quant (unused at order 31)
+        // quant is unused by the order-31 first-order path, but strict
+        // decoders (libavcodec) reject lpc_quant == 0 outright (the
+        // rounding term 1 << (quant-1) is UB at 0) — write a benign 9.
+        body.put(9, 4);
         body.put(4, 3);   // rice history mult factor (4/4 = neutral)
         body.put(31, 5);  // order 31: pure first-order predictor
         // The coefficient table is present in the stream for ANY order,
@@ -2538,12 +2584,21 @@ void alac_encode_element(AlacBitWriter& w, const AlacConfig& cfg,
 
 void alac_encode_packet(AlacBitWriter& w, const AlacConfig& cfg,
                         const int32_t* const* chans, uint32_t n) {
-    int c = 0;
-    while (c < cfg.channels) {
-        int nch = (cfg.channels - c >= 2) ? 2 : 1;
-        const int32_t* el[2] = {chans[c], nch == 2 ? chans[c + 1] : nullptr};
+    // Standard element layout + channel-position mapping (see
+    // kAlacChanOffsets): e.g. 6ch emits SCE(C) CPE(L R) CPE(Ls Rs)
+    // SCE(LFE) with the input channels in layout order L R C LFE Ls Rs —
+    // the layout strict decoders (libavcodec) require.
+    const uint8_t* offsets = kAlacChanOffsets[cfg.channels - 1];
+    const uint8_t* els = kAlacElements[cfg.channels - 1];
+    int pos = 0;
+    for (int e = 0; els[e]; e++) {
+        int nch = els[e];
+        const int32_t* el[2] = {
+            chans[offsets[pos]],
+            nch == 2 ? chans[offsets[pos + 1]] : nullptr,
+        };
         alac_encode_element(w, cfg, el, nch, n);
-        c += nch;
+        pos += nch;
     }
     w.put(7, 3);  // END
     w.align();

@@ -1110,3 +1110,57 @@ def test_alac_seek(tmp_path):
         assert dec.try_seek(5000 / SR)
         rest = dec.decode_planar(n)
     np.testing.assert_array_equal(rest, whole[:, 5000:])
+
+
+def _avoracle_or_skip():
+    from graphaudio_tpu.testing import avoracle
+    if avoracle.load() is None:
+        pytest.skip("ffmpeg dev libraries unavailable")
+    return avoracle
+
+
+def test_alac_ffmpeg_decodes_ours(tmp_path):
+    """Interop, encode direction: a second, independent implementation
+    (libavcodec) decodes our ALAC-in-CAF bitstreams bit-exactly across
+    element layouts (SCE / CPE / Apple multichannel tables, 1-8 ch) and a
+    partial final packet."""
+    from graphaudio_tpu.io import codec_capabilities, write_alac
+    caps = codec_capabilities()
+    if not (caps.get("alac") and caps.get("alac_encode")):
+        pytest.skip("native codec unavailable")
+    avoracle = _avoracle_or_skip()
+    rng = np.random.default_rng(21)
+    for n, ch in [(4096, 1), (10111, 2), (5000, 6), (4099, 8)]:
+        sig = np.clip(rng.standard_normal((ch, n)) * 0.4, -1, 1).astype(np.float32)
+        path = tmp_path / f"ours_{n}_{ch}.caf"
+        write_alac(path, sig, SR, bits=16)
+        out, rate = avoracle.decode(path)
+        assert rate == SR and out.shape == (n, ch)
+        q = np.clip(np.rint(sig.astype(np.float64) * 32768), -32768, 32767)
+        expect = (q / 32768.0).astype(np.float32).T  # [n, ch] interleaved
+        assert np.array_equal(out, expect), f"n={n} ch={ch} interop mismatch"
+
+
+def test_alac_ours_decodes_ffmpeg(tmp_path):
+    """Interop, decode direction: bitstreams produced by libavcodec's own
+    ALAC encoder (LPC orders + mid/side via its rate control, not our
+    first-order path) decode bit-exactly in our native decoder."""
+    from graphaudio_tpu.io import codec_capabilities
+    caps = codec_capabilities()
+    if not caps.get("alac"):
+        pytest.skip("native codec unavailable")
+    avoracle = _avoracle_or_skip()
+    rng = np.random.default_rng(22)
+    for n, ch in [(9001, 1), (12345, 2), (6000, 6)]:
+        t = np.arange(n)
+        tone = 0.3 * np.sin(2 * np.pi * 330 * t / SR)
+        sig = np.clip(tone[None] + rng.standard_normal((ch, n)) * 0.05, -1, 1)
+        q = np.clip(np.rint(sig * 32768), -32768, 32767).astype(np.int16)
+        path = tmp_path / f"ffm_{n}_{ch}.caf"
+        avoracle.encode_alac(path, q.T, SR)
+        with AudioDecoder(str(path)) as dec:
+            assert dec.channels == ch and dec.sample_rate == SR
+            assert dec.frames == n
+            out = dec.decode_planar(n)
+        expect = (q.astype(np.float64) / 32768.0).astype(np.float32)
+        assert np.array_equal(out, expect), f"n={n} ch={ch} interop mismatch"
