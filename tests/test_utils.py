@@ -37,6 +37,32 @@ def test_render_stats():
     assert s["xrt"] > 0
 
 
+def test_render_stats_wall_breakdown():
+    """Every render call records its wall composition (prep / dispatch /
+    copy-start / transfer / notify) so wall regressions get a name; the
+    components account for essentially the whole call (no unexplained
+    wall), and the per-chunk lists cover every launched chunk."""
+    ctx = _make_graph()
+    ctx.render(1024)
+    s = ctx.stats
+    b = s.last_breakdown
+    for key in ("prep_s", "dispatch_s", "copy_start_s", "transfer_s",
+                "notify_s", "n_chunks"):
+        assert key in b, f"missing breakdown field {key}"
+    assert b["n_chunks"] >= 1
+    assert len(b["chunk_dispatch_s"]) == b["n_chunks"]
+    assert len(b["chunk_transfer_s"]) == b["n_chunks"]
+    parts = (b["prep_s"] + b["dispatch_s"] + b["copy_start_s"]
+             + b["transfer_s"] + b["notify_s"])
+    assert parts <= s.wall_seconds * 1.001
+    assert parts >= s.wall_seconds * 0.5, (
+        f"breakdown accounts for {parts:.6f}s of {s.wall_seconds:.6f}s wall")
+    # the aggregated counters integrate the same components
+    assert s.dispatch_seconds > 0 or s.transfer_seconds > 0
+    d = s.summary(SR)
+    assert d["dispatch_seconds"] >= 0 and d["transfer_seconds"] > 0
+
+
 def test_describe_graph_and_dot():
     ctx = _make_graph()
     text = describe_graph(ctx)
