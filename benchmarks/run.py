@@ -20,8 +20,9 @@ from benchmarks.configs import CONFIGS
 # associative scans have a large T-independent cost component, so config 3
 # runs fastest at a much larger superblock (measured 69x/89x/99x at
 # SB=32/64/128 on the axon TPU); the flagship convolver graph gains ~14%
-# at 64 (348x vs 397x probe measurement).
-SUPERBLOCKS = {3: 128, 4: 64}
+# at 64 (348x vs 397x probe measurement); the spatial scene gains ~3% at 64
+# (508x/525x/502x at SB=32/64/96, benchmarks/results/micro_probe5.json).
+SUPERBLOCKS = {3: 128, 4: 64, 5: 64}
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 
