@@ -159,23 +159,47 @@ def _first_order_scan(p, u, s_init):
     S = T // B
     pc = jnp.broadcast_to(p[None, :], (C, T)).reshape(C, S, B)
     u3 = u.reshape(C, S, B)
-
-    def comb(lhs, rhs):
-        p1, b1 = lhs
-        p2, b2 = rhs
-        return p1 * p2, p2 * b1 + b2
-
-    cp, cb = jax.lax.associative_scan(comb, (pc, u3), axis=2)
+    cp, cb = _hs_prefix(pc, u3, axis=2)
     if S == 1:
         return (cp * s_init[:, None, None] + cb).reshape(C, T)
     # Block-total affine ops -> tiny scan over the superblock axis.
-    bp, bb = jax.lax.associative_scan(
-        comb, (cp[:, :, -1], cb[:, :, -1]), axis=1
-    )  # [C, S]: state at each block's END given s_init
+    bp, bb = _hs_prefix(cp[:, :, -1], cb[:, :, -1], axis=1)
+    # [C, S]: state at each block's END given s_init
     carry = jnp.concatenate(
         [s_init[:, None], bp[:, :-1] * s_init[:, None] + bb[:, :-1]], axis=1
     )  # [C, S] carry INTO each block
     return (cp * carry[:, :, None] + cb).reshape(C, T)
+
+
+def _hs_prefix(p, b, axis):
+    """Inclusive prefix composition of affine ops (p, b) by Hillis-Steele
+    shift-and-combine doubling: log2(n) rounds, each ONE fused
+    shift+multiply-add over the whole array.
+
+    lax.associative_scan's work-efficient decomposition lowers to ~3x the
+    kernel count per round (odd/even slicing, interleaving); on this
+    latency-bound backend the round COUNT is the cost, and the doubling
+    form measured 3.9x faster at the biquad solve shape (0.0123 vs
+    0.0479 ms per [2,16384] two-level solve, benchmarks/micro_probe6.py;
+    radix-4 doubling measured slightly WORSE than radix-2 — 0.0154 — its
+    three shifted combines per round fuse worse than one). The extra
+    O(T log T) multiply-adds are free: every round stays one
+    latency-bound fused pass. Same recurrence algebra, f32 products in a
+    different association order (relerr ~6e-7 vs the scan — well inside
+    the 1e-5 parity budget)."""
+    n = p.shape[axis]
+    k = 1
+    while k < n:
+        pad = [(0, 0)] * p.ndim
+        pad[axis] = (k, 0)
+        sl = [slice(None)] * p.ndim
+        sl[axis] = slice(0, n - k)
+        ps = jnp.pad(p[tuple(sl)], pad, constant_values=1.0)
+        bs = jnp.pad(b[tuple(sl)], pad, constant_values=0.0)
+        # compose: (shifted earlier prefix) then (current): s = p*(ps*s+bs)+b
+        p, b = p * ps, p * bs + b
+        k *= 2
+    return p, b
 
 
 def _pair_scan(p1, p2, x, v_init, w_init):
