@@ -52,6 +52,7 @@ class AudioContextBase:
         self,
         sample_rate: int = DEFAULT_SAMPLE_RATE,
         superblock: int = DEFAULT_SUPERBLOCK,
+        pipeline_chains: bool = False,
     ):
         if sample_rate <= 0:
             raise ValueError("sample_rate must be positive")
@@ -59,6 +60,12 @@ class AudioContextBase:
             raise ValueError("superblock must be positive")
         self.sample_rate = int(sample_rate)
         self.superblock = int(superblock)
+        # Software-pipeline head-to-tail chains of same-type nodes into one
+        # vmapped stage per step (CompiledGraph._fuse_chains). Audio is
+        # bit-identical per render call; the cost is D extra pipeline-drain
+        # steps per call, so it defaults ON only for the offline context
+        # (throughput renders) and OFF for block-at-a-time streaming.
+        self.pipeline_chains = bool(pipeline_chains)
         self._nodes: Dict[int, object] = {}
         self._pending: deque = deque()
         self._topology_version = 0
@@ -337,6 +344,16 @@ class AudioContextBase:
             for key, st in list(new_states.items()):
                 if key == "__globals__":
                     continue
+                if not isinstance(st, dict):
+                    # Bare-array entries (the pipeline block-time ring):
+                    # whole-entry reuse only, no per-lane migration.
+                    if (
+                        key in old_states
+                        and old_comp.get(key) == new_comp.get(key)
+                        and _same_structure(old_states[key], st)
+                    ):
+                        new_states[key] = old_states[key]
+                    continue
                 # Whole-entry reuse requires the SAME member composition:
                 # state keys are structural ("st<i>"), so an equal-shaped
                 # entry may belong to different nodes after voice churn.
@@ -504,11 +521,15 @@ class AudioContextBase:
         # exact rounding sequence: t[k+1] = fl(t[k] + fl(128/sr))
         # (AudioContextBase.cs:77-78). np.add.accumulate folds left-to-right
         # with intermediate rounding, replicating it bit-for-bit.
-        n_blocks = n_steps * self.superblock
+        # Pipelined graphs scan D extra drain steps per render call (state
+        # changes discarded); the epilogue rows continue the accumulated
+        # clock past the call's end and are recomputed identically next call.
+        pipe_d = getattr(self._compiled, "pipe_delay", 0)
+        n_blocks = (n_steps + pipe_d) * self.superblock
         inc_arr = np.full(n_blocks, np.float64(FRAMES_PER_BLOCK) / self.sample_rate)
         inc_arr[0] = self._current_time
         all_block_times = np.add.accumulate(inc_arr).reshape(
-            n_steps, self.superblock
+            n_steps + pipe_d, self.superblock
         )
         import os as _os
 
@@ -529,12 +550,13 @@ class AudioContextBase:
             this = min(chunk, n_steps - launched)
             frame0s = (
                 self._current_frame
-                + frames_per_step * (launched + np.arange(this, dtype=np.int64))
+                + frames_per_step
+                * (launched + np.arange(this + pipe_d, dtype=np.int64))
             )
             t_d = _time.perf_counter()
             self._states, out = render_fn(
                 self._states, self._encs, self._consts, feeds, frame0s,
-                all_block_times[launched:launched + this],
+                all_block_times[launched:launched + this + pipe_d],
             )
             if pack_fn is not None:
                 out = pack_fn(out)
@@ -563,7 +585,7 @@ class AudioContextBase:
         copy_start_s = _time.perf_counter() - t_c
         self._current_frame += n_steps * frames_per_step
         self._current_time = float(
-            all_block_times[-1, -1]
+            all_block_times[n_steps - 1, -1]
             + np.float64(FRAMES_PER_BLOCK) / self.sample_rate
         )
         self._step_count += n_steps
@@ -836,8 +858,10 @@ class OfflineAudioContext(AudioContextBase):
         self,
         sample_rate: int = DEFAULT_SAMPLE_RATE,
         superblock: int = DEFAULT_SUPERBLOCK,
+        pipeline_chains: bool = True,
     ):
-        super().__init__(sample_rate=sample_rate, superblock=superblock)
+        super().__init__(sample_rate=sample_rate, superblock=superblock,
+                         pipeline_chains=pipeline_chains)
 
     def render_seconds(self, seconds: float) -> np.ndarray:
         return self.render(int(round(seconds * self.sample_rate)))

@@ -239,6 +239,7 @@ class CompiledGraph:
             remaining = [n for n in remaining if n.node_id not in emitted]
         stages.append(("dest", [dest], None))
         self.stages = stages
+        self._fuse_chains()
 
         # Static kernel variants compiled into buffer-source stages; a
         # variant change (playbackRate scheduled beyond a compiled bound, a
@@ -268,7 +269,7 @@ class CompiledGraph:
         self.group_keys: Dict[int, str] = {}  # stage index -> state key
         self.state_composition: Dict[str, Tuple[int, ...]] = {}
         self.stage_pad: Dict[int, Tuple[int, int]] = {}  # si -> (real, padded)
-        for si, (kind, nodes, _) in enumerate(stages):
+        for si, (kind, nodes, _) in enumerate(self.stages):
             key = f"st{si}"
             self.state_composition[key] = tuple(n.node_id for n in nodes)
             if kind == "group":
@@ -276,8 +277,24 @@ class CompiledGraph:
                 self.stage_pad[si] = (len(nodes), _next_pow2(len(nodes)))
                 for lane, n in enumerate(nodes):
                     self.state_ref[n.node_id] = (key, lane)
+            elif kind == "pipe":
+                # Pipe lanes are pipeline STAGES, not voices: no pow2
+                # phantom padding (a phantom lane would change the delay).
+                self.group_keys[si] = key
+                self.stage_pad[si] = (len(nodes), len(nodes))
+                for lane, n in enumerate(nodes):
+                    self.state_ref[n.node_id] = (key, lane)
+                # Register bank (in-flight audio between lanes) migrates by
+                # composition like any group entry.
+                self.state_composition[key + ".pipe"] = ("pipe",) + tuple(
+                    n.node_id for n in nodes
+                )
             else:
                 self.state_ref[nodes[0].node_id] = (key, None)
+        if self.pipe_delay:
+            self.state_composition["__pipe_bt__"] = (
+                "bt", self.pipe_delay, self.info.superblock,
+            )
 
         # Param encoding capacities (pow2 padding keeps jit cache stable while
         # event lists grow). ALL params of a group share one capacity so the
@@ -294,8 +311,8 @@ class CompiledGraph:
                 self.param_capacity[(node.node_id, name)] = (
                     _next_pow2(c) if c else 0
                 )
-        for kind, nodes, _ in stages:
-            if kind == "group":
+        for kind, nodes, _ in self.stages:
+            if kind in ("group", "pipe"):
                 self._share_group_capacity(nodes)
 
         # ---- buffer-source arenas (traced constants) -----------------------
@@ -304,7 +321,7 @@ class CompiledGraph:
         # closure constants, so a cached program replays with new buffers.
         self.consts: Dict[str, object] = {}
         self._bufsrc_cfg: Dict[int, Tuple[int, bool, int]] = {}
-        for si, (kind, nodes, _) in enumerate(stages):
+        for si, (kind, nodes, _) in enumerate(self.stages):
             if kind != "group" or not _is_buffer_source(nodes[0]):
                 continue
             rep = nodes[0]
@@ -355,7 +372,7 @@ class CompiledGraph:
         # Travelling as ARGUMENTS (not closure constants) lets a cached
         # program replay with a new IR, and gives the mesh path something to
         # shard (partition axes split over 'part').
-        for si, (kind, nodes, _) in enumerate(stages):
+        for si, (kind, nodes, _) in enumerate(self.stages):
             if kind != "single":
                 continue
             sc = getattr(nodes[0], "stage_consts", None)
@@ -375,16 +392,160 @@ class CompiledGraph:
     # shapes) even after the host graph that produced it has mutated.
     # Producers are addressed structurally as (stage, port, lane).
 
+    def _fuse_chains(self) -> None:
+        """Fuse head-to-tail runs of same-key 1-lane group stages into
+        software-PIPELINED 'pipe' stages (systolic over superblocks).
+
+        A cascade of K same-type nodes (the reference's serial EQ chain,
+        BiQuadFilterNode.cs use) costs K sequential kernels per step here;
+        on a latency-bound backend that is K x the scan-round latency. A
+        pipe stage runs all K as ONE vmapped kernel per step by letting
+        lane i process superblock (step - i): lane 0 takes the live input,
+        lane i takes lane i-1's PREVIOUS-step output from a carried
+        register [K-1, C, T]. Audio is identical — the graph's output is
+        delayed by the total pipe depth D, which make_render_fn compensates
+        by scanning D extra steps and dropping the first D outputs (the
+        epilogue's state changes are DISCARDED; the next call re-derives
+        them from the carried registers, so per-call semantics are exact).
+
+        Every lane (and every stage downstream of a pipe) runs at a LEVEL:
+        the number of superblocks between the live clock and the audio it
+        processes. Param automation stays sample-exact because each stage
+        evaluates its curves at the block clock of the step that produced
+        its audio — a [D, S] ring of past block_times rides in the state.
+        Fusion applies only when every stage's fan-in sits at ONE level
+        (sources are always level 0, so a graph mixing a direct source tap
+        with a chained path refuses fusion and renders unfused).
+
+        Correctness at stream start needs level>0 stages to be linear in
+        their input with zero-preserving state (registers start silent):
+        true for every input-consuming node in this library (sources have
+        no inputs and are always level 0).
+        """
+        self.pipe_delay = 0
+        self.stage_level = {}
+        if not getattr(self.context, "pipeline_chains", False):
+            return
+        if self.mesh is not None:  # sharded lane axes don't pipeline (yet)
+            return
+        stages = self.stages
+
+        # -- find chains ------------------------------------------------------
+        def fusable(entry):
+            kind, nodes, key = entry
+            if kind != "group" or len(nodes) != 1 or key is None:
+                return False
+            n = nodes[0]
+            return (
+                len(n.inputs) == 1
+                and len(n.outputs) == 1
+                and not _is_buffer_source(n)
+            )
+
+        def links_to(a, b):
+            """True when a's one output feeds EXACTLY b's one input."""
+            out = a.outputs[0]
+            return (
+                len(out.connections) == 1
+                and not out.param_connections
+                and out.connections[0] is b.inputs[0]
+                and len(b.inputs[0].connected_outputs) == 1
+                and self.output_channels[(a.node_id, 0)]
+                == self.output_channels[(b.node_id, 0)]
+                and self.input_channels[(b.node_id, 0)]
+                == self.output_channels[(a.node_id, 0)]
+            )
+
+        stage_idx_of = {}
+        for si, (_k, nodes, _key) in enumerate(stages):
+            for n in nodes:
+                stage_idx_of[n.node_id] = si
+
+        used = set()
+        chains = []  # list of [stage indices]
+        for si, entry in enumerate(stages):
+            if si in used or not fusable(entry):
+                continue
+            run = [si]
+            cur = entry[1][0]
+            while True:
+                out = cur.outputs[0]
+                if len(out.connections) != 1 or out.param_connections:
+                    break
+                nxt = out.connections[0].owner
+                nsi = stage_idx_of.get(nxt.node_id)
+                if (
+                    nsi is None
+                    or nsi in used
+                    or not fusable(stages[nsi])
+                    or stages[nsi][2] != entry[2]  # same group key
+                    or not links_to(cur, nxt)
+                ):
+                    break
+                run.append(nsi)
+                cur = nxt
+            if len(run) >= 2:
+                chains.append(run)
+                used.update(run)
+
+        if not chains:
+            return
+
+        # -- rebuild stages with fused pipes ----------------------------------
+        head_of = {run[0]: run for run in chains}
+        member = {si for run in chains for si in run[1:]}
+        new_stages = []
+        for si, entry in enumerate(stages):
+            if si in member:
+                continue
+            if si in head_of:
+                run = head_of[si]
+                nodes = [stages[j][1][0] for j in run]
+                new_stages.append(("pipe", nodes, entry[2]))
+            else:
+                new_stages.append(entry)
+
+        # -- level assignment (mixed fan-in levels => abort) -------------------
+        out_level = {}  # node_id -> producing level
+        level = {}  # new stage index -> level the stage RUNS at
+        for si, (kind, nodes, _key) in enumerate(new_stages):
+            prods = set()
+            ext_nodes = [nodes[0]] if kind == "pipe" else nodes
+            for n in ext_nodes:
+                for inp in n.inputs:
+                    for o in inp.connected_outputs:
+                        prods.add(o.owner.node_id)
+                for p in n.params.values():
+                    for o in p._mod_outputs:
+                        prods.add(o.owner.node_id)
+            in_levels = {out_level[nid] for nid in prods}
+            if len(in_levels) > 1:
+                return  # inconsistent fan-in alignment: render unfused
+            lvl = in_levels.pop() if in_levels else 0
+            level[si] = lvl
+            out_lvl = lvl + (len(nodes) - 1 if kind == "pipe" else 0)
+            for n in nodes:
+                out_level[n.node_id] = out_lvl
+
+        delay = level[len(new_stages) - 1]  # dest stage runs at the total delay
+        if delay <= 0 or delay > 64:
+            return
+        self.stages = new_stages
+        self.stage_level = level
+        self.pipe_delay = delay
+
     def _build_plan(self, node_in_counts) -> None:
         stage_of = {}
         lane_of = {}
         stage_real = {}  # si -> real lane count for groups
         for si, (kind, nodes, _) in enumerate(self.stages):
-            if kind == "group":
+            if kind in ("group", "pipe"):
                 stage_real[si] = len(nodes)
             for lane, n in enumerate(nodes):
                 stage_of[n.node_id] = si
-                lane_of[n.node_id] = lane if kind == "group" else None
+                lane_of[n.node_id] = (
+                    lane if kind in ("group", "pipe") else None
+                )
 
         def producers(connected_outputs):
             prods = tuple(
@@ -473,6 +634,21 @@ class CompiledGraph:
                      p.exact_eval)
                     for name, p in rep.params.items()
                 )
+            elif kind == "pipe":
+                # External routing is the HEAD's input only; lanes 1..d-1
+                # read the carried register bank. Pipe members never have
+                # modulated params (same contract as groups).
+                inputs = (
+                    (
+                        self.input_channels[(rep.node_id, 0)],
+                        producers(rep.inputs[0].connected_outputs),
+                    ),
+                )
+                params = tuple(
+                    (name, p.automation_rate == AutomationRate.A_RATE,
+                     p.exact_eval)
+                    for name, p in rep.params.items()
+                )
             else:
                 inputs = tuple(
                     (
@@ -502,7 +678,12 @@ class CompiledGraph:
                     "si": si,
                     "key": f"st{si}",
                     "rep": rep,
-                    "n_lanes": self.stage_pad[si][1] if kind == "group" else 1,
+                    "n_lanes": (
+                        self.stage_pad[si][1]
+                        if kind in ("group", "pipe")
+                        else 1
+                    ),
+                    "level": self.stage_level.get(si, 0),
                     "group_key": gkey,
                     "inputs": inputs,
                     "params": params,
@@ -603,10 +784,13 @@ class CompiledGraph:
                 tuple(self.mesh.axis_names),
                 tuple(d.id for d in self.mesh.devices.flat),
             )
-        sig = [("hdr", self.info.sample_rate, self.info.superblock, mesh_id)]
+        sig = [("hdr", self.info.sample_rate, self.info.superblock, mesh_id,
+                self.pipe_delay)]
         for sp in self.plan:
             if sp["kind"] == "group":
                 ident = ("G", sp["group_key"], sp["n_lanes"], sp["bufsrc"])
+            elif sp["kind"] == "pipe":
+                ident = ("P", sp["group_key"], sp["n_lanes"], sp["level"])
             elif sp["kind"] == "dest":
                 ident = ("D",)
             else:
@@ -648,7 +832,7 @@ class CompiledGraph:
     def init_states(self) -> Dict:
         states = {}
         for si, (kind, nodes, _) in enumerate(self.stages):
-            if kind == "group":
+            if kind in ("group", "pipe"):
                 members = [self._init_node_state(n) for n in nodes]
                 real, padded = self.stage_pad[si]
                 # Phantom pad lanes: fresh init (never started -> silent).
@@ -658,8 +842,23 @@ class CompiledGraph:
                 states[f"st{si}"] = jax.tree_util.tree_map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs]), *members
                 )
+                if kind == "pipe":
+                    # In-flight audio between lanes; silent at stream start
+                    # (lanes are linear, so warming up on silence is exact).
+                    c = self.output_channels[(nodes[0].node_id, 0)]
+                    states[f"st{si}.pipe"] = {
+                        "reg": np.zeros(
+                            (len(nodes) - 1, c, self.info.frames), np.float32
+                        )
+                    }
             else:
                 states[f"st{si}"] = self._init_node_state(nodes[0])
+        if self.pipe_delay:
+            # Ring of the last D steps' block clocks (levels > 0 evaluate
+            # automation at the clock of the step that produced their audio).
+            states["__pipe_bt__"] = np.zeros(
+                (self.pipe_delay, self.info.superblock), np.float64
+            )
         # Upstream-only nodes feeding params etc. already appear in stages;
         # any topo node not staged (none today) would be initialized here.
         # Context-level globals (listener transform) travel in the state
@@ -702,11 +901,11 @@ class CompiledGraph:
                 if p.event_count() > self.param_capacity[key]:
                     self.param_capacity[key] = _next_pow2(p.event_count())
         for kind, nodes, _ in self.stages:
-            if kind == "group":
+            if kind in ("group", "pipe"):
                 self._share_group_capacity(nodes)
         encs = {}
         for si, (kind, nodes, _) in enumerate(self.stages):
-            if kind == "group":
+            if kind in ("group", "pipe"):
                 real, padded = self.stage_pad[si]
                 for name in nodes[0].params:
                     per = [
@@ -755,6 +954,8 @@ class CompiledGraph:
         plan = self.plan if stage_limit is None else self.plan[:stage_limit]
         dest_channels = self.input_channels[(self.destination.node_id, 0)]
 
+        pipe_delay = self.pipe_delay
+
         def step(states, encs, consts, feeds, frame0, block_times=None):
             rc = RenderContext(info, frame0, block_times)
             rc.globals = states.get("__globals__")
@@ -764,6 +965,30 @@ class CompiledGraph:
             out_table: Dict[Tuple[int, int], object] = {}
             new_states = {"__globals__": states.get("__globals__")}
             dest_out = None
+
+            # Pipelined graphs: a stage at LEVEL l processes the audio of
+            # superblock (step - l), so it must see the clock of that step —
+            # row l-1 of the carried block-time ring (see _fuse_chains).
+            bt_ring = states.get("__pipe_bt__") if pipe_delay else None
+            rc_by_level = {0: rc}
+
+            def rc_for(level):
+                cached = rc_by_level.get(level)
+                if cached is None:
+                    cached = RenderContext(
+                        info,
+                        frame0 - jnp.int64(level * info.frames),
+                        bt_ring[level - 1],
+                    )
+                    cached.globals = rc.globals
+                    cached.feeds = rc.feeds
+                    rc_by_level[level] = cached
+                return cached
+
+            if pipe_delay:
+                new_states["__pipe_bt__"] = jnp.concatenate(
+                    [rc.block_times[None], bt_ring[:-1]], axis=0
+                ) if pipe_delay > 1 else rc.block_times[None]
 
             def mixed_signal(prods, dst_c):
                 """Sum producer outputs into one [dst_c, T] block. Lanes of
@@ -809,13 +1034,14 @@ class CompiledGraph:
 
             def run_single(sp):
                 si, key = sp["si"], sp["key"]
+                src = rc_for(sp["level"])
                 params = {}
                 for name, a_rate, mn, mx, mods, exact in sp["params"]:
                     vals = eval_intrinsic_blocked(
                         encs[f"{key}/{name}"],
-                        rc.block_times,
+                        src.block_times,
                         FRAMES_PER_BLOCK if a_rate else 1,
-                        rc.dt,
+                        src.dt,
                         exact=exact,
                     )
                     if mods:
@@ -836,15 +1062,15 @@ class CompiledGraph:
                 # Per-stage consts + distribution context for kernels that
                 # read IR spectra (etc.) as arguments / shard them.
                 prefix = key + "/"
-                rc.stage_consts = {
+                src.stage_consts = {
                     n[len(prefix):]: consts[n]
                     for n in consts
                     if n.startswith(prefix)
                 }
-                rc.part_axis = part_axis if si in part_sharded else None
-                st, outs = sp["rep"].process(states[key], inputs, params, rc)
-                rc.stage_consts = {}
-                rc.part_axis = None
+                src.part_axis = part_axis if si in part_sharded else None
+                st, outs = sp["rep"].process(states[key], inputs, params, src)
+                src.stage_consts = {}
+                src.part_axis = None
                 new_states[key] = st
                 for i, o in enumerate(outs):
                     out_table[(si, i)] = o
@@ -865,6 +1091,7 @@ class CompiledGraph:
 
             def run_group(sp):
                 si, key, rep = sp["si"], sp["key"], sp["rep"]
+                src = rc_for(sp["level"])
                 # States live stacked in the carry; params are pre-stacked
                 # encodings evaluated with ONE vmapped pass per param.
                 states_stacked = states[key]
@@ -910,7 +1137,8 @@ class CompiledGraph:
                             jax.vmap(
                                 lambda e, npb=npb, exact=exact:
                                 eval_intrinsic_blocked(
-                                    e, rc.block_times, npb, rc.dt, exact=exact
+                                    e, src.block_times, npb, src.dt,
+                                    exact=exact,
                                 )
                             )
                         )(stacked)  # [P, V, T or S]
@@ -930,13 +1158,13 @@ class CompiledGraph:
                         # row gathers + one-hot shift matmuls (see
                         # AudioBufferSourceNode.process_poly_group)
                         sts, outs = type(rep).process_poly_group(
-                            states_stacked, arena, geoms, rc, w,
+                            states_stacked, arena, geoms, src, w,
                             variant[1], variant[2],
                         )
                         outs = [outs]
                     elif variant[0] == "unity":
                         sts, outs = type(rep).process_unity_group(
-                            states_stacked, arena, geoms, rc, w,
+                            states_stacked, arena, geoms, src, w,
                             aligned=variant[1],
                         )
                         outs = [outs]
@@ -952,7 +1180,7 @@ class CompiledGraph:
 
                         def lane(state, geom, pv, win):
                             return rep._process_resample(
-                                state, arena, geom, pv["playbackRate"], rc, w,
+                                state, arena, geom, pv["playbackRate"], src, w,
                                 window=win,
                             )
 
@@ -966,7 +1194,7 @@ class CompiledGraph:
                             name: ParamSignal(v, rates[name], info.superblock)
                             for name, v in pv.items()
                         }
-                        return rep.process(state, list(inputs), params, rc)
+                        return rep.process(state, list(inputs), params, src)
 
                     sts, outs = jax.vmap(lane)(
                         states_stacked, tuple(inputs_stacked), pvals
@@ -976,11 +1204,90 @@ class CompiledGraph:
                 for i, o in enumerate(outs):  # o: [V, C, T]
                     out_table[(si, i)] = o
 
+            def run_pipe(sp):
+                """A fused chain, software-pipelined over superblocks: lane i
+                processes superblock (step - base - i). One vmapped kernel
+                replaces the chain's K sequential kernels; in-flight audio
+                rides in a [K-1, C, T] register bank (see _fuse_chains)."""
+                si, key, rep = sp["si"], sp["key"], sp["rep"]
+                d = sp["n_lanes"]
+                base = sp["level"]
+                states_stacked = states[key]
+                regs = states[key + ".pipe"]["reg"]
+
+                # Per-lane clocks: lane i runs at level base + i.
+                lane_f0 = frame0 - (
+                    jnp.arange(d, dtype=jnp.int64) + base
+                ) * jnp.int64(info.frames)
+                lane_bts = jnp.stack([
+                    rc_for(base + i).block_times for i in range(d)
+                ])  # [d, S] f64
+
+                # Group-style batched param eval, but each lane evaluates at
+                # ITS OWN clock (the step that produced the audio it holds).
+                pvals = {}
+                rates = {}
+                by_kind: Dict[Tuple[bool, bool, int], list] = {}
+                for name, a_rate, exact in sp["params"]:
+                    cap_n = encs[f"{key}/{name}"]["times"].shape[-1]
+                    by_kind.setdefault((a_rate, exact, cap_n), []).append(name)
+                    rates[name] = a_rate
+                for (a_rate, exact, _cap), names in by_kind.items():
+                    npb = FRAMES_PER_BLOCK if a_rate else 1
+                    first = encs[f"{key}/{names[0]}"]
+                    if len(names) == 1:
+                        stacked = {
+                            k: jnp.asarray(first[k])[None] for k in first
+                        }
+                    else:
+                        stacked = {
+                            k: jnp.stack(
+                                [jnp.asarray(encs[f"{key}/{n}"][k])
+                                 for n in names]
+                            )
+                            for k in first
+                        }
+                    vals = jax.vmap(  # over P params
+                        lambda e, npb=npb, exact=exact: jax.vmap(  # over lanes
+                            lambda el, bt: eval_intrinsic_blocked(
+                                el, bt, npb, rc.dt, exact=exact
+                            )
+                        )(e, lane_bts)
+                    )(stacked)  # [P, d, T or S]
+                    for i, n in enumerate(names):
+                        pvals[n] = vals[i]
+
+                # Lane 0 eats the live input; lane i eats lane i-1's
+                # PREVIOUS-step output from the register bank.
+                dst_c, routing = sp["inputs"][0]
+                fresh = mixed_signal(routing, dst_c)
+                lane_in = jnp.concatenate([fresh[None], regs], axis=0)
+
+                def lane(state, inp, pv, f0, bt):
+                    lrc = RenderContext(info, f0, bt)
+                    lrc.globals = rc.globals
+                    lrc.feeds = rc.feeds
+                    params = {
+                        name: ParamSignal(v, rates[name], info.superblock)
+                        for name, v in pv.items()
+                    }
+                    return rep.process(state, [inp], params, lrc)
+
+                sts, outs = jax.vmap(lane)(
+                    states_stacked, lane_in, pvals, lane_f0, lane_bts
+                )
+                new_states[key] = sts
+                new_states[key + ".pipe"] = {"reg": outs[0][:-1]}
+                for i, o in enumerate(outs):
+                    out_table[(si, i)] = o
+
             for sp in plan:
                 if sp["kind"] == "single":
                     run_single(sp)
                 elif sp["kind"] == "group":
                     run_group(sp)
+                elif sp["kind"] == "pipe":
+                    run_pipe(sp)
                 else:  # destination: passthrough sink (AudioDestinationNode.cs:42-64)
                     dst_c, prods = sp["inputs"][0]
                     dest_out = mixed_signal(prods, dst_c)
@@ -1017,13 +1324,36 @@ class CompiledGraph:
             part_axis="part" if sharded and self.part_sharded else None,
         )
 
+        pipe_delay = self.pipe_delay
+
         def render(states, encs, consts, feeds, frame0s, block_times):
             def body(carry, xs):
                 frame0, bt = xs
                 new_states, out = step(carry, encs, consts, feeds, frame0, bt)
                 return new_states, out
 
-            states, outs = jax.lax.scan(body, states, (frame0s, block_times))
+            if pipe_delay:
+                # Pipelined graphs: the dest stream lags the live clock by
+                # D superblocks. The caller hands D EXTRA rows of clocks;
+                # the epilogue scan drains the pipeline for this call's
+                # last D superblocks while its STATE changes are discarded —
+                # the carried registers already hold everything the next
+                # call needs to re-derive them, so per-call audio is exact
+                # and states stay replay-consistent.
+                n = frame0s.shape[0] - pipe_delay
+                states, outs = jax.lax.scan(
+                    body, states, (frame0s[:n], block_times[:n])
+                )
+                _, flush = jax.lax.scan(
+                    body, states, (frame0s[n:], block_times[n:])
+                )
+                # Valid dest superblocks are rows D..D+n-1 of the combined
+                # main+flush sequence (works for any n, including n < D).
+                outs = jnp.concatenate([outs, flush], axis=0)[pipe_delay:]
+            else:
+                states, outs = jax.lax.scan(
+                    body, states, (frame0s, block_times)
+                )
             # outs: [n_steps, C, T] -> [C, n_steps*T]
             outs = jnp.swapaxes(outs, 0, 1).reshape(outs.shape[1], -1)
             if pack == "int16":

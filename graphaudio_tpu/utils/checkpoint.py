@@ -59,7 +59,13 @@ def save_context_state(context, path) -> None:
         "current_time": context._current_time,
         "leaf_paths": leaf_paths,
         "params": params,
+        # A render call that isn't a whole number of superblocks leaves
+        # already-rendered frames in the host-side carry; dropping them on
+        # resume would skip audio (the device clock is already past them).
+        "has_carry": context._carry is not None,
     }
+    if context._carry is not None:
+        arrays["__carry__"] = np.asarray(context._carry)
     arrays["__manifest__"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8
     )
@@ -77,6 +83,7 @@ def load_context_state(context, path) -> None:
                 f"{manifest.get('format')!r})"
             )
         leaves = [z[f"leaf_{i}"] for i in range(len(manifest["leaf_paths"]))]
+        carry = z["__carry__"] if manifest.get("has_carry") else None
     if manifest["sample_rate"] != context.sample_rate:
         raise ValueError(
             f"checkpoint sample rate {manifest['sample_rate']} != context "
@@ -119,6 +126,7 @@ def load_context_state(context, path) -> None:
                 f"{cur_arr.shape}/{cur_arr.dtype}"
             )
     context._states = jax.tree_util.tree_unflatten(treedef, leaves)
+    context._carry = carry
     context._current_frame = int(manifest["current_frame"])
     # Older checkpoints predate the accumulated clock; the frame-derived
     # value differs only at the ~1e-13 level.

@@ -1,0 +1,152 @@
+"""Pipelined chain fusion (CompiledGraph._fuse_chains): parity + semantics.
+
+A cascade of same-type nodes fuses into ONE vmapped 'pipe' stage whose
+lane i processes superblock (step - i), with in-flight audio in a carried
+register bank and a drain epilogue per render call. These tests pin the
+contract: audio is EXACTLY the unfused graph's, per render call, across
+call boundaries, under automation, and through checkpoint/resume.
+"""
+
+import numpy as np
+import pytest
+
+import graphaudio_tpu as ga
+
+SR = 48000
+
+
+def _chain_ctx(pipeline, n_filters=4, superblock=4, gains=False):
+    ctx = ga.OfflineAudioContext(
+        sample_rate=SR, superblock=superblock, pipeline_chains=pipeline
+    )
+    rng = np.random.default_rng(7)
+    src = ga.AudioBufferSourceNode(ctx)
+    l = (rng.standard_normal(SR) * 0.3).astype(np.float32)
+    r = (rng.standard_normal(SR) * 0.3).astype(np.float32)
+    src.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(l, r, SR)
+    src.loop = True
+    node = src
+    for i in range(n_filters):
+        if gains:
+            g = ga.GainNode(ctx)
+            g.gain.value = 0.9
+            g.gain.linear_ramp_to_value_at_time(0.5 + 0.1 * i, 0.4)
+            node = node.connect(g)
+        else:
+            bq = ga.BiQuadFilterNode(ctx)
+            bq.frequency.value = 400.0 * (i + 1)
+            bq.frequency.linear_ramp_to_value_at_time(600.0 * (i + 1), 0.5)
+            node = node.connect(bq)
+    node.connect(ctx.destination)
+    src.start(0)
+    return ctx
+
+
+def test_biquad_chain_fuses_and_matches_exactly():
+    a = _chain_ctx(False)
+    b = _chain_ctx(True)
+    b._ensure_compiled()
+    assert b._compiled.pipe_delay == 3
+    kinds = [sp["kind"] for sp in b._compiled.plan]
+    assert "pipe" in kinds and kinds.count("group") == 1  # source only
+    # Parity across several calls incl. a non-superblock-multiple length.
+    for frames in (20000, 13000, 700):
+        oa = a.render(frames)
+        ob = b.render(frames)
+        np.testing.assert_array_equal(oa, ob)
+
+
+def test_gain_chain_fuses_and_matches_exactly():
+    a = _chain_ctx(False, gains=True)
+    b = _chain_ctx(True, gains=True)
+    b._ensure_compiled()
+    assert b._compiled.pipe_delay == 3
+    np.testing.assert_array_equal(a.render(20000), b.render(20000))
+
+
+def test_mixed_level_fanin_refuses_fusion():
+    """A consumer mixing a direct source tap with a chained path would see
+    misaligned superblocks — fusion must refuse and render unfused."""
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4,
+                                 pipeline_chains=True)
+    osc = ga.OscillatorNode(ctx)
+    osc.frequency.value = 220.0
+    b1 = ga.BiQuadFilterNode(ctx)
+    b2 = ga.BiQuadFilterNode(ctx)
+    osc.connect(b1).connect(b2).connect(ctx.destination)
+    osc.connect(ctx.destination)  # direct tap at level 0
+    osc.start(0)
+    ctx._ensure_compiled()
+    assert ctx._compiled.pipe_delay == 0
+    assert all(sp["kind"] != "pipe" for sp in ctx._compiled.plan)
+    out = ctx.render(8000)
+    assert np.isfinite(out).all() and float(np.abs(out).max()) > 0
+
+
+def test_side_tap_inside_chain_refuses_fusion():
+    """An intermediate chain node with a second consumer cannot fuse."""
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4,
+                                 pipeline_chains=True)
+    osc = ga.OscillatorNode(ctx)
+    b1 = ga.BiQuadFilterNode(ctx)
+    b2 = ga.BiQuadFilterNode(ctx)
+    g = ga.GainNode(ctx)
+    g.gain.value = 0.2
+    osc.connect(b1).connect(b2).connect(ctx.destination)
+    b1.connect(g).connect(ctx.destination)  # side tap off the middle
+    osc.start(0)
+    ctx._ensure_compiled()
+    assert ctx._compiled.pipe_delay == 0
+
+
+def test_pipeline_respects_block_api():
+    """process_block streams one quantum per call; the drain epilogue keeps
+    output exact (at D extra steps' cost), so results match unfused."""
+    a = _chain_ctx(False, superblock=2)
+    b = _chain_ctx(True, superblock=2)
+    for _ in range(5):
+        np.testing.assert_array_equal(a.process_block(), b.process_block())
+
+
+def test_pipeline_checkpoint_roundtrip(tmp_path):
+    from graphaudio_tpu.utils import load_context_state, save_context_state
+
+    b = _chain_ctx(True)
+    b.render(9000)
+    path = tmp_path / "pipe.gacp"
+    save_context_state(b, path)
+    cont = b.render(6000)
+
+    b2 = _chain_ctx(True)
+    b2._ensure_compiled()
+    load_context_state(b2, path)
+    np.testing.assert_array_equal(b2.render(6000), cont)
+
+
+def test_pipeline_topology_edit_refuses_stale_registers():
+    """Editing the chain mid-stream recompiles; the (new) pipeline registers
+    restart silent — output stays finite and converges back to the unfused
+    render after the pipeline refills."""
+    a = _chain_ctx(False)
+    b = _chain_ctx(True)
+    a.render(8000)
+    b.render(8000)
+    # identical edit on both: retune one filter
+    for ctx in (a, b):
+        for node in ctx._nodes.values():
+            if isinstance(node, ga.BiQuadFilterNode):
+                node.frequency.value = 1234.0
+                break
+    oa = a.render(8000)
+    ob = b.render(8000)
+    # same graph, same states -> identical (param edits don't rebuild
+    # topology, so registers are preserved)
+    np.testing.assert_array_equal(oa, ob)
+
+
+def test_pipeline_off_for_realtime_contexts():
+    from graphaudio_tpu.realtime import RealtimeAudioContext
+
+    ctx = RealtimeAudioContext(sample_rate=SR, superblock=2)
+    assert not getattr(ctx, "pipeline_chains", False)
+    ctx.dispose()
