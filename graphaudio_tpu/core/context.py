@@ -68,6 +68,8 @@ class AudioContextBase:
         self.pipeline_chains = bool(pipeline_chains)
         self._nodes: Dict[int, object] = {}
         self._pending: deque = deque()
+        self._timed: List = []  # (time, seq, command) — see post_at
+        self._timed_seq = 0
         self._topology_version = 0
         self._compiled: Optional[CompiledGraph] = None
         self._compiled_version = -1
@@ -258,7 +260,85 @@ class AudioContextBase:
             raise RuntimeError("context is disposed")
         command(self)
 
+    def post_at(self, time: float, command: Callable) -> None:
+        """Enqueue a command to run when the block clock reaches ``time``.
+
+        The reference drains its command queue at the start of EVERY
+        128-frame block (AudioContextBase.cs:272-284), so cross-thread edits
+        land with single-block granularity. Here rendering is a device-side
+        scan over ``superblock`` blocks, so a timed command lands at the
+        first not-yet-rendered superblock boundary whose block time is
+        >= ``time``: ``render`` splits the call into segments at due
+        boundaries and drains the queue between device launches. Granularity
+        is therefore ``superblock`` blocks; a context built with
+        ``superblock=1`` recovers the reference's exact per-block landing.
+
+        Commands may edit params, start/stop sources, or rewire topology
+        (a topology edit recompiles at the boundary; running voices keep
+        their state via lane-wise migration). Frames already rendered —
+        including frames sitting in the host carry after a non-aligned
+        ``render`` — are never affected. Timed commands are host callables
+        and are NOT captured by checkpoint/resume.
+        """
+        if self._disposed:
+            raise RuntimeError("context is disposed")
+        self._timed.append((float(time), self._timed_seq, command))
+        self._timed_seq += 1
+
+    def _drain_due_timed(self) -> None:
+        """Move timed commands due at the current block clock into the
+        ordinary pending queue (in (time, post-order) order)."""
+        if not self._timed:
+            return
+        # Swap-then-partition so a concurrent post_at from another thread
+        # (realtime contexts) lands either in the snapshot or in the fresh
+        # list — never lost. Only the render thread drains.
+        snap, self._timed = self._timed, []
+        due = []
+        keep = []
+        for e in snap:
+            (due if e[0] <= self._current_time else keep).append(e)
+        self._timed.extend(keep)
+        due.sort()
+        for _, _, cmd in due:
+            self._pending.append(cmd)
+
+    def _timed_steps_until_next(self, max_steps: int) -> Optional[int]:
+        """Superblock steps from the current clock until the first pending
+        timed command's landing boundary, or None if none lands within
+        ``max_steps``. Replicates the launch-side accumulated clock
+        (``t[k+1] = fl(t[k] + fl(128/sr))``) so the boundary chosen here is
+        bit-identical to the segment start time the device will see."""
+        if not self._timed:
+            return None
+        t_next = min(self._timed)[0]
+        if self._current_time >= t_next:
+            return 0
+        n_blocks = max_steps * self.superblock
+        inc = np.float64(FRAMES_PER_BLOCK) / self.sample_rate
+        arr = np.full(n_blocks, inc)
+        arr[0] = self._current_time
+        times = np.add.accumulate(arr)  # times[i] = start time of block i
+        # Boundary j (start of step j) has time times[j*S] for j in
+        # [1, max_steps); the boundary after the final step is past range.
+        for j in range(1, max_steps):
+            if times[j * self.superblock] >= t_next:
+                return j
+        return None
+
+    def _segment_cap(self, n_steps: int) -> int:
+        """Steps the next render segment may run before a timed command must
+        land: commands due NOW move to the pending queue (the segment launch
+        drains them), and the segment is capped at the first still-future
+        command's landing boundary."""
+        k = self._timed_steps_until_next(n_steps)
+        if k == 0:
+            self._drain_due_timed()
+            k = self._timed_steps_until_next(n_steps)
+        return k if k else n_steps
+
     def _drain_commands(self) -> None:
+        self._drain_due_timed()
         while self._pending:
             cmd = self._pending.popleft()
             try:
@@ -752,14 +832,17 @@ class AudioContextBase:
             got += take
 
         remaining = frame_count - got
-        if remaining > 0:
-            frames_per_step = self.superblock * FRAMES_PER_BLOCK
-            n_steps = -(-remaining // frames_per_step)
+        frames_per_step = self.superblock * FRAMES_PER_BLOCK
+        while remaining > 0:
+            # Timed commands (post_at) land at superblock boundaries: cap
+            # the segment at the next landing boundary, drain there, go on.
+            n_steps = self._segment_cap(-(-remaining // frames_per_step))
             out = self._render_steps(n_steps)
             if out.shape[1] > remaining:
                 self._carry = out[:, remaining:].copy()
                 out = out[:, :remaining]
             chunks.append(out)
+            remaining -= out.shape[1]
 
         if len(chunks) == 1:
             return np.ascontiguousarray(chunks[0])
@@ -815,9 +898,9 @@ class AudioContextBase:
             got += take
 
         remaining = frame_count - got
-        if remaining > 0:
-            frames_per_step = self.superblock * FRAMES_PER_BLOCK
-            n_steps = -(-remaining // frames_per_step)
+        frames_per_step = self.superblock * FRAMES_PER_BLOCK
+        while remaining > 0:
+            n_steps = self._segment_cap(-(-remaining // frames_per_step))
             out = self._render_steps(n_steps, pack="int16")
             ch = max(self._dest_channels or 0, 1)
             total = out.shape[0] // ch
@@ -827,7 +910,9 @@ class AudioContextBase:
                     flat[remaining:].T.astype(np.float32) / np.float32(32767.0)
                 )
                 out = np.ascontiguousarray(flat[:remaining]).reshape(-1)
+                total = remaining
             chunks.append(out)
+            remaining -= total
 
         if len(chunks) == 1:
             return chunks[0]
