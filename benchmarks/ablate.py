@@ -63,12 +63,16 @@ def ablate(ctx, n_steps=64, reps=1):
 
 
 def main():
+    from benchmarks.run import SUPERBLOCKS
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     name, builder = CONFIGS[n]
     backend = jax.devices()[0].platform
-    print(f"config {n} ({name}), {n_steps}-step scans, backend={backend}")
-    results = ablate(builder(), n_steps)
+    sb = SUPERBLOCKS.get(n, 32)  # the tuning run.py ships for this config
+    print(f"config {n} ({name}), {n_steps}-step scans, SB={sb}, "
+          f"backend={backend}")
+    results = ablate(builder(superblock=sb), n_steps)
     if backend != "cpu":
         import json
         import os
@@ -79,6 +83,7 @@ def main():
             "config": n,
             "name": name,
             "n_steps": n_steps,
+            "superblock": sb,
             "backend": backend,
             "stages": [
                 {"prefix": k, "stage": label, "cum_ms_per_step": round(ms, 4),
