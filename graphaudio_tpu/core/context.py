@@ -380,8 +380,7 @@ class AudioContextBase:
         self._compiled = CompiledGraph(self)
         self._compiled_version = self._topology_version
         self._compiled_sig = self._compiled.signature()
-        self._render_fn, self._dest_channels = self._get_render_fn(None)
-        self._render_fn_by_pack = {None: self._render_fn}
+        self._render_fn, self._dest_channels = self._get_render_fn()
         # Arenas/geometry are device-resident arguments (not closure
         # constants) so a cache hit replays with the new graph's buffers.
         self._consts = jax.tree_util.tree_map(
@@ -480,20 +479,21 @@ class AudioContextBase:
         self._encs = None  # force re-encode against (possibly) new capacities
         self._param_versions = {}
 
-    def _get_render_fn(self, pack=None):
-        """Fetch (or build) the jitted renderer for one wire format.
+    def _get_render_fn(self):
+        """Fetch (or build) the ONE jitted renderer per topology.
 
-        The program cache keys on (structural signature, pack): the f32 and
-        int16-PCM renderers of one topology are distinct compiled programs;
-        structurally identical graphs reuse both across voice churn."""
-        key = (self._compiled_sig, pack)
+        The program cache keys on the structural signature; structurally
+        identical graphs reuse the program across voice churn. Wire-format
+        PCM delivery is a shared jitted postprocess of this renderer's
+        on-device output (``_pack_int16``), not a second program."""
+        key = self._compiled_sig
         cached = self._program_cache.get(key)
         if cached is not None:
             self._program_cache.move_to_end(key)
             self.stats.record_program_reuse()
             return cached
         self.stats.record_compile()
-        fn, dest_channels = self._compiled.make_render_fn(pack=pack)
+        fn, dest_channels = self._compiled.make_render_fn()
         self._program_cache[key] = (fn, dest_channels)
         while len(self._program_cache) > 8:
             self._program_cache.popitem(last=False)
@@ -601,9 +601,9 @@ class AudioContextBase:
         # exact rounding sequence: t[k+1] = fl(t[k] + fl(128/sr))
         # (AudioContextBase.cs:77-78). np.add.accumulate folds left-to-right
         # with intermediate rounding, replicating it bit-for-bit.
-        # Pipelined graphs scan D extra drain steps per render call (state
-        # changes discarded); the epilogue rows continue the accumulated
-        # clock past the call's end and are recomputed identically next call.
+        # Pipelined graphs scan D extra drain rows per render call (stage
+        # states commit under per-level freeze masks; see graph.py commit());
+        # the extra rows continue the accumulated clock past the call's end.
         pipe_d = getattr(self._compiled, "pipe_delay", 0)
         n_blocks = (n_steps + pipe_d) * self.superblock
         inc_arr = np.full(n_blocks, np.float64(FRAMES_PER_BLOCK) / self.sample_rate)
@@ -617,10 +617,7 @@ class AudioContextBase:
         # parallel device->host streams (tunneled links gain 2-3x from
         # concurrency), larger ones fewer dispatch round trips.
         chunk = int(_os.environ.get("GA_RENDER_CHUNK", "64"))
-        render_fn = self._render_fn_by_pack.get(None)
-        if render_fn is None:
-            render_fn, _ = self._get_render_fn(None)
-            self._render_fn_by_pack[None] = render_fn
+        render_fn = self._render_fn
         pack_fn = _pack_int16 if pack == "int16" else None
         t_prep = _time.perf_counter() - t0
         pending = []
@@ -883,7 +880,7 @@ class AudioContextBase:
         if frame_count == 0:
             return np.zeros(0, dtype=np.int16)
 
-        chunks = []
+        chunks = []  # (flat interleaved int16, channel count)
         got = 0
         if self._carry is not None and self._carry.shape[1] > 0:
             take = min(frame_count, self._carry.shape[1])
@@ -892,9 +889,10 @@ class AudioContextBase:
                 self._carry[:, take:] if take < self._carry.shape[1] else None
             )
             pcm = np.round(np.clip(part, -1.0, 1.0) * np.float32(32767.0))
-            chunks.append(
-                np.ascontiguousarray(pcm.T.astype(np.int16)).reshape(-1)
-            )
+            chunks.append((
+                np.ascontiguousarray(pcm.T.astype(np.int16)).reshape(-1),
+                part.shape[0],
+            ))
             got += take
 
         remaining = frame_count - got
@@ -911,12 +909,28 @@ class AudioContextBase:
                 )
                 out = np.ascontiguousarray(flat[:remaining]).reshape(-1)
                 total = remaining
-            chunks.append(out)
+            chunks.append((out, ch))
             remaining -= total
 
         if len(chunks) == 1:
-            return chunks[0]
-        return np.concatenate(chunks)
+            return chunks[0][0]
+        # A timed-command topology edit can change the destination channel
+        # count mid-call; mixed interleave strides cannot share one flat
+        # stream, so pad every segment to the widest count (silent extra
+        # channels — same rule as the float path).
+        width = max(c for _, c in chunks)
+        if all(c == width for _, c in chunks):
+            return np.concatenate([f for f, _ in chunks])
+        padded = []
+        for flat, c in chunks:
+            if c == width:
+                padded.append(flat)
+                continue
+            frames = flat.reshape(-1, c)
+            wide = np.zeros((frames.shape[0], width), dtype=np.int16)
+            wide[:, :c] = frames
+            padded.append(wide.reshape(-1))
+        return np.concatenate(padded)
 
 
 def _same_structure(a, b) -> bool:

@@ -404,9 +404,13 @@ class CompiledGraph:
         lane i takes lane i-1's PREVIOUS-step output from a carried
         register [K-1, C, T]. Audio is identical — the graph's output is
         delayed by the total pipe depth D, which make_render_fn compensates
-        by scanning D extra steps and dropping the first D outputs (the
-        epilogue's state changes are DISCARDED; the next call re-derives
-        them from the carried registers, so per-call semantics are exact).
+        by scanning D extra rows and dropping the first D outputs: a stage
+        at level L is freeze-masked outside rows [L, n+L) (see commit() in
+        make_step_fn), so the first D rows refill the pipeline and the last
+        D rows drain it with state COMMITTED. Every lane processes every
+        superblock exactly once, in the render call whose param encodings
+        were live — param/topology edits between calls therefore behave
+        exactly as the unfused graph.
 
         Every lane (and every stage downstream of a pipe) runs at a LEVEL:
         the number of superblocks between the live clock and the audio it
@@ -416,11 +420,6 @@ class CompiledGraph:
         Fusion applies only when every stage's fan-in sits at ONE level
         (sources are always level 0, so a graph mixing a direct source tap
         with a chained path refuses fusion and renders unfused).
-
-        Correctness at stream start needs level>0 stages to be linear in
-        their input with zero-preserving state (registers start silent):
-        true for every input-consuming node in this library (sources have
-        no inputs and are always level 0).
         """
         self.pipe_delay = 0
         self.stage_level = {}
@@ -870,24 +869,36 @@ class CompiledGraph:
         """Unify event capacities across a group's lanes, per param name.
 
         A name with events anywhere in the group takes the shared max
-        capacity of all event-bearing names (so their [P, V, ...] encodings
-        stack into one batched evaluation); a name with no events on ANY
-        lane stays at capacity 0 and rides the constant fast path (the
-        batching key in run_group includes the capacity, so 0-cap names are
-        never stacked with event-bearing ones)."""
+        capacity of all ever-automated names (so their [P, V, ...] encodings
+        stack into one batched evaluation); a name that has NEVER had events
+        on any lane stays at capacity 0 and rides the constant fast path
+        (the batching key in run_group includes the capacity, so 0-cap names
+        are never stacked with event-bearing ones).
+
+        Capacities are a HIGH-WATER MARK: clearing a param's events (the
+        ``value`` setter does) keeps its nonzero capacity, so the encoding
+        shapes — and therefore the jitted renderer — stay stable through
+        the common automate-then-set-value pattern. Shrinking to 0 would
+        flip argument shapes and retrace (on the remote compile service,
+        recompile) twice per round trip."""
         names = list(nodes[0].params)
-        has = {
-            nm: any(n.params[nm].event_count() > 0 for n in nodes)
+        ever = {
+            nm: (
+                any(n.params[nm].event_count() > 0 for n in nodes)
+                or any(
+                    self.param_capacity[(n.node_id, nm)] > 0 for n in nodes
+                )
+            )
             for nm in names
         }
         cap = max(
             (self.param_capacity[(n.node_id, nm)]
-             for n in nodes for nm in names if has[nm]),
+             for n in nodes for nm in names if ever[nm]),
             default=0,
         )
         for n in nodes:
             for nm in names:
-                self.param_capacity[(n.node_id, nm)] = cap if has[nm] else 0
+                self.param_capacity[(n.node_id, nm)] = cap if ever[nm] else 0
 
     def encode_params(self) -> Dict[str, dict]:
         """Encode all params' event lists; bumps capacities when outgrown.
@@ -956,7 +967,8 @@ class CompiledGraph:
 
         pipe_delay = self.pipe_delay
 
-        def step(states, encs, consts, feeds, frame0, block_times=None):
+        def step(states, encs, consts, feeds, frame0, block_times=None,
+                 rowinfo=None):
             rc = RenderContext(info, frame0, block_times)
             rc.globals = states.get("__globals__")
             rc.feeds = feeds
@@ -989,6 +1001,28 @@ class CompiledGraph:
                 new_states["__pipe_bt__"] = jnp.concatenate(
                     [rc.block_times[None], bt_ring[:-1]], axis=0
                 ) if pipe_delay > 1 else rc.block_times[None]
+
+            def commit(level, key, new):
+                """Commit a stage's state update, freeze-masked when
+                pipelining: at row ``r`` of a call scanning ``n`` main rows
+                (+ D drain rows), a stage at level L is ACTIVE iff
+                ``L <= r < n + L`` — it idles through its refill prologue
+                (rows before its first new superblock reaches it) and after
+                its drain completes. Every lane thus processes every
+                superblock exactly ONCE, in the call whose param encodings
+                were live, so inter-call edits behave exactly as unfused
+                (the reference's semantics). Frozen stages still compute
+                (junk) outputs, but those rows are only ever consumed by
+                stages frozen at the same rows and are dropped from the
+                delivered stream."""
+                if rowinfo is None or not pipe_delay or level is None:
+                    new_states[key] = new
+                    return
+                row, n_main = rowinfo
+                act = jnp.logical_and(level <= row, row < n_main + level)
+                new_states[key] = jax.tree_util.tree_map(
+                    lambda nv, ov: jnp.where(act, nv, ov), new, states[key]
+                )
 
             def mixed_signal(prods, dst_c):
                 """Sum producer outputs into one [dst_c, T] block. Lanes of
@@ -1071,7 +1105,7 @@ class CompiledGraph:
                 st, outs = sp["rep"].process(states[key], inputs, params, src)
                 src.stage_consts = {}
                 src.part_axis = None
-                new_states[key] = st
+                commit(sp["level"], key, st)
                 for i, o in enumerate(outs):
                     out_table[(si, i)] = o
 
@@ -1089,6 +1123,41 @@ class CompiledGraph:
                     [mixed_signal(pl, dst_c) for pl in routing], axis=0
                 )
 
+            def stacked_param_kinds(sp, key):
+                """Group a stage's params into batched-eval kinds and stack
+                their encodings: one vmapped evaluation per (rate,
+                exactness, capacity) kind instead of P separate passes (17
+                for the spatial panner, ~10 dispatches each). Capacity joins
+                the batching key: 0-cap (statically event-free) names take
+                the constant fast path and must not stack with event-bearing
+                encodings. Yields ((a_rate, exact), names, stacked) plus the
+                name->rate map."""
+                by_kind: Dict[Tuple[bool, bool, int], list] = {}
+                rates = {}
+                for name, a_rate, exact in sp["params"]:
+                    cap_n = encs[f"{key}/{name}"]["times"].shape[-1]
+                    by_kind.setdefault((a_rate, exact, cap_n), []).append(
+                        name
+                    )
+                    rates[name] = a_rate
+                kinds = []
+                for (a_rate, exact, _cap), names in by_kind.items():
+                    first = encs[f"{key}/{names[0]}"]
+                    if len(names) == 1:
+                        stacked = {
+                            k: jnp.asarray(first[k])[None] for k in first
+                        }
+                    else:
+                        stacked = {
+                            k: jnp.stack(
+                                [jnp.asarray(encs[f"{key}/{n}"][k])
+                                 for n in names]
+                            )
+                            for k in first
+                        }
+                    kinds.append(((a_rate, exact), names, stacked))
+                return kinds, rates
+
             def run_group(sp):
                 si, key, rep = sp["si"], sp["key"], sp["rep"]
                 src = rc_for(sp["level"])
@@ -1102,37 +1171,9 @@ class CompiledGraph:
                 pvals = {}
                 rates = {}
                 if wants_params:
-                    # One batched evaluation per (rate, exactness) kind:
-                    # every param of the group shares one encoding capacity
-                    # (see param_capacity), so the per-param encodings stack
-                    # into a [P, V, ...] pytree and evaluate with a single
-                    # doubly-vmapped pass — P separate vmapped evaluations
-                    # (17 for the spatial panner) cost ~10 dispatches EACH.
-                    by_kind: Dict[Tuple[bool, bool, int], list] = {}
-                    for name, a_rate, exact in sp["params"]:
-                        # Capacity joins the batching key: 0-cap (statically
-                        # event-free) names take the constant fast path and
-                        # must not stack with event-bearing encodings.
-                        cap_n = encs[f"{key}/{name}"]["times"].shape[-1]
-                        by_kind.setdefault((a_rate, exact, cap_n), []).append(
-                            name
-                        )
-                        rates[name] = a_rate
-                    for (a_rate, exact, _cap), names in by_kind.items():
+                    kinds, rates = stacked_param_kinds(sp, key)
+                    for (a_rate, exact), names, stacked in kinds:
                         npb = FRAMES_PER_BLOCK if a_rate else 1
-                        first = encs[f"{key}/{names[0]}"]
-                        if len(names) == 1:
-                            stacked = {
-                                k: jnp.asarray(first[k])[None] for k in first
-                            }
-                        else:
-                            stacked = {
-                                k: jnp.stack(
-                                    [jnp.asarray(encs[f"{key}/{n}"][k])
-                                     for n in names]
-                                )
-                                for k in first
-                            }
                         vals = jax.vmap(
                             jax.vmap(
                                 lambda e, npb=npb, exact=exact:
@@ -1200,7 +1241,7 @@ class CompiledGraph:
                         states_stacked, tuple(inputs_stacked), pvals
                     )
 
-                new_states[key] = sts
+                commit(sp["level"], key, sts)
                 for i, o in enumerate(outs):  # o: [V, C, T]
                     out_table[(si, i)] = o
 
@@ -1226,27 +1267,9 @@ class CompiledGraph:
                 # Group-style batched param eval, but each lane evaluates at
                 # ITS OWN clock (the step that produced the audio it holds).
                 pvals = {}
-                rates = {}
-                by_kind: Dict[Tuple[bool, bool, int], list] = {}
-                for name, a_rate, exact in sp["params"]:
-                    cap_n = encs[f"{key}/{name}"]["times"].shape[-1]
-                    by_kind.setdefault((a_rate, exact, cap_n), []).append(name)
-                    rates[name] = a_rate
-                for (a_rate, exact, _cap), names in by_kind.items():
+                kinds, rates = stacked_param_kinds(sp, key)
+                for (a_rate, exact), names, stacked in kinds:
                     npb = FRAMES_PER_BLOCK if a_rate else 1
-                    first = encs[f"{key}/{names[0]}"]
-                    if len(names) == 1:
-                        stacked = {
-                            k: jnp.asarray(first[k])[None] for k in first
-                        }
-                    else:
-                        stacked = {
-                            k: jnp.stack(
-                                [jnp.asarray(encs[f"{key}/{n}"][k])
-                                 for n in names]
-                            )
-                            for k in first
-                        }
                     vals = jax.vmap(  # over P params
                         lambda e, npb=npb, exact=exact: jax.vmap(  # over lanes
                             lambda el, bt: eval_intrinsic_blocked(
@@ -1276,7 +1299,26 @@ class CompiledGraph:
                 sts, outs = jax.vmap(lane)(
                     states_stacked, lane_in, pvals, lane_f0, lane_bts
                 )
-                new_states[key] = sts
+                if rowinfo is None:
+                    new_states[key] = sts
+                else:
+                    # Per-lane freeze window (see commit()): lane i runs at
+                    # level base + i and is active iff base+i <= r < n+base+i.
+                    # The windows of adjacent lanes are offset by exactly one
+                    # row, so an active lane always reads a register written
+                    # by an active producer the row before.
+                    row, n_main = rowinfo
+                    lvl = base + jnp.arange(d)
+                    act = jnp.logical_and(lvl <= row, row < n_main + lvl)
+                    new_states[key] = jax.tree_util.tree_map(
+                        lambda nv, ov: jnp.where(
+                            act.reshape((d,) + (1,) * (nv.ndim - 1)), nv, ov
+                        ),
+                        sts, states_stacked,
+                    )
+                # Registers are within-call scratch: rows written by frozen
+                # lanes are only read by lanes frozen at the next row, and
+                # after a call's drain no carried register is read again.
                 new_states[key + ".pipe"] = {"reg": outs[0][:-1]}
                 for i, o in enumerate(outs):
                     out_table[(si, i)] = o
@@ -1302,15 +1344,12 @@ class CompiledGraph:
 
         return step, dest_channels
 
-    def make_render_fn(self, pack: str = None):
+    def make_render_fn(self):
         """Jitted multi-superblock renderer: scan step over frame offsets.
 
-        ``pack="int16"`` appends a device-side wire-format stage: the audio
-        interleaves and quantizes to int16 PCM ([n_steps*T*C] flat) before
-        leaving the device, halving device->host bytes — the natural PCM
-        delivery format (the reference's device path is interleaved too,
-        AudioContextBase.cs:88-161). Quantization error <= 0.5/32767 ~ 1.5e-5
-        of full scale (~7.6e-6 absolute for typical signals).
+        This is the ONE compiled program per topology: wire-format int16
+        delivery is a tiny shared jitted postprocess of its on-device output
+        (``context._pack_int16``), never a second renderer.
 
         With a context mesh and a shardable plan, the WHOLE scan runs inside
         ``shard_map``: every group's lane axis is split over the mesh's
@@ -1327,38 +1366,46 @@ class CompiledGraph:
         pipe_delay = self.pipe_delay
 
         def render(states, encs, consts, feeds, frame0s, block_times):
-            def body(carry, xs):
-                frame0, bt = xs
-                new_states, out = step(carry, encs, consts, feeds, frame0, bt)
-                return new_states, out
-
             if pipe_delay:
                 # Pipelined graphs: the dest stream lags the live clock by
                 # D superblocks. The caller hands D EXTRA rows of clocks;
-                # the epilogue scan drains the pipeline for this call's
-                # last D superblocks while its STATE changes are discarded —
-                # the carried registers already hold everything the next
-                # call needs to re-derive them, so per-call audio is exact
-                # and states stay replay-consistent.
+                # one scan runs n+D rows with per-stage freeze masks (see
+                # step's commit()): a stage at level L is active for rows
+                # [L, n+L), so the first D rows refill the pipeline (junk
+                # rows, dropped below) and the last D rows drain it with
+                # state COMMITTED. Every lane processes every superblock
+                # exactly once, in the call whose param encodings were
+                # live — inter-call edits behave exactly as unfused.
                 n = frame0s.shape[0] - pipe_delay
+                rows = jnp.arange(frame0s.shape[0], dtype=jnp.int32)
+
+                def body(carry, xs):
+                    frame0, bt, row = xs
+                    new_states, out = step(
+                        carry, encs, consts, feeds, frame0, bt,
+                        rowinfo=(row, n),
+                    )
+                    return new_states, out
+
                 states, outs = jax.lax.scan(
-                    body, states, (frame0s[:n], block_times[:n])
+                    body, states, (frame0s, block_times, rows)
                 )
-                _, flush = jax.lax.scan(
-                    body, states, (frame0s[n:], block_times[n:])
-                )
-                # Valid dest superblocks are rows D..D+n-1 of the combined
-                # main+flush sequence (works for any n, including n < D).
-                outs = jnp.concatenate([outs, flush], axis=0)[pipe_delay:]
+                # Valid dest superblocks are rows D..D+n-1 (works for any
+                # n, including n < D).
+                outs = outs[pipe_delay:]
             else:
+                def body(carry, xs):
+                    frame0, bt = xs
+                    new_states, out = step(
+                        carry, encs, consts, feeds, frame0, bt
+                    )
+                    return new_states, out
+
                 states, outs = jax.lax.scan(
                     body, states, (frame0s, block_times)
                 )
             # outs: [n_steps, C, T] -> [C, n_steps*T]
             outs = jnp.swapaxes(outs, 0, 1).reshape(outs.shape[1], -1)
-            if pack == "int16":
-                pcm = jnp.round(jnp.clip(outs, -1.0, 1.0) * jnp.float32(32767.0))
-                outs = pcm.astype(jnp.int16).T.reshape(-1)  # interleaved
             return states, outs
 
         if not sharded:

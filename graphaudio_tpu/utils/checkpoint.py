@@ -19,14 +19,28 @@ import jax
 import numpy as np
 
 
+def _is_scratch(path_str: str) -> bool:
+    """Pipeline-fusion working storage (the register banks and the block-
+    time ring) is within-render-call scratch: its cross-call content is
+    never read (each lane's first active row reads registers written THIS
+    call — see graph.py run_pipe). Excluding it from checkpoints keeps
+    files smaller and lets within-call working storage change layout
+    without invalidating existing checkpoints."""
+    return "__pipe_bt__" in path_str or ".pipe'" in path_str
+
+
 def _flatten_states(states):
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(states)[0]
     arrays = {}
     manifest = []
-    for i, (path, leaf) in enumerate(leaves_with_paths):
-        key = f"leaf_{i}"
-        arrays[key] = np.asarray(leaf)
-        manifest.append(jax.tree_util.keystr(path))
+    i = 0
+    for path, leaf in leaves_with_paths:
+        path_str = jax.tree_util.keystr(path)
+        if _is_scratch(path_str):
+            continue
+        arrays[f"leaf_{i}"] = np.asarray(leaf)
+        manifest.append(path_str)
+        i += 1
     return arrays, manifest
 
 
@@ -36,14 +50,26 @@ def save_context_state(context, path) -> None:
     states = jax.device_get(context._states)
     arrays, leaf_paths = _flatten_states(states)
 
+    # Nodes are identified by CREATION ORDINAL within the context (ids are
+    # process-global monotonic, so sorting by id is creation order) plus the
+    # node type: stable across identically-constructed fresh contexts, which
+    # raw node_ids are NOT.
     params = []
-    for node in context._compiled.topo:
-        for name, p in node.params.items():
+    for ordinal, node in enumerate(
+        sorted(context._nodes.values(), key=lambda n: n.node_id)
+    ):
+        for name, p in getattr(node, "params", {}).items():
             params.append(
                 {
-                    "node_id": node.node_id,
+                    "node": ordinal,
+                    "type": type(node).__name__,
                     "name": name,
                     "value": float(p.value),
+                    # Sticky: kernel-variant selection (static vs
+                    # time-varying biquad etc.) keys on whether the param
+                    # EVER had events, so the state layout depends on it
+                    # even when the event list is currently empty.
+                    "had_events": bool(p._had_events),
                     "events": [
                         {"time": e[0], "type": e[2], "value": e[3], "tc": e[4]}
                         for e in p._events
@@ -96,49 +122,24 @@ def load_context_state(context, path) -> None:
         )
 
     context._drain_commands()
-    context._ensure_compiled()
-    cur_flat, treedef = jax.tree_util.tree_flatten_with_path(
-        jax.device_get(context._states)
-    )
-    expected = treedef.num_leaves
-    if expected != len(leaves):
-        raise ValueError(
-            f"checkpoint has {len(leaves)} state leaves; the current graph "
-            f"has {expected} (topology mismatch)"
-        )
-    # Leaf counts can coincide across different topologies — require each
-    # leaf's PATH, shape, and dtype to match so restored arrays can't land
-    # in the wrong state slots silently.
-    for (path, cur), saved, saved_path in zip(
-        cur_flat, leaves, manifest["leaf_paths"]
+    # Restore params BEFORE compiling: kernel-variant selection (e.g. the
+    # biquad's static blocked-matmul vs time-varying scan, and therefore
+    # chain-fusion grouping) keys on whether params carry events, so the
+    # graph must compile against the CHECKPOINT's automation state or the
+    # state layouts below won't line up.
+    by_key = {}
+    for p in manifest["params"]:
+        if "node" in p:
+            by_key[(p["node"], p["type"], p["name"])] = p
+        else:  # older checkpoints keyed by raw node_id (same-context only)
+            by_key[p["node_id"], p["name"]] = p
+    for ordinal, node in enumerate(
+        sorted(context._nodes.values(), key=lambda n: n.node_id)
     ):
-        cur_path = jax.tree_util.keystr(path)
-        if cur_path != saved_path:
-            raise ValueError(
-                f"checkpoint state layout mismatch: leaf {saved_path!r} vs "
-                f"current graph's {cur_path!r} (different topology?)"
-            )
-        cur_arr = np.asarray(cur)
-        if np.shape(saved) != cur_arr.shape or saved.dtype != cur_arr.dtype:
-            raise ValueError(
-                f"checkpoint leaf {saved_path!r} is {np.shape(saved)}/"
-                f"{saved.dtype}; current graph expects "
-                f"{cur_arr.shape}/{cur_arr.dtype}"
-            )
-    context._states = jax.tree_util.tree_unflatten(treedef, leaves)
-    context._carry = carry
-    context._current_frame = int(manifest["current_frame"])
-    # Older checkpoints predate the accumulated clock; the frame-derived
-    # value differs only at the ~1e-13 level.
-    context._current_time = float(
-        manifest.get("current_time",
-                     context._current_frame / context.sample_rate)
-    )
-
-    by_key = {(p["node_id"], p["name"]): p for p in manifest["params"]}
-    for node in context._compiled.topo:
-        for name, p in node.params.items():
-            saved = by_key.get((node.node_id, name))
+        for name, p in getattr(node, "params", {}).items():
+            saved = by_key.get(
+                (ordinal, type(node).__name__, name)
+            ) or by_key.get((node.node_id, name))
             if saved is None:
                 continue
             p._value = saved["value"]
@@ -148,4 +149,66 @@ def load_context_state(context, path) -> None:
             ]
             p._seq = len(p._events)
             p._version += 1
+            had = bool(saved.get("had_events", saved["events"]))
+            if had and not p._had_events:
+                # Flip through the same notify path as the first scheduled
+                # event so variant-dependent kernels recompile.
+                p._had_events = True
+                if p.notify_first_event and p._owner is not None:
+                    p._owner._config_changed()
+    context._invalidate_topology()
+    context._ensure_compiled()
+    cur_flat, treedef = jax.tree_util.tree_flatten_with_path(
+        jax.device_get(context._states)
+    )
+    # Match leaves BY PATH (not position): pipe scratch is excluded from
+    # checkpoints and ignored in files that carried it, so within-call
+    # working storage can change layout without invalidating checkpoints.
+    # (A pipelined graph still stacks its lane STATES, so a file saved
+    # with pipeline_chains=True needs a True context to load — mismatches
+    # fail below with the missing/extra leaf named.) Requiring each path's
+    # shape and dtype to match keeps restored arrays from landing in the
+    # wrong state slots silently.
+    saved_by_path = {
+        p: a
+        for p, a in zip(manifest["leaf_paths"], leaves)
+        if not _is_scratch(p)
+    }
+    new_leaves = []
+    for path, cur in cur_flat:
+        cur_path = jax.tree_util.keystr(path)
+        cur_arr = np.asarray(cur)
+        if _is_scratch(cur_path):
+            new_leaves.append(cur_arr)  # fresh scratch; never read cross-call
+            continue
+        saved = saved_by_path.pop(cur_path, None)
+        if saved is None:
+            raise ValueError(
+                f"checkpoint has no state leaf {cur_path!r} that the current "
+                f"graph expects (different topology?)"
+            )
+        if np.shape(saved) != cur_arr.shape or saved.dtype != cur_arr.dtype:
+            raise ValueError(
+                f"checkpoint leaf {cur_path!r} is {np.shape(saved)}/"
+                f"{saved.dtype}; current graph expects "
+                f"{cur_arr.shape}/{cur_arr.dtype} — same topology but "
+                f"incompatible kernel state layouts (checkpoint saved by an "
+                f"older build?)"
+            )
+        new_leaves.append(saved)
+    if saved_by_path:
+        extra = sorted(saved_by_path)[:4]
+        raise ValueError(
+            f"checkpoint contains {len(saved_by_path)} state leaves the "
+            f"current graph does not (e.g. {extra}) — different topology?"
+        )
+    context._states = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    context._carry = carry
+    context._current_frame = int(manifest["current_frame"])
+    # Older checkpoints predate the accumulated clock; the frame-derived
+    # value differs only at the ~1e-13 level.
+    context._current_time = float(
+        manifest.get("current_time",
+                     context._current_frame / context.sample_rate)
+    )
     context._encs = None  # force re-encode from restored event lists

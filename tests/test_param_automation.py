@@ -204,6 +204,36 @@ def test_static_param_capacity_zero_then_first_event_retraces():
     assert np.allclose(b[0], 0.125)
 
 
+def test_capacity_is_high_water_after_events_cleared():
+    """The `value` setter clears the event list, but the event CAPACITY must
+    not shrink back to 0: a shrink flips encoding shapes and retraces the
+    renderer (an XLA recompile on remote-compile backends) twice per
+    automate-then-set-value round trip. Values must still be correct."""
+    sr = 48000
+    ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=2)
+    src = ga.ConstantSourceNode(ctx)
+    g = ga.GainNode(ctx)
+    src.connect(g).connect(ctx.destination)
+    src.start(0)
+    g.gain.linear_ramp_to_value_at_time(0.5, 0.001)
+    ctx.render(256)
+    cap_key = (g.node_id, "gain")
+    cap1 = ctx._compiled.param_capacity[cap_key]
+    assert cap1 > 0
+    g.gain.value = 0.25  # clears events
+    out = ctx.render(256)
+    assert np.allclose(out[0], 0.25)
+    assert ctx._compiled.param_capacity[cap_key] == cap1, (
+        "capacity shrank after events cleared: encoding shapes flip and the "
+        "renderer retraces"
+    )
+    # re-automating within the high-water capacity keeps shapes too
+    g.gain.set_value_at_time(0.125, ctx.current_time)
+    out2 = ctx.render(256)
+    assert np.allclose(out2[0], 0.125)
+    assert ctx._compiled.param_capacity[cap_key] == cap1
+
+
 def test_static_group_param_first_event_on_one_lane():
     """A group where one lane's param gains its first event later: the
     per-name shared capacity grows for every lane, the others still read

@@ -144,6 +144,50 @@ def test_pipeline_topology_edit_refuses_stale_registers():
     np.testing.assert_array_equal(oa, ob)
 
 
+def test_pipeline_non_head_param_edit_between_calls_exact():
+    """Editing a NON-head chain member's param between render calls must
+    behave exactly as the unfused graph: the drained pipeline state was
+    committed under the OLD params, and only new superblocks see the new
+    ones. (Regression: the earlier discard-and-re-derive design re-ran the
+    in-flight superblocks with the NEW params — measured 3.9e-3 divergence
+    from the unfused render on this exact scenario.)"""
+    a = _chain_ctx(False)
+    b = _chain_ctx(True)
+    np.testing.assert_array_equal(a.render(9000), b.render(9000))
+    for ctx in (a, b):
+        filters = [n for n in ctx._nodes.values()
+                   if isinstance(n, ga.BiQuadFilterNode)]
+        # the LAST chain member: the deepest pipeline lane
+        filters[-1].frequency.set_value_at_time(777.0, 0.0)
+        filters[2].q.linear_ramp_to_value_at_time(3.0, 0.4)
+    np.testing.assert_array_equal(a.render(9000), b.render(9000))
+    # and again after another edit, across a non-aligned boundary
+    for ctx in (a, b):
+        filters = [n for n in ctx._nodes.values()
+                   if isinstance(n, ga.BiQuadFilterNode)]
+        filters[1].frequency.set_value_at_time(350.0, 0.0)
+    np.testing.assert_array_equal(a.render(700), b.render(700))
+    np.testing.assert_array_equal(a.render(5000), b.render(5000))
+
+
+def test_pipeline_value_setter_edit_between_calls_close():
+    """`param.value = x` CLEARS the event list; the unfused all-static
+    biquad then switches to the constant-coefficient blocked-matmul kernel
+    while the pipe (whose other lanes stay automated) keeps the
+    time-varying scan — two algebraically equal algorithms that agree to
+    f32 rounding, not bit-exactly. The SEMANTICS (which superblocks see
+    the new value) still match exactly; amplitudes agree to ~1e-6."""
+    a = _chain_ctx(False)
+    b = _chain_ctx(True)
+    np.testing.assert_array_equal(a.render(9000), b.render(9000))
+    for ctx in (a, b):
+        filters = [n for n in ctx._nodes.values()
+                   if isinstance(n, ga.BiQuadFilterNode)]
+        filters[-1].frequency.value = 777.0
+    oa, ob = a.render(9000), b.render(9000)
+    np.testing.assert_allclose(oa, ob, atol=1e-6)
+
+
 def test_pipeline_off_for_realtime_contexts():
     from graphaudio_tpu.realtime import RealtimeAudioContext
 

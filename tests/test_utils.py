@@ -131,6 +131,44 @@ def test_checkpoint_restores_param_events(tmp_path):
     assert g.gain.value == 1.0
 
 
+def test_checkpoint_variant_change_restores_into_fresh_context(tmp_path):
+    """Automation events flip kernel-variant selection (static blocked-
+    matmul vs time-varying scan) and chain-fusion grouping, so the loader
+    must restore the checkpoint's params BEFORE compiling the target
+    context — a fresh (un-edited) context then compiles the same layout
+    the checkpoint was saved with."""
+    def build():
+        ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4,
+                                     pipeline_chains=True)
+        osc = ga.OscillatorNode(ctx)
+        osc.frequency.value = 330.0
+        node = osc
+        filters = []
+        for i in range(3):
+            f = ga.BiQuadFilterNode(ctx)
+            f.frequency.value = 900.0 * (i + 1)
+            filters.append(f)
+            node = node.connect(f)
+        node.connect(ctx.destination)
+        osc.start(0)
+        return ctx, filters
+
+    a, fa = build()
+    a.render(8000)
+    # event on ONE filter: its variant (and the fused chain's grouping)
+    # changes relative to the all-static build()
+    fa[2].frequency.set_value_at_time(200.0, 0.0)
+    a.render(8000)
+    path = tmp_path / "variant.npz"
+    save_context_state(a, path)
+    cont = a.render(5000)
+
+    b, _ = build()
+    b._ensure_compiled()  # compiled against the WRONG (event-free) layout
+    load_context_state(b, path)
+    np.testing.assert_array_equal(b.render(5000), cont)
+
+
 def test_checkpoint_rejects_mismatched_geometry(tmp_path):
     ctx = _make_graph()
     ctx.render(256)
