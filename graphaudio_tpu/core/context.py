@@ -178,14 +178,23 @@ class AudioContextBase:
         right = np.cross(f, u)
         right /= max(np.linalg.norm(right), 1e-9)
         true_up = np.cross(right, f)
-        self._listener = {
+        listener = {
             "listener_pos": position,
             "listener_right": right.astype(np.float32),
             "listener_up": true_up.astype(np.float32),
             "listener_ahead": (-f).astype(np.float32),
         }
-        if self._states is not None and "__globals__" in self._states:
-            self._states["__globals__"] = dict(self._listener)
+
+        def do(ctx):
+            # Routed through the command queue (like set_default_hrir): a
+            # direct write from a game thread races the realtime render
+            # thread's `self._states = render_fn(self._states, ...)` rebind
+            # and can land in the dict the render step is about to replace.
+            ctx._listener = listener
+            if ctx._states is not None and "__globals__" in ctx._states:
+                ctx._states["__globals__"] = dict(listener)
+
+        self.execute_or_post(do)
 
     def global_state(self) -> dict:
         return dict(self._listener)

@@ -159,21 +159,34 @@ class CompiledGraph:
                     ups.append(out.owner)
             return ups
 
-        def dfs(node):
+        # Iterative DFS: long serial cascades (the chain-fusion use case)
+        # can exceed Python's recursion limit at ~1000 nodes.
+        stack = [(dest, False)]
+        while stack:
+            node, expanded = stack.pop()
             c = color.get(node.node_id, WHITE)
+            if expanded:
+                color[node.node_id] = BLACK
+                topo.append(node)
+                continue
             if c == BLACK:
-                return
+                continue
             if c == GREY:
                 raise RuntimeError(
-                    f"Audio graph cycle detected at node {node.name} (ID: {node.node_id})"
+                    f"Audio graph cycle detected at node {node.name} "
+                    f"(ID: {node.node_id})"
                 )
             color[node.node_id] = GREY
+            stack.append((node, True))
             for up in upstream(node):
-                dfs(up)
-            color[node.node_id] = BLACK
-            topo.append(node)
-
-        dfs(dest)
+                uc = color.get(up.node_id, WHITE)
+                if uc == GREY:
+                    raise RuntimeError(
+                        f"Audio graph cycle detected at node {up.name} "
+                        f"(ID: {up.node_id})"
+                    )
+                if uc == WHITE:
+                    stack.append((up, False))
         self.topo = topo
 
         # Static channel resolution in topo order (replaces the reference's

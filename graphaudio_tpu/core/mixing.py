@@ -45,18 +45,11 @@ def adapt_channels(src, dst_channels: int):
     return out
 
 
-def mix_inputs(sources, dst_channels: int, length: int):
-    """Sum a list of [c_i, T] source blocks into one [dst_channels, T] block.
-
-    Parity: AudioNodeInput.Pull (AudioNodeInput.cs:100-138) — zero buffer when
-    no connections, else the adapted sum of every connected output.
-    """
-    if not sources:
-        return jnp.zeros((dst_channels, length), dtype=jnp.float32)
-    acc = adapt_channels(sources[0], dst_channels)
-    for s in sources[1:]:
-        acc = acc + adapt_channels(s, dst_channels)
-    return acc
+# The fan-in summing junction itself (AudioNodeInput.Pull,
+# AudioNodeInput.cs:100-138) lives in the compiled step — see
+# graph.py mixed_signal, which is the single implementation (it adds
+# group-lane collapsing and mesh psum completion on top of
+# adapt_channels).
 
 
 def resolve_channel_count(mode: str, node_channel_count: int, source_channel_counts) -> int:

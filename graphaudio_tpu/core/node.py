@@ -23,6 +23,7 @@ import enum
 import itertools
 from typing import Dict, List, Optional, Sequence
 
+from graphaudio_tpu.core.constants import MAX_CHANNELS
 from graphaudio_tpu.core.params import AudioParam, AutomationRate
 
 _node_ids = itertools.count(1)
@@ -68,8 +69,10 @@ class AudioNodeInput:
 
     def set_channel_count(self, count: int) -> None:
         """Parity: AudioNodeInput.SetChannelCount (:41-48)."""
-        if not (1 <= count <= 32):
-            raise ValueError("Channel count must be between 1 and 32")
+        if not (1 <= count <= MAX_CHANNELS):
+            raise ValueError(
+                f"Channel count must be between 1 and {MAX_CHANNELS}"
+            )
         self._channel_count = count
         self.owner._graph_changed()
 
@@ -174,11 +177,11 @@ class AudioNode:
 
         Parity: AudioNode.Connect (AudioNode.cs:68-92).
         """
+        if not (0 <= output < len(self.outputs)):
+            raise IndexError("output index out of range")
         if isinstance(destination, AudioParam):
             self.outputs[output].connect_to_param(destination)
             return destination
-        if not (0 <= output < len(self.outputs)):
-            raise IndexError("output index out of range")
         if not (0 <= input < len(destination.inputs)):
             raise IndexError("input index out of range")
         self.outputs[output].connect_to(destination.inputs[input])
@@ -186,6 +189,8 @@ class AudioNode:
 
     def disconnect(self, destination=None, output: int = 0, input: int = 0) -> None:
         """Parity: AudioNode.Disconnect (AudioNode.cs:78-103, 129-150)."""
+        if not (0 <= output < len(self.outputs)):
+            raise IndexError("output index out of range")
         if isinstance(destination, AudioParam):
             self.outputs[output].disconnect_from_param(destination)
             return

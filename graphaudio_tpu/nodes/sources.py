@@ -437,11 +437,17 @@ class AudioBufferSourceNode(ScheduledSourceNode):
         """Static pow2 upper bound on the effective resampling rate.
 
         Sizes the per-superblock read window; outgrowing it (a playbackRate
-        scheduled above the compiled bound) triggers a recompile.
+        scheduled above the compiled bound) triggers a recompile. An
+        audio-rate modulation input has no static bound, so it gets 2x
+        headroom over the scheduled maximum; the kernel clamps the evaluated
+        rate to the compiled bound (graceful rate ceiling, not garbage
+        reads) — see _process_resample.
         """
         if self._buffer is None or self._static_unity_rate_cfg():
             return 1
         mx = self.playback_rate.max_scheduled_value()
+        if self.playback_rate._mod_outputs:
+            mx = max(2.0 * mx, 2.0)
         eff = (self._buffer.sample_rate / self.context.sample_rate) * mx
         b = 1
         while b < eff:
@@ -453,6 +459,7 @@ class AudioBufferSourceNode(ScheduledSourceNode):
             self._buffer is not None
             and self._buffer.sample_rate == self.context.sample_rate
             and not self.playback_rate.touched
+            and not self.playback_rate._mod_outputs
         )
 
     def static_ratio(self):
@@ -783,6 +790,14 @@ class AudioBufferSourceNode(ScheduledSourceNode):
 
         ratio = geom["rate"] / jnp.float64(rc.sample_rate)
         rate_b = ratio * playback_rate_pb.astype(jnp.float64)  # [S]
+        # The compiled window admits effective rates up to this bound (the
+        # inverse of _window_w's sizing; also sizes the tiles below).
+        # Scheduled events above it recompile with a wider window
+        # (rate_bound / static_config_stale); audio-rate MODULATION has no
+        # static bound, so it clamps here instead — a graceful rate ceiling
+        # rather than positions walking off the window into garbage reads.
+        bound = max(1, (w - 16) // (S * FRAMES_PER_BLOCK))
+        rate_b = jnp.minimum(rate_b, jnp.float64(bound))
 
         # Prime the resampler on first activity: the 4-sample warmup leaves the
         # first output at position pos+1 (CubicResampler.cs:31-38 + :52).
@@ -803,7 +818,6 @@ class AudioBufferSourceNode(ScheduledSourceNode):
 
         # ---- banded interpolation matmul over static overlapping tiles ----
         hop = self._HOP
-        bound = max(1, (w - 16) // (S * FRAMES_PER_BLOCK))
         tile = self._tile_len(bound)
         k_per = tile // hop
         n_tiles = (w - tile) // hop + 1

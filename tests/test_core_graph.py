@@ -157,3 +157,44 @@ def test_gain_param_modulation_connect_api():
     assert mod.outputs[0].param_connections == [g.gain]
     mod.disconnect(g.gain)
     assert mod.outputs[0].param_connections == []
+
+
+def test_deep_chain_compiles_without_recursion_error():
+    """A ~1500-node serial cascade must topo-sort iteratively — recursive
+    DFS dies at Python's recursion limit (regression)."""
+    ctx = ga.OfflineAudioContext(superblock=1)
+    src = ga.ConstantSourceNode(ctx)
+    src.offset.value = 0.25
+    node = src
+    for _ in range(1500):
+        g = ga.GainNode(ctx)
+        node = node.connect(g)
+    node.connect(ctx.destination)
+    src.start(0)
+    ctx._ensure_compiled()
+    assert len(ctx._compiled.topo) == 1502
+
+
+def test_connect_param_with_bad_output_index_raises():
+    ctx = ga.OfflineAudioContext(superblock=1)
+    g = ga.GainNode(ctx)
+    mod = ga.ConstantSourceNode(ctx)
+    import pytest
+    with pytest.raises(IndexError):
+        mod.connect(g.gain, output=-1)
+    with pytest.raises(IndexError):
+        mod.disconnect(g.gain, output=5)
+
+
+def test_set_listener_posts_and_applies():
+    ctx = ga.OfflineAudioContext(superblock=1)
+    ctx.set_listener([1.0, 2.0, 3.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0])
+    assert np.allclose(ctx._listener["listener_pos"], [1, 2, 3])
+    src = ga.ConstantSourceNode(ctx)
+    src.connect(ctx.destination)
+    src.start(0)
+    ctx.render(128)
+    ctx.set_listener([4.0, 5.0, 6.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0])
+    assert np.allclose(
+        np.asarray(ctx._states["__globals__"]["listener_pos"]), [4, 5, 6]
+    )

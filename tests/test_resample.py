@@ -252,3 +252,51 @@ def test_poly_voices_batch_into_one_stage(rng):
     rate = 44100.0 / 48000.0
     expect = sum(_golden_resample(d, rate, 2048) for d in datas)
     assert np.max(np.abs(out - expect)) < 2e-5
+
+
+def test_modulated_playback_rate_on_same_rate_source_is_honored(rng):
+    """An audio-rate modulation input on playbackRate must force the
+    resample kernel even when the param was never set or scheduled — the
+    unity-copy fast path reads no params and would silently discard the
+    modulation (regression)."""
+    data = rng.standard_normal(8192).astype(np.float32)
+    ctx = _mono_ctx()
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(data, SR)  # same rate
+    lfo = ga.ConstantSourceNode(ctx)
+    lfo.offset.value = -0.5  # rate 1.0 + (-0.5) = 0.5
+    lfo.connect(src.playback_rate)
+    src.connect(ctx.destination)
+    src.start(0)
+    lfo.start(0)
+    assert src.kernel_variant()[0] == "resample"
+    out = ctx.render(1024)[0]
+    want = _golden_resample(data, 0.5, 1024)
+    np.testing.assert_allclose(out, want, atol=2e-6)
+
+
+def test_modulated_playback_rate_beyond_window_clamps_not_garbage(rng):
+    """Audio-rate modulation has no static bound; rates beyond the
+    compiled window's bound clamp to it (graceful ceiling) instead of the
+    read positions walking off the window into wrong samples."""
+    data = rng.standard_normal(1 << 16).astype(np.float32)
+    ctx = _mono_ctx()
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src.playback_rate.value = 1.0  # touched -> resample; mod doubles bound
+    lfo = ga.ConstantSourceNode(ctx)
+    lfo.offset.value = 7.0  # pushes rate to 8.0, beyond the compiled bound
+    lfo.connect(src.playback_rate)
+    src.connect(ctx.destination)
+    src.start(0)
+    lfo.start(0)
+    # The kernel clamps at the compiled window's true capacity (>= the
+    # pow2 rate_bound the window was sized for).
+    w = type(src)._window_w(ctx.superblock, src.rate_bound(), False)
+    cap = max(1, (w - 16) // (ctx.superblock * 128))
+    out = ctx.render(1024)[0]
+    assert np.isfinite(out).all()
+    # The effective rate is exactly the clamp: the output must be the
+    # golden resample at the capacity, not garbage from off-window reads.
+    want = _golden_resample(data, float(cap), 1024)
+    np.testing.assert_allclose(out, want, atol=2e-6)
