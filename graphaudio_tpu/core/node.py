@@ -197,6 +197,8 @@ class AudioNode:
         if destination is None:
             self.outputs[output].disconnect_all()
         else:
+            if not (0 <= input < len(destination.inputs)):
+                raise IndexError("input index out of range")
             self.outputs[output].disconnect_from(destination.inputs[input])
 
     def dispose(self) -> None:

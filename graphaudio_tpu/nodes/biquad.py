@@ -59,7 +59,30 @@ class BiQuadFilterNode(AudioNode):
             "gain", 0.0, min_value=-60.0, max_value=60.0,
             automation_rate=AutomationRate.K_RATE,
         )
+        # Gain enters the a1/a2 DENOMINATOR for peaking/shelving types, so
+        # its first event must also recompile out of the constant-pole path
+        # (other types ignore gain entirely — no recompile for them).
+        self.gain.notify_first_event = type in self._GAIN_IN_POLES
         self._channels = 2
+
+    _GAIN_IN_POLES = (FilterType.PEAKING, FilterType.LOWSHELF,
+                      FilterType.HIGHSHELF)
+
+    def _time_varying(self) -> bool:
+        """True when the recurrence's POLE coefficients (a1/a2) can change
+        over time: frequency/Q always enter them; gain only for the
+        peaking/shelving types (RBJ: A reaches the denominator there)."""
+        tv = bool(
+            self.frequency._had_events
+            or self.q._had_events
+            or self.frequency._mod_outputs
+            or self.q._mod_outputs
+        )
+        if self._type in self._GAIN_IN_POLES:
+            tv = tv or bool(
+                self.gain._had_events or self.gain._mod_outputs
+            )
+        return tv
 
     @property
     def type(self) -> FilterType:
@@ -69,6 +92,7 @@ class BiQuadFilterNode(AudioNode):
     def type(self, value: FilterType) -> None:
         if value != self._type:
             self._type = value
+            self.gain.notify_first_event = value in self._GAIN_IN_POLES
             self._config_changed()  # filter formulas are baked into the kernel
 
     def output_channel_counts(self, input_channels):
@@ -79,8 +103,7 @@ class BiQuadFilterNode(AudioNode):
     def group_key(self, input_channels):
         if self._params_modulated():
             return None
-        time_varying = self.frequency._had_events or self.q._had_events
-        return ("biquad", self._type, input_channels[0], time_varying)
+        return ("biquad", self._type, input_channels[0], self._time_varying())
 
     def init_state(self, info):
         return {
@@ -101,14 +124,10 @@ class BiQuadFilterNode(AudioNode):
             total_repeat_length=rc.frames,
         )
         coeffs = rbj_coefficients(self._type.value, f, q, g, rc.sample_rate)
-        # The correction pass for automated coefficients only compiles in when
-        # frequency/Q can actually vary (first event/modulation recompiles).
-        time_varying = bool(
-            self.frequency._had_events
-            or self.q._had_events
-            or self.frequency._mod_outputs
-            or self.q._mod_outputs
-        )
+        # The correction pass for automated coefficients only compiles in
+        # when the poles can actually vary (first event/modulation on
+        # frequency/Q — or on gain for peaking/shelving types — recompiles).
+        time_varying = self._time_varying()
         y, w1, w2 = biquad_apply(
             x, coeffs, state["w1"], state["w2"], time_varying=time_varying,
             constant=not time_varying,

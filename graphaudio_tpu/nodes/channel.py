@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from graphaudio_tpu.core.constants import MAX_CHANNELS
 from graphaudio_tpu.core.node import AudioNode
 
 
@@ -16,8 +17,10 @@ class ChannelSplitterNode(AudioNode):
     (ChannelSplitterNode.cs:24-59)."""
 
     def __init__(self, context, number_of_outputs: int = 2):
-        if not (1 <= number_of_outputs <= 32):
-            raise ValueError("number_of_outputs must be in [1, 32]")
+        if not (1 <= number_of_outputs <= MAX_CHANNELS):
+            raise ValueError(
+                f"number_of_outputs must be in [1, {MAX_CHANNELS}]"
+            )
         super().__init__(
             context, input_count=1, output_count=number_of_outputs, name="ChannelSplitter"
         )
@@ -43,8 +46,10 @@ class ChannelMergerNode(AudioNode):
     (ChannelMergerNode.cs:23-55)."""
 
     def __init__(self, context, number_of_inputs: int = 2):
-        if not (1 <= number_of_inputs <= 32):
-            raise ValueError("number_of_inputs must be in [1, 32]")
+        if not (1 <= number_of_inputs <= MAX_CHANNELS):
+            raise ValueError(
+                f"number_of_inputs must be in [1, {MAX_CHANNELS}]"
+            )
         super().__init__(
             context, input_count=number_of_inputs, output_count=1, name="ChannelMerger"
         )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from graphaudio_tpu.core.constants import MAX_CHANNELS
 from graphaudio_tpu.core.node import AudioNode
 
 
@@ -18,8 +19,8 @@ class AudioDestinationNode(AudioNode):
 
     def set_channel_count(self, channels: int) -> None:
         """Parity: AudioDestinationNode.SetChannelCount (:23-32)."""
-        if not (1 <= channels <= 32):
-            raise ValueError("channels must be in [1, 32]")
+        if not (1 <= channels <= MAX_CHANNELS):
+            raise ValueError(f"channels must be in [1, {MAX_CHANNELS}]")
         self.inputs[0].set_channel_count(channels)
 
     def process(self, state, inputs, params, rc):

@@ -2,7 +2,9 @@
 
 All three are scheduled sources (parity: IAudioScheduledSourceNode.cs:8-25):
 ``start(when, offset, duration)`` is once-only, ``stop(when)`` is
-earliest-wins, and an ``ended`` event fires when playback finishes, after
+first-stop-wins (a finite-duration start counts as the first stop — the
+reference's ``_hasStopped`` guard), and an ``ended`` event fires when
+playback finishes, after
 which the node disposes itself (OscillatorNode.cs:163-172,
 AudioBufferSourceNode.cs:378-389).
 
@@ -79,14 +81,17 @@ class ScheduledSourceNode(AudioNode):
     def start(self, when: float = 0.0, offset: float = 0.0, duration: float = _INF):
         if self._has_started:
             raise RuntimeError(f"{self.name} can only be started once.")
-        self._has_started = True
         start_time = max(0.0, when)
         updates = {"started": 1, "start_time": start_time}
+        # Subclass validation runs BEFORE any flag flips: a recoverable
+        # error (e.g. start() before a buffer is set) must leave the node
+        # startable once fixed, not poisoned by half-applied state.
+        self._on_start(updates, offset, duration)
+        self._has_started = True
         if math.isfinite(duration) and duration >= 0:
             self._has_stopped = True
             self._host_stop_time = start_time + duration
             updates["stop_time"] = self._host_stop_time
-        self._on_start(updates, offset, duration)
 
         def do(ctx):
             ctx.update_node_state(self, **updates)
@@ -98,10 +103,14 @@ class ScheduledSourceNode(AudioNode):
         """Subclass hook to add state updates at start time."""
 
     def stop(self, when: float = 0.0):
+        # FIRST stop wins (parity: the reference's `if (_hasStopped) return`
+        # guard, OscillatorNode.Stop :76-89): a later stop() is ignored, and
+        # a finite-duration start() counts as the first stop. (The min() in
+        # the reference's Stop is unreachable for the same reason — both
+        # implementations keep the first scheduled stop time.)
         if self._has_stopped:
             return self
         self._has_stopped = True
-        # Earliest-wins (parity: OscillatorNode.Stop :76-89).
         self._host_stop_time = min(self._host_stop_time, max(0.0, when))
         stop_time = self._host_stop_time
 

@@ -69,25 +69,6 @@ def prepare_ir(ir: np.ndarray, normalize: bool = True):
     return hr, hi
 
 
-def depthwise_corr(seq: jnp.ndarray, ker: jnp.ndarray) -> jnp.ndarray:
-    """out[s, b] = sum_k seq[s+k, b] * ker[k, b]  (valid correlation).
-
-    seq: f32[W, B], ker: f32[P, B] -> f32[W-P+1, B]. One depthwise 1-D conv
-    (feature_group_count = B) so every DFT bin runs its own filter.
-    """
-    B = seq.shape[1]
-    out = jax.lax.conv_general_dilated(
-        seq[None],
-        ker[:, None, :],
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=B,
-        preferred_element_type=jnp.float32,
-    )
-    return out[0]
-
-
 def spectral_mac(seq_r, seq_i, hr, hi):
     """Complex correlation across partitions as batched MXU matmuls.
 

@@ -270,3 +270,79 @@ def test_pair_scan_matches_scalar_scans(rng):
     scale = float(np.abs(np.asarray(w_ref)).max())
     assert np.abs(np.asarray(v) - np.asarray(v_ref)).max() / scale < 1e-5
     assert np.abs(np.asarray(w) - np.asarray(w_ref)).max() / scale < 1e-5
+
+
+def _df2_golden(x, coef_fn):
+    """Direct Form II with per-sample coefficients — the reference's
+    recurrence (w = x - a1 w1 - a2 w2; y = b0 w + b1 w1 + b2 w2,
+    BiQuadFilterNode.cs:117-125). At a coefficient change, carrying the
+    DF-II internal state differs from carrying lfilter's TDF-II zi, so
+    step-change goldens must use THIS form."""
+    w1 = w2 = 0.0
+    out = np.zeros(len(x), np.float32)
+    for i, xi in enumerate(x):
+        b, a = coef_fn(i)
+        w = xi - a[1] * w1 - a[2] * w2
+        out[i] = b[0] * w + b[1] * w1 + b[2] * w2
+        w2, w1 = w1, w
+    return out
+
+
+def test_peaking_gain_automation_uses_time_varying_poles(rng):
+    """Gain enters the a1/a2 DENOMINATOR for peaking/shelving types, so a
+    scheduled gain change must take the time-varying pole path (regression:
+    only frequency/Q gated it, and the constant-pole kernel froze the
+    pre-event poles — ~16% error after the event)."""
+    x = (rng.standard_normal(2176) * 0.5).astype(np.float32)  # +128: skip
+    n_pre = 1024  # gain event at exactly 1024 samples    final-block clear
+    t_event = n_pre / SR
+
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(x, SR)
+    flt = ga.BiQuadFilterNode(ctx, type=ga.FilterType.PEAKING)
+    flt.frequency.value = 1200.0
+    flt.q.value = 2.0
+    flt.gain.value = 0.0
+    flt.gain.set_value_at_time(18.0, t_event)
+    src.connect(flt).connect(ctx.destination)
+    src.start(0)
+    out = ctx.render(2048)[0]
+
+    b0, a0 = _rbj("peaking", 1200.0, 2.0, 0.0)
+    b1, a1 = _rbj("peaking", 1200.0, 2.0, 18.0)
+    want = _df2_golden(
+        x[:2048], lambda i: (b0, a0) if i < n_pre else (b1, a1)
+    )
+    np.testing.assert_allclose(out, want, atol=5e-5)
+
+
+def test_lowpass_gain_event_keeps_constant_kernel():
+    """Gain does not reach the poles (or numerator) of non-shelving types:
+    scheduling a gain event must not recompile or change output."""
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    src = ga.ConstantSourceNode(ctx)
+    flt = ga.BiQuadFilterNode(ctx, type=ga.FilterType.LOWPASS)
+    src.connect(flt).connect(ctx.destination)
+    src.start(0)
+    assert not flt._time_varying()
+    flt.gain.set_value_at_time(12.0, 0.0)  # ignored by lowpass
+    assert not flt._time_varying()
+    out = ctx.render(512)
+    assert np.isfinite(out).all()
+
+
+def test_failed_start_is_recoverable(rng):
+    """start() with no buffer raises BUT leaves the node startable once a
+    buffer is assigned (regression: flags flipped before validation)."""
+    import pytest
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
+    src = ga.AudioBufferSourceNode(ctx)
+    with pytest.raises(RuntimeError, match="buffer"):
+        src.start(0, 0, duration=1.0)
+    data = (rng.standard_normal(512) * 0.3).astype(np.float32)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(data, SR)
+    src.connect(ctx.destination)
+    src.start(0)  # must not raise "can only be started once"
+    out = ctx.render(512)
+    assert float(np.abs(out).max()) > 0
