@@ -18,6 +18,9 @@ from __future__ import annotations
 
 import bisect
 import enum
+import math
+
+import numpy as np
 
 from graphaudio_tpu.ops.param_eval import (
     EVT_SET_VALUE,
@@ -198,6 +201,50 @@ class AudioParam:
             self._events = survivors
             self._version += 1
         return self
+
+    def value_at_time(self, t: float) -> float:
+        """Host-side intrinsic curve value at time ``t`` (no modulation).
+
+        Scalar mirror of ops/param_eval.eval_intrinsic — same branch order
+        and f32 value rounding (parity: AudioParam.ComputeValueAtTime,
+        AudioParam.cs:168-247). Used by host-staged consumers (stream-node
+        feeds) that evaluate automation per render call rather than on
+        device.
+        """
+        evs = self._events
+        if not evs:
+            return float(self._value)
+        t = float(t)
+        times = [e[0] for e in evs]
+        idx = bisect.bisect_right(times, t)
+        if idx == 0:
+            return float(self._value)
+        prev = evs[idx - 1]
+        v0 = float(np.float32(prev[3]))
+        if idx < len(evs):
+            nxt = evs[idx]
+            if nxt[2] in (EVT_LINEAR_RAMP, EVT_EXPONENTIAL_RAMP):
+                t0, t1 = prev[0], nxt[0]
+                v1 = float(np.float32(nxt[3]))
+                denom = (t1 - t0) or 1.0
+                u = min(max((t - t0) / denom, 0.0), 1.0)
+                if nxt[2] == EVT_EXPONENTIAL_RAMP and v0 > 0.0 and v1 > 0.0:
+                    return v0 * (v1 / v0) ** u
+                return v0 + (v1 - v0) * u
+        if prev[2] == EVT_SET_TARGET:
+            # Decay from the boundary value before the SetTarget event
+            # (SetTarget does not advance the boundary).
+            bl = np.float32(self._value)
+            for e in evs[: idx - 1]:
+                if e[2] != EVT_SET_TARGET:
+                    bl = np.float32(e[3])
+            bl = float(bl)
+            elapsed = t - prev[0]
+            if elapsed <= 0.0:
+                return bl
+            tc = max(prev[4], 0.001)
+            return v0 + (bl - v0) * math.exp(-elapsed / tc)
+        return v0  # hold: SetValue / completed ramp
 
     # -- encoding for the device pass ----------------------------------------
 

@@ -240,13 +240,38 @@ def write_wav(path, data: np.ndarray, sample_rate: int, float32: bool = False) -
         )
         if r == 0:
             return
+        raise IOError(
+            f"native WAV encoder failed (code {r}) writing {path!r}"
+        )
+    if float32:
+        # Pure-Python WAVE_FORMAT_IEEE_FLOAT writer: the wave module only
+        # does integer PCM, and silently quantizing a requested-lossless
+        # f32 file would make output depend on whether g++ was available.
+        import struct
+
+        payload = inter.astype("<f4").tobytes()
+        ch, sr = data.shape[0], int(sample_rate)
+        hdr = b"".join([
+            b"RIFF", struct.pack("<I", 4 + 28 + 12 + 8 + len(payload)),
+            b"WAVE",
+            # fmt size 18: WAVE_FORMAT_IEEE_FLOAT carries cbSize=0
+            b"fmt ", struct.pack("<IHHIIHHH", 18, 3, ch, sr, sr * ch * 4,
+                                 ch * 4, 32, 0),
+            b"fact", struct.pack("<II", 4, data.shape[1]),
+            b"data", struct.pack("<I", len(payload)),
+        ])
+        with open(os.fspath(path), "wb") as f:
+            f.write(hdr + payload)
+        return
     import wave
 
     with wave.open(os.fspath(path), "wb") as w:
         w.setnchannels(data.shape[0])
         w.setsampwidth(2)
         w.setframerate(int(sample_rate))
-        pcm = np.clip(inter * 32767.0, -32768, 32767).astype(np.int16)
+        pcm = np.clip(
+            np.round(inter * 32767.0), -32768, 32767
+        ).astype(np.int16)
         w.writeframes(pcm.tobytes())
 
 

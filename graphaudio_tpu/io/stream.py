@@ -75,6 +75,11 @@ class AudioDecoderStreamNode(AudioNode):
             "playbackRate", 1.0, min_value=0.001, max_value=1000.0,
             automation_rate=AutomationRate.K_RATE,
         )
+        # The unity-vs-resample kernel is a STATIC variant selected on
+        # `touched` — the first touch must invalidate the compiled program
+        # (same as AudioBufferSourceNode) or the cached unity kernel keeps
+        # playing at rate 1.0 while host staging advances at the new rate.
+        self.playback_rate.notify_first_touch = True
 
     # -- factories -------------------------------------------------------------
 
@@ -262,9 +267,13 @@ class AudioDecoderStreamNode(AudioNode):
             self.context.update_node_state(self, x0=0.0, rate=1.0)
             return feed
 
+        # Automation evaluated at the call boundary (the reference reads the
+        # k-rate curve per block, AudioStreamSourceNodeBase.cs:211; feeds
+        # stage per render call, so the rate holds for the call — the
+        # documented call-granularity deviation for stream nodes).
         rate = (
             self._decoder.sample_rate / self.context.sample_rate
-        ) * float(self.playback_rate.value)
+        ) * float(self.playback_rate.value_at_time(self.context.current_time))
         x0 = self._next_x0
         x_end = x0 + total_out_frames * rate
         need = int(math.ceil(x_end)) + 2  # last tap = floor(x)+2
@@ -318,4 +327,14 @@ class AudioDecoderStreamNode(AudioNode):
     def dispose(self) -> None:
         self._quit = True
         self._wake.set()
+        self._thread.join(timeout=2.0)
+        # The decoder owns a native codec handle (gac_open_*): close it or
+        # every disposed streaming sound leaks native memory and (for
+        # file-backed decoders) a file descriptor. Only close once the
+        # decoder thread is definitely out of its read loop.
+        if not self._thread.is_alive():
+            try:
+                self._decoder.close()
+            except Exception:
+                pass
         super().dispose()

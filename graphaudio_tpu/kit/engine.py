@@ -201,8 +201,12 @@ class AudioEngine:
     def update(self) -> None:
         """Drive sound updates, deferred fade actions, and one-shot reaping."""
         now = self.context.current_time
-        due = [d for d in self._deferred if d[0] <= now]
-        self._deferred = [d for d in self._deferred if d[0] > now]
+        # Partition under the lock: an unlocked rebuild races _defer() from
+        # other threads (a fade-end append landing on the old list object is
+        # silently lost — the sound then never pauses/stops).
+        with self._lock:
+            due = [d for d in self._deferred if d[0] <= now]
+            self._deferred = [d for d in self._deferred if d[0] > now]
         for _, action in due:
             try:
                 action()
@@ -219,7 +223,8 @@ class AudioEngine:
                     self._sounds.remove(sound)
 
     def _defer(self, deadline_time: float, action: Callable) -> None:
-        self._deferred.append((deadline_time, action))
+        with self._lock:
+            self._deferred.append((deadline_time, action))
 
     @property
     def active_sounds(self) -> List[Sound]:

@@ -40,9 +40,11 @@ def make_mesh(devices=None, voice_axis: int = 0, part_axis: int = 0) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if voice_axis <= 0 and part_axis <= 0:
+        # Balanced split: the largest divisor <= sqrt(n) becomes the part
+        # axis (8 -> 4x2, 16 -> 4x4); prime n degenerates to all-voices.
         part_axis = 1
-        for cand in (2, 4, 8):
-            if n % cand == 0 and n // cand >= 1 and n > cand:
+        for cand in range(2, int(np.sqrt(n)) + 1):
+            if n % cand == 0:
                 part_axis = cand
         voice_axis = n // part_axis
     elif voice_axis <= 0:

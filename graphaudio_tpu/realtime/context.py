@@ -48,6 +48,8 @@ class RealtimeAudioContext(AudioContextBase):
         super().__init__(sample_rate=sample_rate, superblock=superblock)
         self.channels = channels
         self.buffer_size = buffer_size
+        #: last exception survived by the render thread (None = healthy)
+        self.last_render_error = None
         self.destination.set_channel_count(channels)
         # Ring capacity = bufferSize * 5 (parity :38).
         self.ring = RingBuffer(channels, buffer_size * 5)
@@ -194,23 +196,32 @@ class RealtimeAudioContext(AudioContextBase):
             return None
 
         while not self._thread_quit:
-            if not self._running:
-                if pending is not None:
-                    pending = flush(pending)
-                threading.Event().wait(0.002)
-                continue
-            if self.ring.available_write() >= frames_per_step:
-                try:
+            try:
+                if not self._running:
+                    if pending is not None:
+                        pending = flush(pending)
+                    threading.Event().wait(0.002)
+                    continue
+                if self.ring.available_write() >= frames_per_step:
                     nxt = self._render_steps_launch(1)
-                except Exception:
-                    if self._thread_quit or self._disposed:
-                        return
-                    raise
-                if pending is not None:
-                    flush(pending)
-                pending = nxt
-            else:
-                self.ring.wait_for_space(frames_per_step, 5)
+                    if pending is not None:
+                        flush(pending)
+                    pending = nxt
+                else:
+                    self.ring.wait_for_space(frames_per_step, 5)
+            except Exception as exc:  # noqa: BLE001
+                if self._thread_quit or self._disposed:
+                    return
+                # A transient failure (e.g. a decoder error surfacing
+                # through feed staging) must not silently kill the render
+                # thread while is_running stays True — the device would
+                # drain the ring to zeros forever with no signal. Record
+                # it, drop the in-flight step, and keep rendering; the app
+                # can poll last_render_error / stats.render_errors.
+                self.last_render_error = exc
+                self.stats.render_errors += 1
+                pending = None
+                threading.Event().wait(0.002)
 
     def render_step_blocking(self) -> np.ndarray:
         """Render one superblock on the calling thread (for tests/tools)."""

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import threading
+import time
 
 import numpy as np
 
@@ -74,6 +75,11 @@ class RingBuffer:
         self.channels = channels
         self.capacity = capacity_frames
         self._lib = load_native()
+        # Serializes native calls against dispose(): the render thread can
+        # be mid-call (or about to call) when another thread disposes the
+        # context — without the lock that's a use-after-free on the native
+        # Ring (garing_* take the raw pointer unchecked).
+        self._hlock = threading.Lock()
         if self._lib is not None:
             self._h = self._lib.garing_create(channels, capacity_frames)
             self._native = True
@@ -92,13 +98,19 @@ class RingBuffer:
 
     def available_write(self) -> int:
         if self._native:
-            return int(self._lib.garing_available_write(self._h))
+            with self._hlock:
+                if self._h is None:
+                    return 0
+                return int(self._lib.garing_available_write(self._h))
         with self._cv:
             return self.capacity - (self._wpos - self._rpos)
 
     def available_read(self) -> int:
         if self._native:
-            return int(self._lib.garing_available_read(self._h))
+            with self._hlock:
+                if self._h is None:
+                    return 0
+                return int(self._lib.garing_available_read(self._h))
         with self._cv:
             return self._wpos - self._rpos
 
@@ -107,13 +119,16 @@ class RingBuffer:
         frames = np.ascontiguousarray(frames, np.float32)
         n = frames.shape[0]
         if self._native:
-            return int(
-                self._lib.garing_write(
-                    self._h,
-                    frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    n,
+            with self._hlock:
+                if self._h is None:
+                    return 0
+                return int(
+                    self._lib.garing_write(
+                        self._h,
+                        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        n,
+                    )
                 )
-            )
         with self._cv:
             put = min(n, self.capacity - (self._wpos - self._rpos))
             for i in range(put):
@@ -125,9 +140,13 @@ class RingBuffer:
         """Read n frames (zero-filled on underrun): f32[n, channels]."""
         out = np.zeros((n, self.channels), np.float32)
         if self._native:
-            self._lib.garing_read(
-                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
-            )
+            with self._hlock:
+                if self._h is not None:
+                    self._lib.garing_read(
+                        self._h,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        n,
+                    )
             return out
         with self._cv:
             take = min(n, self._wpos - self._rpos)
@@ -140,7 +159,13 @@ class RingBuffer:
     def wait_for_space(self, frames: int, timeout_ms: int = 5) -> bool:
         """Parity: RingBuffer.WaitForSpace (:51)."""
         if self._native:
-            return bool(self._lib.garing_wait_space(self._h, frames, timeout_ms))
+            with self._hlock:
+                if self._h is not None:
+                    return bool(
+                        self._lib.garing_wait_space(self._h, frames, timeout_ms)
+                    )
+            time.sleep(timeout_ms / 1000.0)  # disposed: don't busy-spin
+            return False
         with self._cv:
             return self._cv.wait_for(
                 lambda: self.capacity - (self._wpos - self._rpos) >= frames,
@@ -148,6 +173,8 @@ class RingBuffer:
             )
 
     def dispose(self) -> None:
-        if self._native and self._h is not None:
-            self._lib.garing_destroy(self._h)
-            self._h = None
+        if self._native:
+            with self._hlock:
+                if self._h is not None:
+                    self._lib.garing_destroy(self._h)
+                    self._h = None

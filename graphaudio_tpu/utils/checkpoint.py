@@ -65,11 +65,13 @@ def save_context_state(context, path) -> None:
                     "type": type(node).__name__,
                     "name": name,
                     "value": float(p.value),
-                    # Sticky: kernel-variant selection (static vs
-                    # time-varying biquad etc.) keys on whether the param
-                    # EVER had events, so the state layout depends on it
-                    # even when the event list is currently empty.
+                    # Sticky flags: kernel-variant selection keys on whether
+                    # the param EVER had events (static vs time-varying
+                    # biquad) and on touched (unity vs resample playback),
+                    # so the compiled layout depends on them even when the
+                    # event list is currently empty.
                     "had_events": bool(p._had_events),
+                    "touched": bool(p._touched),
                     "events": [
                         {"time": e[0], "type": e[2], "value": e[3], "tc": e[4]}
                         for e in p._events
@@ -156,6 +158,10 @@ def load_context_state(context, path) -> None:
                 p._had_events = True
                 if p.notify_first_event and p._owner is not None:
                     p._owner._config_changed()
+            if bool(saved.get("touched", saved["events"])):
+                # Same for the touched flag (unity-vs-resample playback
+                # variants key on it); _mark_touched notifies the owner.
+                p._mark_touched()
     context._invalidate_topology()
     context._ensure_compiled()
     cur_flat, treedef = jax.tree_util.tree_flatten_with_path(

@@ -26,6 +26,9 @@ class RenderStats:
     transfer_seconds: float = 0.0
     compile_count: int = 0
     program_reuse_count: int = 0
+    #: render-thread exceptions survived (realtime contexts record and
+    #: continue instead of dying silently; see context.last_render_error)
+    render_errors: int = 0
     #: wall composition of the most recent render call: prep_s (drain/compile/
     #: encode/feed staging), dispatch_s (program launches; per-chunk list in
     #: chunk_dispatch_s), copy_start_s, transfer_s (device->host materialize;
@@ -58,9 +61,9 @@ class RenderStats:
 
     @property
     def realtime_factor(self) -> float:
-        """Rendered-audio seconds per wall second (xRT), assuming 48 kHz is
-        supplied via audio_seconds()."""
-        return 0.0
+        """Rendered-audio seconds per wall second (xRT) at 48 kHz; use
+        ``xrt(sample_rate)`` for other rates."""
+        return self.xrt(48000)
 
     def xrt(self, sample_rate: int) -> float:
         if self.wall_seconds <= 0:

@@ -1164,3 +1164,49 @@ def test_alac_ours_decodes_ffmpeg(tmp_path):
             out = dec.decode_planar(n)
         expect = (q.astype(np.float64) / 32768.0).astype(np.float32)
         assert np.array_equal(out, expect), f"n={n} ch={ch} interop mismatch"
+
+
+def test_write_wav_python_fallback_honors_float32(tmp_path, rng):
+    """The no-compiler fallback must write a real IEEE-float WAV when
+    float32=True (regression: it silently quantized to 16-bit, so output
+    differed by machine)."""
+    import graphaudio_tpu.io.decode as D
+    import graphaudio_tpu.io.native as native
+
+    x = (rng.standard_normal((2, 777)) * 0.3).astype(np.float32)
+    real = native.load
+    native.load = lambda: None
+    try:
+        D.write_wav(tmp_path / "f.wav", x, 48000, float32=True)
+    finally:
+        native.load = real
+    got = D.AudioDecoder(str(tmp_path / "f.wav")).decode_planar(10**6)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_stream_playback_rate_automation_followed_at_call_boundaries(tmp_path, rng):
+    """Scheduled playbackRate automation on a stream node takes effect at
+    render-call boundaries (the reference reads the k-rate curve per block,
+    AudioStreamSourceNodeBase.cs:211; regression: events were ignored
+    outright — only the base value was ever staged)."""
+    import graphaudio_tpu.io.decode as D
+    from graphaudio_tpu.io import AudioDecoderStreamNode
+
+    data = (rng.standard_normal((1, 48000)) * 0.3).astype(np.float32)
+    path = tmp_path / "s.wav"
+    D.write_wav(path, data, 48000, float32=True)
+
+    ctx = ga.OfflineAudioContext(sample_rate=48000, superblock=2)
+    node = AudioDecoderStreamNode.from_file(ctx, str(path))
+    node.connect(ctx.destination)
+    node.play()
+    # double speed from t=0: the first render call must stage rate 2.0
+    node.playback_rate.set_value_at_time(2.0, 0.0)
+    out = ctx.render(1024)
+    # rate 2.0 consumes source samples two per output sample: compare
+    # against the decoded signal at even indices (cubic interp on integer
+    # positions is exact at the sample points)
+    want = data[0, 1:1 + 2 * 1024:2]
+    got = out[0]
+    err = np.abs(got[8:] - want[8:len(got)]).max()
+    assert err < 1e-3, err
