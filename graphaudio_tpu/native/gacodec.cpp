@@ -157,6 +157,8 @@ bool parse_wav(Decoder* d) {
             }
             if (tag == 1) d->format = 1;       // PCM
             else if (tag == 3) d->format = 3;  // IEEE float
+            else if (tag == 7) d->format = 5;  // G.711 mu-law
+            else if (tag == 6) d->format = 6;  // G.711 a-law
             else if (tag == 2 || tag == 0x11) {  // MS / IMA ADPCM
                 d->format = 8;
                 d->backend = 4;
@@ -908,8 +910,9 @@ int64_t read_mp3(Decoder* d, float* out, int64_t frames) {
         int r = a.read(d->mh, reinterpret_cast<unsigned char*>(out) + got,
                        want - got, &done);
         got += done;
+        // Stop at end-of-stream or when no progress is made (decode errors
+        // that still produce samples keep going, libmpg123 style).
         if (r == MPG123_DONE || done == 0) break;
-        if (r != MPG123_OK && done == 0) break;
     }
     int64_t n = int64_t(got / (size_t(d->channels) * sizeof(float)));
     d->frame_pos += n;
@@ -1016,16 +1019,9 @@ int64_t read_vorbis(Decoder* d, float* out, int64_t frames) {
     VorbisApi& a = vorbis_api();
     int ch = d->channels;
     int64_t filled = 0;
-    // Drain carried-over samples from the previous oversized chunk first.
-    while (filled < frames && d->carry_pos < d->carry.size()) {
-        for (int c = 0; c < ch; c++) out[filled * ch + c] = d->carry[d->carry_pos + c];
-        d->carry_pos += ch;
-        filled++;
-    }
-    if (d->carry_pos >= d->carry.size()) {
-        d->carry.clear();
-        d->carry_pos = 0;
-    }
+    // (No carry drain here: ov_read_float is bounded by the remaining
+    // request and can never overshoot — only the opus/flac/alac backends
+    // populate d->carry.)
     while (filled < frames) {
         float** pcm = nullptr;
         int bitstream = 0;
@@ -3080,7 +3076,11 @@ int64_t gac_read_f32(void* h, float* out, int64_t frames) {
     size_t bps = size_t(d->bits / 8);
     std::vector<uint8_t> buf(size_t(frames) * bpf);
     if (!dread(d, buf.data(), buf.size())) {
-        // Partial read tolerance: recompute from actual position.
+        // Partial read (e.g. a file truncated after open): the stream may
+        // have consumed a fraction of a frame — re-seek to the last known
+        // frame boundary so the next call stays byte-aligned instead of
+        // decoding rotated channels from mid-frame.
+        dseek(d, d->data_start + d->frame_pos * int64_t(bpf));
         return 0;
     }
     const uint8_t* p = buf.data();
@@ -3144,10 +3144,16 @@ void gac_close(void* h) {
 // fmt: 1 = pcm16, 3 = float32. Returns 0 on success.
 int gac_write_wav(const char* path, const float* data, int64_t frames,
                   int channels, int sample_rate, int fmt) {
+    int bits = (fmt == 3) ? 32 : 16;
+    if (frames < 0 || channels < 1) return -2;
+    // RIFF sizes are 32-bit: refuse payloads that would wrap the header
+    // (a silently truncated data-chunk size corrupts the file while all
+    // the bytes are still written). RF64 would be the >4 GiB answer.
+    int64_t payload = frames * int64_t(channels) * (bits / 8);
+    if (payload > int64_t(0xFFFFFFFFu) - 36) return -3;
     FILE* f = fopen(path, "wb");
     if (!f) return -1;
-    int bits = (fmt == 3) ? 32 : 16;
-    uint32_t data_size = uint32_t(frames * channels * (bits / 8));
+    uint32_t data_size = uint32_t(payload);
     uint8_t hdr[44];
     memcpy(hdr, "RIFF", 4);
     uint32_t riff = 36 + data_size;
@@ -3169,11 +3175,11 @@ int gac_write_wav(const char* path, const float* data, int64_t frames,
     memcpy(hdr + 34, &b, 2);
     memcpy(hdr + 36, "data", 4);
     memcpy(hdr + 40, &data_size, 4);
-    fwrite(hdr, 1, 44, f);
+    bool ok = fwrite(hdr, 1, 44, f) == 44;
 
     int64_t n = frames * channels;
     if (fmt == 3) {
-        fwrite(data, 4, size_t(n), f);
+        ok = ok && fwrite(data, 4, size_t(n), f) == size_t(n);
     } else {
         std::vector<int16_t> pcm{};
         pcm.resize(size_t(n));
@@ -3183,10 +3189,12 @@ int gac_write_wav(const char* path, const float* data, int64_t frames,
             if (v < -1.0f) v = -1.0f;
             pcm[size_t(i)] = int16_t(v * 32767.0f);
         }
-        fwrite(pcm.data(), 2, size_t(n), f);
+        ok = ok && fwrite(pcm.data(), 2, size_t(n), f) == size_t(n);
     }
-    fclose(f);
-    return 0;
+    // A short write (disk full) must not report success: the file on disk
+    // would be a truncated WAV whose header promises missing data.
+    if (fclose(f) != 0) ok = false;
+    return ok ? 0 : -4;
 }
 
 // Encode interleaved float32 frames as MP3 (CBR, bitrate_kbps). Returns 0 on
@@ -3209,23 +3217,30 @@ int gac_write_mp3(const char* path, const float* data, int64_t frames,
         a.close(gf);
         return -1;
     }
-    std::vector<float> left(static_cast<size_t>(frames));
-    std::vector<float> right(static_cast<size_t>(frames));
-    for (int64_t i = 0; i < frames; i++) {
-        left[size_t(i)] = data[i * channels];
-        right[size_t(i)] = data[i * channels + (channels > 1 ? 1 : 0)];
+    // Chunked encode: one whole-length call would truncate at INT_MAX
+    // frames and hold ~3x the source in memory; 64k-frame chunks need
+    // constant memory (same pattern as the ogg/flac writers).
+    const int64_t kChunk = 65536;
+    std::vector<float> left(size_t(std::min(frames, kChunk)));
+    std::vector<float> right(left.size());
+    std::vector<unsigned char> out(size_t(kChunk) * 5 / 4 + 7200);
+    for (int64_t pos = 0; pos < frames; pos += kChunk) {
+        int64_t m = std::min(kChunk, frames - pos);
+        for (int64_t i = 0; i < m; i++) {
+            const float* fr = data + (pos + i) * channels;
+            left[size_t(i)] = fr[0];
+            right[size_t(i)] = fr[channels > 1 ? 1 : 0];
+        }
+        int n = a.encode_buffer_ieee_float(gf, left.data(), right.data(),
+                                           int(m), out.data(),
+                                           int(out.size()));
+        if (n < 0 || fwrite(out.data(), 1, size_t(n), f) != size_t(n)) {
+            fclose(f);
+            a.close(gf);
+            return -1;
+        }
     }
-    std::vector<unsigned char> out(size_t(frames) * 5 / 4 + 7200);
-    int n = a.encode_buffer_ieee_float(gf, left.data(), right.data(),
-                                       int(frames), out.data(),
-                                       int(out.size()));
-    if (n < 0) {
-        fclose(f);
-        a.close(gf);
-        return -1;
-    }
-    fwrite(out.data(), 1, size_t(n), f);
-    n = a.encode_flush(gf, out.data(), int(out.size()));
+    int n = a.encode_flush(gf, out.data(), int(out.size()));
     if (n > 0) fwrite(out.data(), 1, size_t(n), f);
     // LAME/Xing gapless tag: rewrite the reserved first frame so decoders
     // (mpg123 included) trim the codec delay and report exact length.
@@ -3245,20 +3260,23 @@ int gac_write_ogg(const char* path, const float* data, int64_t frames,
                   int channels, int sample_rate, float quality) {
     VorbisEncApi& a = vorbisenc_api();
     if (!a.ok || channels < 1) return -1;
+    // Open the output BEFORE codec init: encode_init_vbr/analysis_init
+    // heap-allocate codebooks and DSP state inside the opaque structs, and
+    // an early return on fopen failure would leak all of it on every retry.
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
     std::vector<uint8_t> vi(kViSize), vc(kVcSize), vd(kVdSize), vb(kVbSize),
         os(kOsSize);
     a.info_init(vi.data());
     if (a.encode_init_vbr(vi.data(), channels, sample_rate, quality) != 0) {
         a.info_clear(vi.data());
+        fclose(f);
         return -1;
     }
     a.comment_init(vc.data());
     a.analysis_init(vd.data(), vi.data());
     a.block_init(vd.data(), vb.data());
     a.stream_init(os.data(), 0x67616f);  // arbitrary stream serial
-
-    FILE* f = fopen(path, "wb");
-    if (!f) return -1;
 
     OggPage page;
     auto write_pages = [&](bool flush) {

@@ -127,7 +127,8 @@ struct Device {
     char backend[16] = "null";
 };
 
-void ring_read_into(Ring* r, float* out, uint32_t frames, uint64_t* underrun) {
+uint32_t ring_read_into(Ring* r, float* out, uint32_t frames,
+                        uint64_t* underrun) {
     uint32_t ch = r->channels;
     uint64_t avail = r->available_read();
     uint32_t take = (uint32_t)(avail < frames ? avail : frames);
@@ -148,6 +149,7 @@ void ring_read_into(Ring* r, float* out, uint32_t frames, uint64_t* underrun) {
         std::lock_guard<std::mutex> lk(r->m);
     }
     r->cv.notify_all();  // release space semaphore
+    return take;
 }
 
 void null_device_loop(Device* d) {
@@ -193,16 +195,25 @@ void alsa_device_loop(Device* d) {
         }
         const float* p = d->scratch.data();
         snd_pcm_uframes_t left = d->period_frames;
+        bool counted_xrun = false;
         while (left > 0 && !d->quit.load(std::memory_order_acquire)) {
             snd_pcm_sframes_t n = g_alsa.pcm_writei(d->pcm, p, left);
             if (n < 0) {
-                // xrun / suspend: recover and retry (counted as underrun
-                // time; parity with the reference's zero-fill accounting).
+                // xrun / suspend: recover and retry. Count the stalled
+                // frames ONCE per period — frames written after a
+                // successful recover still play, and a stuck device
+                // retries every ~1 ms, so per-retry accounting would both
+                // double-count played frames and inflate the telemetry by
+                // orders of magnitude.
                 n = g_alsa.pcm_recover(d->pcm, (int)n, 1);
                 if (n < 0) {
                     std::this_thread::sleep_for(std::chrono::milliseconds(1));
                 }
-                d->underrun_frames.fetch_add(left, std::memory_order_relaxed);
+                if (!counted_xrun) {
+                    counted_xrun = true;
+                    d->underrun_frames.fetch_add(left,
+                                                 std::memory_order_relaxed);
+                }
                 continue;
             }
             p += (size_t)n * d->channels;
@@ -275,13 +286,12 @@ uint32_t garing_write(void* h, const float* data, uint32_t frames) {
     return put;
 }
 
-// Read interleaved frames (zero-fills shortfall); returns frames available
-// before the read.
+// Read interleaved frames (zero-fills shortfall); returns frames actually
+// consumed from the ring (a pre-read availability snapshot could undercount
+// frames the producer published between the two loads, reporting real audio
+// as zero-fill).
 uint32_t garing_read(void* h, float* out, uint32_t frames) {
-    Ring* r = (Ring*)h;
-    uint32_t avail = (uint32_t)std::min<uint64_t>(r->available_read(), frames);
-    ring_read_into(r, out, frames, nullptr);
-    return avail;
+    return ring_read_into((Ring*)h, out, frames, nullptr);
 }
 
 // Block until at least `frames` of write space or timeout; returns 1 on space.

@@ -1210,3 +1210,26 @@ def test_stream_playback_rate_automation_followed_at_call_boundaries(tmp_path, r
     got = out[0]
     err = np.abs(got[8:] - want[8:len(got)]).max()
     assert err < 1e-3, err
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """G.711 mu-law/A-law WAV files (fmt tags 7/6 — the standard telephony
+    container) must decode like their AU/Wave64 equivalents (regression:
+    parse_wav rejected the tags its own cvt_sample supports)."""
+    import struct
+
+    def wav_g711(tag, payload):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        return (b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(payload)) +
+                b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt +
+                b"data" + struct.pack("<I", len(payload)) + payload)
+
+    # mu-law 0xFF decodes to 0, 0x00 to the negative extreme (Sun tables).
+    with AudioDecoder(wav_g711(7, bytes([0xFF, 0x00]))) as dec:
+        assert dec.sample_rate == 8000 and dec.frames == 2
+        out = dec.decode(2)[:, 0]
+    assert out[0] == 0.0 and out[1] < -0.2
+
+    with AudioDecoder(wav_g711(6, bytes([0xD5, 0x55]))) as dec:
+        out = dec.decode(2)[:, 0]
+    assert abs(out[0] - 8 / 32768.0) < 1e-6 and out[1] < 0
