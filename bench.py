@@ -42,34 +42,12 @@ os.environ.setdefault(
 
 
 def build_graph():
-    import graphaudio_tpu as ga
+    # THE flagship graph is BASELINE config 4 — use the one shared builder
+    # (benchmarks/configs.py) so bench.py and benchmarks.run can never
+    # measure subtly different topologies.
+    from benchmarks.configs import config4_conv_reverb
 
-    rng = np.random.default_rng(42)
-    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=SUPERBLOCK)
-
-    master = ga.GainNode(ctx)
-    master.gain.value = 0.5
-
-    conv = ga.ConvolverNode(ctx)
-    ir_len = 2 * SR  # 2 s IR
-    decay = np.exp(-np.arange(ir_len) / (0.4 * SR))
-    ir_l = (rng.standard_normal(ir_len) * decay).astype(np.float32)
-    ir_r = (rng.standard_normal(ir_len) * decay).astype(np.float32)
-    conv.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(ir_l, ir_r, SR)
-
-    conv.connect(master).connect(ctx.destination)
-
-    buf_len = 2 * 44100
-    for v in range(VOICES):
-        sig = (rng.standard_normal(buf_len) * 0.05).astype(np.float32)
-        buf = ga.PlayableAudioBuffer.from_mono_array(sig, 44100)
-        src = ga.AudioBufferSourceNode(ctx)
-        src.buffer = buf
-        src.loop = True
-        src.playback_rate.value = 1.0  # touch -> cubic resampler path
-        src.connect(conv)
-        src.start(0)
-    return ctx
+    return config4_conv_reverb(superblock=SUPERBLOCK, voices=VOICES)
 
 
 def main():
@@ -123,46 +101,13 @@ def main():
     # consumed ON DEVICE (one scalar out), so the tunneled device link's
     # ~30 MB/s download (0.3+ s for a 30 s stereo render — the bulk of
     # wall_seconds here) is excluded. On co-located hardware the headline
-    # xrt approaches this number.
-    import jax
-    import jax.numpy as jnp
+    # xrt approaches this number. The two-length scan-difference machinery
+    # is the ONE shared implementation in benchmarks.run (measurement-rule
+    # critical code must not fork).
+    from benchmarks.run import _xrt_compute
 
-    cg = ctx._compiled
-    step, _ = cg.make_step_fn()
     n_steps = frames // frames_per_step
-
-    def reduced(states, encs, consts, f0s, bts):
-        def body(c, xs):
-            f0, bt = xs
-            ns, out = step(c, encs, consts, {}, f0, bt)
-            return ns, jnp.sum(out)
-        st, outs = jax.lax.scan(body, states, (f0s, bts))
-        return jnp.sum(outs)
-
-    # Two scan lengths, timed by DIFFERENCE: the ~30 ms per-call round trip
-    # of a link-attached device cancels, leaving pure per-step compute.
-    rfn = jax.jit(reduced)
-    inc = np.float64(128) / SR
-    states = jax.device_put(jax.device_get(ctx._states))  # private copy
-
-    def timed(n):
-        f0s = jnp.arange(n, dtype=jnp.int64) * frames_per_step
-        bts = np.add.accumulate(
-            np.full(n * SUPERBLOCK, inc)
-        ).reshape(n, SUPERBLOCK)
-        np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))  # compile
-        best = np.inf
-        for _ in range(3):
-            t1 = time.perf_counter()
-            np.asarray(rfn(states, ctx._encs, ctx._consts, f0s, bts))
-            best = min(best, time.perf_counter() - t1)
-        return best
-
-    half = max(n_steps // 2, 1)
-    w1 = timed(n_steps - half)
-    w2 = timed(n_steps)
-    per_step = max((w2 - w1) / half, 1e-9)
-    xrt_compute = (frames_per_step / SR) / per_step
+    xrt_compute = _xrt_compute(ctx, n_steps)
 
     # Latency phase: synchronized single-superblock steps give TRUE per-step
     # wall-time percentiles (the throughput render above pipelines launches,

@@ -327,8 +327,11 @@ def main():
         os.path.dirname(__file__), "results", "micro_probe2.json"
     )
     results["backend"] = dev.platform
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+    if jax.devices()[0].platform != "cpu":
+        # committed artifacts are TPU provenance; don't
+        # overwrite them with CPU timings
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
     print(json.dumps(results), flush=True)
 
 

@@ -71,16 +71,23 @@ def main(V=128, S=32):
         return jax.vmap(fir_per_block)(mono, h, hist)
 
     # 17 k-rate params per voice, 1 event each (typical moving source).
-    enc1 = encode_events(1.0, [], 2)
-    encs = {k: jnp.asarray(np.broadcast_to(v, (V,) + np.shape(v)).copy())
-            for k, v in enc1.items()}
+    # Each of the 17 evaluations must use DISTINCT encodings: identical
+    # copies over the same operands are common subexpressions that XLA CSE
+    # collapses to ONE evaluation (verified in the optimized HLO), which
+    # understates this stage ~17x — the classic folded-probe trap.
+    enc17 = [encode_events(1.0 + 0.01 * k, [], 2) for k in range(17)]
+    encs = [
+        {k: jnp.asarray(np.broadcast_to(v, (V,) + np.shape(v)).copy())
+         for k, v in e.items()}
+        for e in enc17
+    ]
     times = jnp.arange(S, dtype=jnp.float64) * (128.0 / sr)
 
     @jax.jit
     def params(encs):
         return [
-            jax.vmap(eval_intrinsic, in_axes=(0, None))(encs, times)
-            for _ in range(17)
+            jax.vmap(eval_intrinsic, in_axes=(0, None))(e, times)
+            for e in encs
         ]
 
     print(f"V={V} S={S} T={T} backend={jax.devices()[0].platform}")

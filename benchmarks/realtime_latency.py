@@ -114,7 +114,12 @@ def main():
     print(json.dumps(result))
     import os
 
-    if backend != "cpu":
+    import jax
+
+    # Gate on the JAX platform (backend above is the AUDIO device backend —
+    # 'alsa'/'null' — never 'cpu'): CPU-only runs must not overwrite the
+    # committed TPU-measured artifact.
+    if jax.devices()[0].platform != "cpu":
         results_dir = os.path.join(os.path.dirname(__file__), "results")
         os.makedirs(results_dir, exist_ok=True)
         with open(os.path.join(results_dir, "realtime_latency.json"), "w") as f:

@@ -476,10 +476,15 @@ class OracleBufferSource(OracleNode):
                     end = lef if self.loop else min(de, length)
                     avail = min(end - pos, length - pos)
                     if avail <= 0:
-                        if self.loop:
+                        if self.loop and lef > lsf:
                             pos = lsf
                             consumed_this = pos - self._pos
                             continue
+                        # Empty loop region (loop_start == loop_end): the
+                        # reference's resample path livelocks here
+                        # (AudioBufferSourceNode.cs:280-292 re-seats pos at
+                        # loopStart and retries with available still 0); the
+                        # oracle must not hang the test suite — emit silence.
                         break
                     if self.loop and pos + avail >= lef - 4:
                         # loop seam: stage wrap buffer (:297-314)
@@ -550,6 +555,11 @@ class OracleConstantSource(OracleNode):
         self._start_time = max(0.0, when)
 
     def stop(self, when=0.0):
+        # First-stop-wins guard (parity: the reference's `if (_hasStopped)
+        # return`, OscillatorNode.Stop :76-89 — same rule on all sources).
+        if getattr(self, "_stopped", False):
+            return
+        self._stopped = True
         at = max(0.0, when)
         self._stop_time = at if math.isnan(self._stop_time) \
             else min(self._stop_time, at)
@@ -684,6 +694,13 @@ class OracleBiQuad(OracleNode):
         gain_db = self.gain.computed[0]
         out = np.zeros_like(inp.buffer)
         b0, b1, b2, a1, a2 = self._b
+        # Deliberate bug-compatibility with the reference
+        # (BiQuadFilterNode.cs:110-113): used_gain seeds from the CURRENT
+        # block's gain and _last_frequency/_last_q are never written back,
+        # so a gain-only change recomputes coefficients only because the
+        # per-block used_freq reset re-trips the frequency gate whenever
+        # frequency != the ctor default. Do not "fix" — the oracle's job is
+        # the reference's exact behavior.
         used_freq = self._last_frequency
         used_q = self._last_q
         used_gain = gain_db
@@ -946,6 +963,8 @@ class OracleOscillator(OracleNode):
             self._stopped = True
 
     def stop(self, when=0.0):
+        if self._stopped:  # first-stop-wins (OscillatorNode.Stop :76-89)
+            return
         at = max(0.0, when)
         self._stop_time = at if math.isnan(self._stop_time) \
             else min(self._stop_time, at)
