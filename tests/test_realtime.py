@@ -175,3 +175,59 @@ def test_enumerate_lists_alsa_devices_when_present():
     assert "null" in names
     if ctypes.util.find_library("asound"):
         assert any(n.startswith("alsa") for n in names)
+
+
+def test_realtime_timed_command_lands_at_step_boundary():
+    """post_at on a realtime context drains at render-step launches: the
+    command lands at the first step whose block clock has reached it."""
+    ctx = RealtimeAudioContext(sample_rate=48000, superblock=2,
+                               auto_start_thread=False)
+    try:
+        src = ga.ConstantSourceNode(ctx)
+        src.offset.value = 0.5
+        g = ga.GainNode(ctx)
+        src.connect(g).connect(ctx.destination)
+        src.start(0)
+        # due mid-step 1 -> lands at the step-2 launch
+        ctx.post_at(1.5 * 256 / 48000, lambda c: setattr(g.gain, "value", 0.0))
+        s1 = ctx.render_step_blocking()
+        s2 = ctx.render_step_blocking()
+        s3 = ctx.render_step_blocking()
+        assert np.all(s1 == 0.5) and np.all(s2 == 0.5)
+        assert np.all(s3 == 0.0)
+    finally:
+        ctx.dispose()
+
+
+def test_realtime_render_thread_survives_exceptions():
+    """A transient failure inside the render loop must not silently kill
+    the thread: the error is recorded and rendering continues."""
+    import time as _time
+
+    ctx = RealtimeAudioContext(sample_rate=48000, superblock=2,
+                               auto_start_thread=False)
+    try:
+        src = ga.ConstantSourceNode(ctx)
+        src.connect(ctx.destination)
+        src.start(0)
+        boom = {"n": 0}
+        orig = ctx._render_steps_launch
+
+        def flaky(n_steps, pack=None):
+            if boom["n"] == 1:
+                boom["n"] += 1
+                raise RuntimeError("transient feed failure")
+            boom["n"] += 1
+            return orig(n_steps, pack)
+
+        ctx._render_steps_launch = flaky
+        ctx._start_render_thread()
+        ctx._running = True
+        deadline = _time.time() + 10.0
+        while _time.time() < deadline and boom["n"] < 4:
+            _time.sleep(0.01)
+        assert boom["n"] >= 4, "render thread died after the exception"
+        assert ctx.stats.render_errors >= 1
+        assert isinstance(ctx.last_render_error, RuntimeError)
+    finally:
+        ctx.dispose()
