@@ -483,6 +483,16 @@ class AudioContextBase:
                 if migrated:
                     new_states[key] = rebuilt
         self._states = new_states
+        # Config-derived leaves (e.g. the biquad's type selector) must
+        # reflect the node's CURRENT config: migration above preserves
+        # running state wholesale, which would carry a stale selector
+        # across a config edit. Re-derive them last.
+        for nid, ref in self._compiled.state_ref.items():
+            node = self._nodes.get(nid)
+            cfg = getattr(node, "config_state", None)
+            if cfg is None:
+                continue
+            self.update_node_state(node, **cfg())
         self._old_state_ref = dict(self._compiled.state_ref)
         self._old_state_composition = dict(new_comp)
         self._encs = None  # force re-encode against (possibly) new capacities

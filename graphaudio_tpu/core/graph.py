@@ -473,6 +473,17 @@ class CompiledGraph:
             for n in nodes:
                 stage_idx_of[n.node_id] = si
 
+        def chain_key_of(si):
+            """Fusion-compatibility key: nodes may opt into fusing across
+            differing group keys (the biquad drops its TYPE — the pipe
+            kernel then selects coefficients per lane; see
+            BiQuadFilterNode.chain_key). Default: the group key."""
+            n = stages[si][1][0]
+            fn = getattr(n, "chain_key", None)
+            if fn is None:
+                return stages[si][2]
+            return fn([self.input_channels[(n.node_id, 0)]])
+
         used = set()
         chains = []  # list of [stage indices]
         for si, entry in enumerate(stages):
@@ -490,7 +501,7 @@ class CompiledGraph:
                     nsi is None
                     or nsi in used
                     or not fusable(stages[nsi])
-                    or stages[nsi][2] != entry[2]  # same group key
+                    or chain_key_of(nsi) != chain_key_of(run[0])
                     or not links_to(cur, nxt)
                 ):
                     break
@@ -697,6 +708,18 @@ class CompiledGraph:
                     ),
                     "level": self.stage_level.get(si, 0),
                     "group_key": gkey,
+                    # Pipes may chain nodes with DIFFERING group keys (e.g.
+                    # mixed biquad types via chain_key); lane_keys joins the
+                    # program-cache identity and tells run_pipe whether the
+                    # kernel must read per-lane config selectors.
+                    "lane_keys": (
+                        tuple(
+                            n.group_key(list(node_in_counts[n.node_id]))
+                            for n in nodes
+                        )
+                        if kind == "pipe"
+                        else None
+                    ),
                     "inputs": inputs,
                     "params": params,
                     "out_counts": out_counts,
@@ -802,7 +825,10 @@ class CompiledGraph:
             if sp["kind"] == "group":
                 ident = ("G", sp["group_key"], sp["n_lanes"], sp["bufsrc"])
             elif sp["kind"] == "pipe":
-                ident = ("P", sp["group_key"], sp["n_lanes"], sp["level"])
+                # lane_keys, not just the head's key: two pipes with the
+                # same head but different member type sequences must not
+                # alias one cached program.
+                ident = ("P", sp["lane_keys"], sp["n_lanes"], sp["level"])
             elif sp["kind"] == "dest":
                 ident = ("D",)
             else:
@@ -1299,10 +1325,16 @@ class CompiledGraph:
                 fresh = mixed_signal(routing, dst_c)
                 lane_in = jnp.concatenate([fresh[None], regs], axis=0)
 
+                # Lanes with differing group keys (mixed biquad types fused
+                # via chain_key) read their config from per-lane state
+                # selectors instead of rep's static attributes.
+                mixed = len(set(sp["lane_keys"])) > 1
+
                 def lane(state, inp, pv, f0, bt):
                     lrc = RenderContext(info, f0, bt)
                     lrc.globals = rc.globals
                     lrc.feeds = rc.feeds
+                    lrc.mixed_config = mixed
                     params = {
                         name: ParamSignal(v, rates[name], info.superblock)
                         for name, v in pv.items()

@@ -20,7 +20,12 @@ import numpy as np
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 from graphaudio_tpu.core.node import AudioNode
 from graphaudio_tpu.core.params import AutomationRate
-from graphaudio_tpu.ops.biquad import biquad_apply, rbj_coefficients
+from graphaudio_tpu.ops.biquad import (
+    FILTER_TYPES,
+    biquad_apply,
+    rbj_coefficients,
+    rbj_coefficients_dyn,
+)
 
 
 class FilterType(enum.Enum):
@@ -105,11 +110,39 @@ class BiQuadFilterNode(AudioNode):
             return None
         return ("biquad", self._type, input_channels[0], self._time_varying())
 
+    def chain_key(self, input_channels):
+        """Chain-fusion compatibility key: the TYPE is excluded — a
+        mixed-type serial EQ cascade (lowpass -> peaking -> ... ) fuses
+        into ONE pipelined stage whose kernel selects coefficients from
+        the per-lane "__type_sel__" one-hot (rbj_coefficients_dyn). Pipes
+        whose lanes all share one type keep the static single-branch
+        kernel (bit-exact vs the unfused graph; the dynamic where-chain
+        compiles with different FMA choices, so it is reserved for chains
+        that could not fuse at all otherwise)."""
+        key = self.group_key(input_channels)
+        if key is None:
+            return None
+        return ("biquad", input_channels[0], self._time_varying())
+
+    def _type_onehot(self) -> np.ndarray:
+        v = np.zeros(len(FILTER_TYPES), np.float32)
+        v[FILTER_TYPES.index(self._type.value)] = 1.0
+        return v
+
     def init_state(self, info):
         return {
             "w1": np.zeros((self._channels,), np.float32),
             "w2": np.zeros((self._channels,), np.float32),
+            # Config-derived type selector (see config_state): data, so
+            # mixed-type lanes share one kernel.
+            "__type_sel__": self._type_onehot(),
         }
+
+    def config_state(self):
+        """Leaves that must always reflect the CURRENT config: state
+        migration preserves running filter state across recompiles, but a
+        type edit must never carry the old selector along."""
+        return {"__type_sel__": self._type_onehot()}
 
     def process(self, state, inputs, params, rc):
         x = inputs[0]
@@ -123,7 +156,18 @@ class BiQuadFilterNode(AudioNode):
             params["gain"].per_block(), FRAMES_PER_BLOCK,
             total_repeat_length=rc.frames,
         )
-        coeffs = rbj_coefficients(self._type.value, f, q, g, rc.sample_rate)
+        if getattr(rc, "mixed_config", False):
+            # Mixed-type fused chain: select the type's coefficients from
+            # the per-lane one-hot (all lanes share this one kernel).
+            coeffs = rbj_coefficients_dyn(
+                state["__type_sel__"], f, q, g, rc.sample_rate
+            )
+        else:
+            # Static type (single stage, same-type group, same-type pipe):
+            # one branch compiles — bit-exact across fused/unfused.
+            coeffs = rbj_coefficients(
+                self._type.value, f, q, g, rc.sample_rate
+            )
         # The correction pass for automated coefficients only compiles in
         # when the poles can actually vary (first event/modulation on
         # frequency/Q — or on gain for peaking/shelving types — recompiles).
@@ -132,4 +176,6 @@ class BiQuadFilterNode(AudioNode):
             x, coeffs, state["w1"], state["w2"], time_varying=time_varying,
             constant=not time_varying,
         )
-        return {"w1": w1, "w2": w2}, [y]
+        return {
+            "w1": w1, "w2": w2, "__type_sel__": state["__type_sel__"],
+        }, [y]

@@ -121,6 +121,35 @@ def rbj_coefficients(filter_type: str, freq, q, gain_db, sample_rate: float):
     return (b0 * inv_a0, b1 * inv_a0, b2 * inv_a0, a1 * inv_a0, a2 * inv_a0)
 
 
+#: index order of the one-hot type selector (matches FilterType declaration)
+FILTER_TYPES = (
+    "lowpass", "highpass", "bandpass", "notch",
+    "allpass", "peaking", "lowshelf", "highshelf",
+)
+
+
+def rbj_coefficients_dyn(type_onehot, freq, q, gain_db, sample_rate: float):
+    """RBJ coefficients with the filter type as DATA: all eight variants
+    are computed and the one-hot selects via a pure jnp.where chain —
+    bit-identical to the static branch for the selected type (selection,
+    no arithmetic). This lets biquads of DIFFERENT types share one vmapped
+    kernel, so mixed-type serial EQ cascades chain-fuse into a single
+    software-pipelined stage (graph.py _fuse_chains) instead of one
+    sequential kernel per type. The 8x coefficient math is elementwise VPU
+    work, small next to the recurrence solve it unblocks fusing.
+
+    type_onehot: f32[8] per FILTER_TYPES order.
+    """
+    out = rbj_coefficients(FILTER_TYPES[0], freq, q, gain_db, sample_rate)
+    for k in range(1, len(FILTER_TYPES)):
+        sel = type_onehot[k] > 0.5
+        cand = rbj_coefficients(
+            FILTER_TYPES[k], freq, q, gain_db, sample_rate
+        )
+        out = tuple(jnp.where(sel, n, o) for o, n in zip(out, cand))
+    return out
+
+
 def _first_order_scan(p, u, s_init):
     """Solve s_t = p_t * s_{t-1} + u_t in parallel (complex64).
 

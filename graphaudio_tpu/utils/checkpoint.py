@@ -20,13 +20,18 @@ import numpy as np
 
 
 def _is_scratch(path_str: str) -> bool:
-    """Pipeline-fusion working storage (the register banks and the block-
-    time ring) is within-render-call scratch: its cross-call content is
-    never read (each lane's first active row reads registers written THIS
-    call — see graph.py run_pipe). Excluding it from checkpoints keeps
-    files smaller and lets within-call working storage change layout
+    """Leaves excluded from checkpoints: pipeline-fusion working storage
+    (register banks + block-time ring — within-render-call scratch whose
+    cross-call content is never read; see graph.py run_pipe) and
+    config-DERIVED leaves (the biquad's ``__type_sel__`` one-hot), which
+    the loader re-derives from the restored graph config at compile time.
+    Excluding them keeps files smaller and lets these layouts change
     without invalidating existing checkpoints."""
-    return "__pipe_bt__" in path_str or ".pipe'" in path_str
+    return (
+        "__pipe_bt__" in path_str
+        or ".pipe'" in path_str
+        or "__type_sel__" in path_str
+    )
 
 
 def _flatten_states(states):

@@ -194,3 +194,76 @@ def test_pipeline_off_for_realtime_contexts():
     ctx = RealtimeAudioContext(sample_rate=SR, superblock=2)
     assert not getattr(ctx, "pipeline_chains", False)
     ctx.dispose()
+
+
+def test_mixed_type_biquad_chain_fuses_fully():
+    """Filter TYPE is kernel data (a per-lane one-hot selecting RBJ
+    coefficients), so a lowpass->peaking->peaking->highpass cascade — the
+    BASELINE config-3 shape — fuses into ONE pipelined stage instead of
+    splitting at every type change."""
+    def build(pipeline):
+        ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4,
+                                     pipeline_chains=pipeline)
+        rng = np.random.default_rng(11)
+        src = ga.AudioBufferSourceNode(ctx)
+        sig = (rng.standard_normal(SR) * 0.3).astype(np.float32)
+        src.buffer = ga.PlayableAudioBuffer.from_stereo_arrays(
+            sig, sig[::-1].copy(), SR)
+        src.loop = True
+        node = src
+        for i, t in enumerate([ga.FilterType.LOWPASS, ga.FilterType.PEAKING,
+                               ga.FilterType.PEAKING, ga.FilterType.HIGHPASS]):
+            f = ga.BiQuadFilterNode(ctx, type=t)
+            f.frequency.value = 400.0 * (i + 1)
+            f.frequency.linear_ramp_to_value_at_time(600.0 * (i + 1), 0.5)
+            node = node.connect(f)
+        node.connect(ctx.destination)
+        src.start(0)
+        return ctx
+
+    a = build(False)
+    b = build(True)
+    b._ensure_compiled()
+    assert b._compiled.pipe_delay == 3  # the WHOLE mixed chain is one pipe
+    # The where-chain selection is arithmetic-exact per lane, but the
+    # dynamic kernel compiles with different FMA choices than the static
+    # single-branch kernels of the unfused graph — agreement is at f32
+    # rounding level, not bit-exact (same-type chains stay bit-exact via
+    # the static kernel; see BiQuadFilterNode.chain_key).
+    np.testing.assert_allclose(a.render(20000), b.render(20000), atol=2e-5)
+    np.testing.assert_allclose(a.render(700), b.render(700), atol=2e-5)
+
+
+def test_biquad_type_edit_resets_selector_in_fused_chain():
+    """Changing a fused chain member's type recompiles AND re-derives the
+    per-lane type selector (config-derived state must not migrate)."""
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=4,
+                                 pipeline_chains=True)
+    osc = ga.OscillatorNode(ctx)
+    osc.frequency.value = 440.0
+    f1 = ga.BiQuadFilterNode(ctx, type=ga.FilterType.LOWPASS)
+    f2 = ga.BiQuadFilterNode(ctx, type=ga.FilterType.LOWPASS)
+    for f in (f1, f2):
+        f.frequency.value = 300.0  # well below 440 -> strong attenuation
+    osc.connect(f1).connect(f2).connect(ctx.destination)
+    osc.start(0)
+    low = ctx.render(8000)
+    f2.type = ga.FilterType.HIGHPASS  # config edit on a fused lane
+    high = ctx.render(8000)
+    # identical unfused graph after the same edit
+    ctx2 = ga.OfflineAudioContext(sample_rate=SR, superblock=4,
+                                  pipeline_chains=False)
+    o2 = ga.OscillatorNode(ctx2)
+    o2.frequency.value = 440.0
+    g1 = ga.BiQuadFilterNode(ctx2, type=ga.FilterType.LOWPASS)
+    g2 = ga.BiQuadFilterNode(ctx2, type=ga.FilterType.LOWPASS)
+    for f in (g1, g2):
+        f.frequency.value = 300.0
+    o2.connect(g1).connect(g2).connect(ctx2.destination)
+    o2.start(0)
+    ctx2.render(8000)
+    g2.type = ga.FilterType.HIGHPASS
+    want = ctx2.render(8000)
+    np.testing.assert_allclose(high, want, atol=1e-5)
+    # and the edit actually changed the output (selector not stale)
+    assert np.abs(high - low).max() > 0.05
