@@ -327,15 +327,10 @@ def main():
         results[f"conv_big_{label}_ms"] = round(ms, 4)
         print(f"conv big {label}: {ms:.4f} ms", flush=True)
 
-    out_path = os.path.join(
-        os.path.dirname(__file__), "results", "micro_probe.json"
-    )
+    from benchmarks.artifacts import write_artifact
+
     results["backend"] = dev.platform
-    if jax.devices()[0].platform != "cpu":
-        # committed artifacts are TPU provenance; don't
-        # overwrite them with CPU timings
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+    write_artifact("micro_probe", results)
     print(json.dumps(results), flush=True)
 
 

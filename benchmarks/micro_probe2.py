@@ -323,15 +323,10 @@ def main():
         results["fo_pallas_error"] = traceback.format_exc()[-1500:]
         print("fo pallas FAILED:\n", results["fo_pallas_error"], flush=True)
 
-    out_path = os.path.join(
-        os.path.dirname(__file__), "results", "micro_probe2.json"
-    )
+    from benchmarks.artifacts import write_artifact
+
     results["backend"] = dev.platform
-    if jax.devices()[0].platform != "cpu":
-        # committed artifacts are TPU provenance; don't
-        # overwrite them with CPU timings
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+    write_artifact("micro_probe2", results)
     print(json.dumps(results), flush=True)
 
 

@@ -194,13 +194,8 @@ def main():
         bench(scan_over(block_masks), (states0, arena, geom)) * 1e3, 4)
     print(f"block_masks {results['block_masks_ms']} ms/step", flush=True)
 
-    out_path = os.path.join(
-        os.path.dirname(__file__), "results", "micro_probe3.json")
-    if jax.devices()[0].platform != "cpu":
-        # committed artifacts are TPU provenance; don't
-        # overwrite them with CPU timings
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+    from benchmarks.artifacts import write_artifact
+    write_artifact("micro_probe3", results)
     print(json.dumps(results), flush=True)
 
 

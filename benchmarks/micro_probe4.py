@@ -253,13 +253,8 @@ def main():
             scan_conv(conv1), (x0, hr, hi, hist_r0, hist_i0, ov0)) * 1e3, 4)
         print(f"{name} {results[name]} ms/step (err {err:.2e})", flush=True)
 
-    out_path = os.path.join(
-        os.path.dirname(__file__), "results", "micro_probe4.json")
-    if jax.devices()[0].platform != "cpu":
-        # committed artifacts are TPU provenance; don't
-        # overwrite them with CPU timings
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+    from benchmarks.artifacts import write_artifact
+    write_artifact("micro_probe4", results)
     print(json.dumps(results), flush=True)
 
 

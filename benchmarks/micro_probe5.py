@@ -44,13 +44,8 @@ def main():
         results[f"sb{sb}_compile_seconds"] = compile_s
         print(f"SB={sb}: xrt_compute={xrt} (compile {compile_s}s)", flush=True)
 
-    out_path = os.path.join(
-        os.path.dirname(__file__), "results", "micro_probe5.json")
-    if jax.devices()[0].platform != "cpu":
-        # committed artifacts are TPU provenance; don't
-        # overwrite them with CPU timings
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+    from benchmarks.artifacts import write_artifact
+    write_artifact("micro_probe5", results)
     print(json.dumps(results), flush=True)
 
 

@@ -174,13 +174,8 @@ def main():
             args) * 1e3, 4)
         print(f"radix-{radix} {results[f'hs{radix}_ms']} ms/solve", flush=True)
 
-    out_path = os.path.join(
-        os.path.dirname(__file__), "results", "micro_probe6.json")
-    if jax.devices()[0].platform != "cpu":
-        # committed artifacts are TPU provenance; don't
-        # overwrite them with CPU timings
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+    from benchmarks.artifacts import write_artifact
+    write_artifact("micro_probe6", results)
     print(json.dumps(results), flush=True)
 
 

@@ -112,18 +112,11 @@ def main():
         },
     }
     print(json.dumps(result))
-    import os
+    # write_artifact gates on the JAX platform (`backend` above is the
+    # AUDIO device backend — 'alsa'/'null' — never 'cpu').
+    from benchmarks.artifacts import write_artifact
 
-    import jax
-
-    # Gate on the JAX platform (backend above is the AUDIO device backend —
-    # 'alsa'/'null' — never 'cpu'): CPU-only runs must not overwrite the
-    # committed TPU-measured artifact.
-    if jax.devices()[0].platform != "cpu":
-        results_dir = os.path.join(os.path.dirname(__file__), "results")
-        os.makedirs(results_dir, exist_ok=True)
-        with open(os.path.join(results_dir, "realtime_latency.json"), "w") as f:
-            json.dump(result, f, indent=1)
+    write_artifact("realtime_latency", result)
     return 0
 
 

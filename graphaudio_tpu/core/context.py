@@ -486,13 +486,25 @@ class AudioContextBase:
         # Config-derived leaves (e.g. the biquad's type selector) must
         # reflect the node's CURRENT config: migration above preserves
         # running state wholesale, which would carry a stale selector
-        # across a config edit. Re-derive them last.
+        # across a config edit. Re-derive only CHANGED ones — each
+        # update_node_state materializes the node's (possibly device-
+        # resident) state entry, so rewriting K already-correct selectors
+        # would cost K host syncs per recompile.
+        cfg_cache = getattr(self, "_config_state_cache", {})
+        self._config_state_cache = {}
         for nid, ref in self._compiled.state_ref.items():
             node = self._nodes.get(nid)
             cfg = getattr(node, "config_state", None)
             if cfg is None:
                 continue
-            self.update_node_state(node, **cfg())
+            leaves = cfg()
+            self._config_state_cache[nid] = leaves
+            prev = cfg_cache.get(nid)
+            if prev is not None and all(
+                np.array_equal(prev.get(k), v) for k, v in leaves.items()
+            ):
+                continue  # unchanged config; migrated value is correct
+            self.update_node_state(node, **leaves)
         self._old_state_ref = dict(self._compiled.state_ref)
         self._old_state_composition = dict(new_comp)
         self._encs = None  # force re-encode against (possibly) new capacities

@@ -3240,18 +3240,21 @@ int gac_write_mp3(const char* path, const float* data, int64_t frames,
             return -1;
         }
     }
+    bool ok = true;
     int n = a.encode_flush(gf, out.data(), int(out.size()));
-    if (n > 0) fwrite(out.data(), 1, size_t(n), f);
+    if (n > 0) ok = fwrite(out.data(), 1, size_t(n), f) == size_t(n);
     // LAME/Xing gapless tag: rewrite the reserved first frame so decoders
     // (mpg123 included) trim the codec delay and report exact length.
     size_t tag = a.get_lametag_frame(gf, out.data(), out.size());
     if (tag > 0 && tag <= out.size()) {
-        fseeko(f, 0, SEEK_SET);
-        fwrite(out.data(), 1, tag, f);
+        if (fseeko(f, 0, SEEK_SET) != 0 ||
+            fwrite(out.data(), 1, tag, f) != tag) ok = false;
     }
-    fclose(f);
+    // Short tail writes (disk full) must not report success — same rule
+    // as gac_write_wav.
+    if (fclose(f) != 0) ok = false;
     a.close(gf);
-    return 0;
+    return ok ? 0 : -1;
 }
 
 // Encode interleaved float32 frames as Ogg/Vorbis (VBR quality in [-0.1, 1]).

@@ -199,20 +199,22 @@ void alsa_device_loop(Device* d) {
         while (left > 0 && !d->quit.load(std::memory_order_acquire)) {
             snd_pcm_sframes_t n = g_alsa.pcm_writei(d->pcm, p, left);
             if (n < 0) {
-                // xrun / suspend: recover and retry. Count the stalled
-                // frames ONCE per period — frames written after a
-                // successful recover still play, and a stuck device
-                // retries every ~1 ms, so per-retry accounting would both
-                // double-count played frames and inflate the telemetry by
-                // orders of magnitude.
+                // xrun / suspend: recover and retry. Telemetry counts the
+                // audible gap: the period that hit the xrun once (counting
+                // `left` on every retry would double-count frames that
+                // play after a successful recover), plus ~1 ms of frames
+                // per failed-recover retry so a sustained device stall
+                // accrues in proportion to its real duration.
                 n = g_alsa.pcm_recover(d->pcm, (int)n, 1);
-                if (n < 0) {
-                    std::this_thread::sleep_for(std::chrono::milliseconds(1));
-                }
                 if (!counted_xrun) {
                     counted_xrun = true;
                     d->underrun_frames.fetch_add(left,
                                                  std::memory_order_relaxed);
+                }
+                if (n < 0) {
+                    std::this_thread::sleep_for(std::chrono::milliseconds(1));
+                    d->underrun_frames.fetch_add(
+                        d->sample_rate / 1000, std::memory_order_relaxed);
                 }
                 continue;
             }
