@@ -16,6 +16,18 @@ import subprocess
 from typing import List, Optional
 
 
+def _loads(so_path: str) -> bool:
+    """True when the shared object resolves against THIS machine's libraries
+    (dlopen is refcounted, so the caller's own CDLL afterwards is free)."""
+    import ctypes
+
+    try:
+        ctypes.CDLL(so_path)
+        return True
+    except OSError:
+        return False
+
+
 def load_or_build(src_path: str, extra_flags: Optional[List[str]] = None) -> Optional[str]:
     """Return the path of an up-to-date shared object for ``src_path``.
 
@@ -31,12 +43,24 @@ def load_or_build(src_path: str, extra_flags: Optional[List[str]] = None) -> Opt
     build_dir = os.path.join(os.path.dirname(src_path), "build")
     so_path = os.path.join(build_dir, f"lib{name}-{digest}.so")
     if os.path.exists(so_path):
-        return so_path
+        # The source hash can't see the link environment: an artifact built
+        # on another machine may reference versioned symbols this machine's
+        # system libraries don't provide (e.g. @LIBAVUTIL_58 vs .57).
+        # Verify it actually dlopens; rebuild in place when it doesn't.
+        if _loads(so_path):
+            return so_path
+        try:
+            os.remove(so_path)
+        except OSError:
+            return None
     os.makedirs(build_dir, exist_ok=True)
     tmp = so_path + f".tmp{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", *(extra_flags or []), "-o", tmp, src_path],
+            # Link flags AFTER the source: with ld's --as-needed default,
+            # -lfoo before the object that references it gets discarded.
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, src_path,
+             *(extra_flags or [])],
             check=True,
             capture_output=True,
             timeout=120,
