@@ -56,15 +56,15 @@ def timed_renders(ctx, frames, pack, runs=3):
     return best, bd
 
 
-def chunk_sweep(ctx, frames, chunks, runs=3):
+def chunk_sweep(ctx, frames, chunks, runs=3, packs=("int16", None)):
     out = {}
-    for pack in ("int16", None):
+    for pack in packs:
         for chunk in chunks:
             os.environ["GA_RENDER_CHUNK"] = str(chunk)
             # warm any new scan-length programs (remainder chunks)
             timed_renders(ctx, frames, pack, runs=1)
             wall, bd = timed_renders(ctx, frames, pack, runs=runs)
-            key = f"{'pcm16' if pack else 'f32'}_chunk{chunk}"
+            key = f"{'pcm16' if pack else 'f32'}_chunk{str(chunk).replace(',', '+')}"
             out[key] = {
                 "wall_s": round(wall, 4),
                 "xrt": round(frames / ctx.sample_rate / wall, 1),
@@ -126,6 +126,12 @@ def main():
     ap.add_argument("--sweep-sb", action="store_true",
                     help="also probe a superblock-32 context")
     ap.add_argument("--chunks", type=str, default="175,64,35,16")
+    ap.add_argument("--schedules", type=str, default="",
+                    help="';'-separated GA_RENDER_CHUNK schedules to sweep "
+                         "(e.g. '5,34;9,34') — head-chunk experiments; "
+                         "pcm16 only")
+    ap.add_argument("--out", type=str, default="wall_probe.json",
+                    help="artifact filename under benchmarks/results/")
     args = ap.parse_args()
 
     chunks = [int(c) for c in args.chunks.split(",")]
@@ -138,6 +144,10 @@ def main():
     print(json.dumps({"cold_compile_s": report["cold_compile_s"]}), flush=True)
 
     report["sweep"] = chunk_sweep(ctx, frames, chunks)
+    if args.schedules:
+        report["schedule_sweep"] = chunk_sweep(
+            ctx, frames, args.schedules.split(";"), packs=("int16",)
+        )
     report["link"] = link_probe(frames * 2)
     print(json.dumps({"link": report["link"]}), flush=True)
 
@@ -149,7 +159,7 @@ def main():
         )
 
     os.makedirs(RESULTS, exist_ok=True)
-    with open(os.path.join(RESULTS, "wall_probe.json"), "w") as f:
+    with open(os.path.join(RESULTS, args.out), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"done": True}))
 

@@ -646,8 +646,16 @@ class AudioContextBase:
 
         # superblocks per pipelined launch: smaller chunks give more
         # parallel device->host streams (tunneled links gain 2-3x from
-        # concurrency), larger ones fewer dispatch round trips.
-        chunk = int(_os.environ.get("GA_RENDER_CHUNK", "64"))
+        # concurrency), larger ones fewer dispatch round trips. A
+        # comma-separated schedule ("5,34") sizes the leading chunks
+        # individually (the last entry repeats): a small HEAD chunk puts
+        # first bytes on the wire as soon as its compute lands instead of
+        # after a full chunk's, hiding the first-chunk compute behind the
+        # transfer-bound tail. Each distinct size is one compiled scan
+        # length, so schedules should reuse few sizes.
+        sched = [
+            int(c) for c in _os.environ.get("GA_RENDER_CHUNK", "64").split(",")
+        ]
         render_fn = self._render_fn
         pack_fn = _pack_int16 if pack == "int16" else None
         t_prep = _time.perf_counter() - t0
@@ -655,7 +663,10 @@ class AudioContextBase:
         chunk_dispatch_s = []
         launched = 0
         while launched < n_steps:
-            this = min(chunk, n_steps - launched)
+            this = min(
+                sched[min(len(chunk_dispatch_s), len(sched) - 1)],
+                n_steps - launched,
+            )
             frame0s = (
                 self._current_frame
                 + frames_per_step

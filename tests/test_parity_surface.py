@@ -198,6 +198,22 @@ def test_render_pcm16_carry_roundtrip():
     np.testing.assert_array_equal(np.concatenate([a, b]), whole)
 
 
+def test_render_chunk_schedule_matches_single_chunk(monkeypatch):
+    """GA_RENDER_CHUNK schedules ("1,2": head chunk of 1 step, then 2-step
+    chunks) split the launch without changing a single sample — both wire
+    formats."""
+    frames = 7 * 4 * 128  # 7 superblock steps -> chunks of 1,2,2,2
+    ref = _sine_context().render(frames)
+    ref16 = _sine_context().render_pcm16(frames)
+    monkeypatch.setenv("GA_RENDER_CHUNK", "1,2")
+    ctx = _sine_context()
+    np.testing.assert_array_equal(ctx.render(frames), ref)
+    ctx16 = _sine_context()
+    np.testing.assert_array_equal(ctx16.render_pcm16(frames), ref16)
+    assert ctx.stats.last_breakdown["n_chunks"] == 4
+    assert ctx.stats.last_breakdown["chunk_dispatch_s"][0] >= 0.0
+
+
 def test_render_pcm16_after_f32_carry():
     """f32-carried frames quantize on host with the same formula."""
     ctx = _sine_context()
