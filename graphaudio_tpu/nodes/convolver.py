@@ -23,26 +23,48 @@ from graphaudio_tpu.ops.convolve import (
     conv_superblock,
     conv_superblock_big,
     conv_superblock_big_sharded,
+    conv_superblock_sub,
     prepare_ir,
     prepare_ir_big,
 )
 
-# Superblocks of >= this many frames partition the IR at superblock grain
-# (one 2T-point factorized transform per step) instead of 128-sample grain;
-# same linear convolution, far less spectral-MAC traffic for long IRs.
+# Superblocks of >= this many frames partition the IR at big grain (2B-point
+# factorized transforms) instead of 128-sample grain; same linear
+# convolution, far less spectral-MAC traffic for long IRs.
 _BIG_BLOCK_MIN = 1024
+
+# Preferred sub-block grain for the big path: splitting a superblock of T
+# frames into L = T/B sub-blocks batches the forward/inverse DFTs L-wide on
+# the MXU. B=1024 measured fastest on the axon TPU for 1-2 s IRs
+# (benchmarks/results/micro_probe7.json: L8 beats L1 by 15-23% at T=8192).
+_SUB_GRAIN_TARGET = 1024
+_SUB_GRAIN_MIN = 512
+
+
+def _pick_big_grain(T: int) -> int:
+    """Largest multiple-of-128 divisor of T that is <= _SUB_GRAIN_TARGET;
+    falls back to T (unsplit) if none >= _SUB_GRAIN_MIN exists."""
+    b = min(_SUB_GRAIN_TARGET, T)
+    b -= b % FRAMES_PER_BLOCK
+    while b >= _SUB_GRAIN_MIN:
+        if T % b == 0:
+            return b
+        b -= FRAMES_PER_BLOCK
+    return T
 
 
 class ConvolverNode(AudioNode):
     def __init__(self, context):
         super().__init__(context, input_count=1, output_count=1, name="Convolver")
         self._buffer = None
-        self._H: Optional[np.ndarray] = None  # [K, P, 129] f32 real spectra
-        self._Hi: Optional[np.ndarray] = None  # [K, P, 129] f32 imag spectra
+        # Raw IR channels; spectra are prepped lazily per grain so the same
+        # buffer serves the 128-grain, sub-blocked, and part-sharded paths
+        # (the grain depends on the mesh, which may be set after the buffer).
+        self._ir_channels: Optional[List[np.ndarray]] = None
+        self._prep_cache: dict = {}  # grain -> (H [K,P,bins], Hi)
         self._conv_inputs: List[int] = []  # input channel feeding convolver k
         self._is_true_stereo = False
         self._effective_output_channels = 0
-        self._big_block = 0  # T when superblock-grain partitioning is active
         self.normalize = True  # parity: ConvolverNode.Normalize (:87)
         self.enable_true_stereo = True  # parity: EnableTrueStereo (:95)
 
@@ -54,8 +76,8 @@ class ConvolverNode(AudioNode):
     def buffer(self, value) -> None:
         if value is None:
             self._buffer = None
-            self._H = None
-            self._Hi = None
+            self._ir_channels = None
+            self._prep_cache = {}
             self._conv_inputs = []
             self._is_true_stereo = False
             self._effective_output_channels = 0
@@ -74,34 +96,64 @@ class ConvolverNode(AudioNode):
                 f"rate: {self.context.sample_rate}."
             )
         channels = value.number_of_channels
-        T = self.context.superblock * FRAMES_PER_BLOCK
-        self._big_block = T if T >= _BIG_BLOCK_MIN else 0
-        prep = (
-            (lambda ch: prepare_ir_big(ch, self._big_block, self.normalize))
-            if self._big_block
-            else (lambda ch: prepare_ir(ch, self.normalize))
-        )
-        prepared = [prep(value.get_channel_data(i)) for i in range(channels)]
-        H = np.stack([p[0] for p in prepared])  # [channels, P, bins] real
-        Hi = np.stack([p[1] for p in prepared])  # [channels, P, bins] imag
+        # Snapshot the IR channels (and the normalize flag, read at set time
+        # like the reference, ConvolverNode.cs:51-77); spectra prep happens
+        # lazily per grain in _prepped().
+        self._ir_channels = [
+            np.asarray(value.get_channel_data(i), np.float32)
+            for i in range(channels)
+        ]
+        self._normalize_at_set = self.normalize
+        self._prep_cache = {}
         self._buffer = value
         self._is_true_stereo = channels == 4 and self.enable_true_stereo
         if self._is_true_stereo:
             # Convolvers 0,1 read L; 2,3 read R (ConvolverNode.cs:137-143).
             self._conv_inputs = [0, 0, 1, 1]
-            self._H, self._Hi = H, Hi  # order ir0..ir3
             self._effective_output_channels = 2
             self.inputs[0].set_channel_count(2)
         else:
             self._conv_inputs = list(range(channels))
-            self._H, self._Hi = H, Hi
             self._effective_output_channels = channels
             self.inputs[0].set_channel_count(channels)
         self.inputs[0].set_channel_count_mode(ChannelCountMode.EXPLICIT)
         self._config_changed()
 
+    # -- grain selection & lazy spectra prep ------------------------------------
+
+    def _grain_for(self, mesh) -> int:
+        """Partition grain for the current superblock geometry and mesh.
+
+        0 = 128-sample quantum grain (short superblocks). Otherwise a
+        big-path grain B <= T: the part-sharded path needs B == T (one
+        spectrum per superblock so the delay line replicates cheaply), the
+        single-device path sub-blocks to batch the DFTs on the MXU."""
+        T = self.context.superblock * FRAMES_PER_BLOCK
+        if T < _BIG_BLOCK_MIN:
+            return 0
+        if self.supports_part_sharding(mesh):
+            return T
+        return _pick_big_grain(T)
+
+    def _prepped(self, grain: int):
+        """(H, Hi) f32[K, P, bins] partition spectra at ``grain`` (cached)."""
+        cached = self._prep_cache.get(grain)
+        if cached is not None:
+            return cached
+        norm = getattr(self, "_normalize_at_set", self.normalize)
+        prep = (
+            (lambda ch: prepare_ir_big(ch, grain, norm))
+            if grain
+            else (lambda ch: prepare_ir(ch, norm))
+        )
+        prepared = [prep(ch) for ch in self._ir_channels]
+        H = np.stack([p[0] for p in prepared])  # [K, P, bins] real
+        Hi = np.stack([p[1] for p in prepared])  # [K, P, bins] imag
+        self._prep_cache[grain] = (H, Hi)
+        return H, Hi
+
     def output_channel_counts(self, input_channels):
-        if self._H is None:
+        if self._ir_channels is None:
             return [input_channels[0] if input_channels else 2]
         return [self._effective_output_channels]
 
@@ -115,15 +167,14 @@ class ConvolverNode(AudioNode):
 
     def supports_part_sharding(self, mesh) -> bool:
         return (
-            self._H is not None
-            and bool(self._big_block)
+            self._ir_channels is not None
+            and self.context.superblock * FRAMES_PER_BLOCK >= _BIG_BLOCK_MIN
             and mesh is not None
             and "part" in mesh.shape
             and int(mesh.shape["part"]) > 1
         )
 
-    def _padded_parts(self, mesh) -> int:
-        P = self._H.shape[1]
+    def _padded_parts(self, P: int, mesh) -> int:
         if not self.supports_part_sharding(mesh):
             return P
         n = int(mesh.shape["part"])
@@ -133,30 +184,31 @@ class ConvolverNode(AudioNode):
         """IR spectra as stage ARGUMENTS (program-cache reuse on IR swap;
         shardable over 'part'). Zero partitions pad the axis to the mesh's
         'part' size — their MAC contributions are exactly zero."""
-        if self._H is None:
+        if self._ir_channels is None:
             return {}
-        Pp = self._padded_parts(mesh)
-        K, P, bins = self._H.shape
+        H, Hi = self._prepped(self._grain_for(mesh))
+        K, P, bins = H.shape
+        Pp = self._padded_parts(P, mesh)
         if Pp == P:
-            return {"conv_hr": self._H, "conv_hi": self._Hi}
+            return {"conv_hr": H, "conv_hi": Hi}
         # prepend zero partitions: rows are REVERSED (oldest first), so
         # padding goes before row 0 and the newest-input row stays last.
         pad = ((0, 0), (Pp - P, 0), (0, 0))
-        return {
-            "conv_hr": np.pad(self._H, pad),
-            "conv_hi": np.pad(self._Hi, pad),
-        }
+        return {"conv_hr": np.pad(H, pad), "conv_hi": np.pad(Hi, pad)}
 
     def init_state(self, info):
-        if self._H is None:
+        if self._ir_channels is None:
             return {}
-        K, P, bins = self._H.shape
-        if self._big_block:
-            P = self._padded_parts(getattr(self.context, "mesh", None))
+        mesh = getattr(self.context, "mesh", None)
+        grain = self._grain_for(mesh)
+        H, _ = self._prepped(grain)
+        K, P, bins = H.shape
+        if grain:
+            P = self._padded_parts(P, mesh)
             return {
                 "hist_r": np.zeros((K, P - 1, bins), np.float32),
                 "hist_i": np.zeros((K, P - 1, bins), np.float32),
-                "overlap": np.zeros((K, self._big_block), np.float32),
+                "overlap": np.zeros((K, grain), np.float32),
             }
         return {
             "hist_r": np.zeros((K, P - 1, NUM_BINS), np.float32),
@@ -166,31 +218,36 @@ class ConvolverNode(AudioNode):
 
     def process(self, state, inputs, params, rc):
         x = inputs[0]  # [C, T]
-        if self._H is None:
+        if self._ir_channels is None:
             # No IR: cleared output at the input channel count (:107-118).
             return state, [jnp.zeros_like(x)]
 
         S = rc.superblock
+        T = x.shape[-1]
         sc = getattr(rc, "stage_consts", None) or {}
+        part_axis = getattr(rc, "part_axis", None)
         if "conv_hr" in sc:
             # IR spectra as stage arguments (shardable; cache-reusable).
             # Under 'part' sharding these are this device's partition rows.
             hr = jnp.asarray(sc["conv_hr"])
             hi = jnp.asarray(sc["conv_hi"])
         else:
-            hr = jnp.asarray(self._H)  # [K, P, bins] closure constants
-            hi = jnp.asarray(self._Hi)
-        part_axis = getattr(rc, "part_axis", None)
+            # Group-stage closure path: grain as the unsharded compile saw it.
+            H, Hi = self._prepped(self._grain_for(None))
+            hr, hi = jnp.asarray(H), jnp.asarray(Hi)
+        grain = 0 if hr.shape[-1] == NUM_BINS else hr.shape[-1] - 1
         # Route input channels to convolver instances, then run all instances
         # as one vmapped batch.
-        if self._big_block:
+        if grain:
             xs = jnp.stack([x[src] for src in self._conv_inputs])  # [K, T]
             if part_axis:
                 conv = lambda *a: conv_superblock_big_sharded(  # noqa: E731
                     *a, part_axis=part_axis
                 )
-            else:
+            elif grain == T:
                 conv = conv_superblock_big
+            else:
+                conv = conv_superblock_sub
             y, new_hist_r, new_hist_i, new_overlap = jax.vmap(conv)(
                 xs, hr, hi, state["hist_r"], state["hist_i"], state["overlap"]
             )

@@ -188,6 +188,51 @@ def conv_superblock_big(x, hr, hi, hist_r, hist_i, overlap):
     return y, seq_r[1:], seq_i[1:], y_full[T:]
 
 
+def conv_superblock_sub(x, hr, hi, hist_r, hist_i, overlap):
+    """Sub-blocked form of conv_superblock_big: L sub-blocks of B = T/L.
+
+    conv_superblock_big runs its 2T-point transforms at batch 1 — poor MXU
+    batching. Uniform partitioned convolution is parallel across sub-blocks
+    once every input spectrum is available, so a superblock can split into
+    L sub-blocks of B frames: one batch-L forward 2B-point DFT, a windowed
+    complex correlation along the partition axis (the same accumulation as
+    PartitionedConvolver.cs:154-223, at grain B instead of 128), one batch-L
+    inverse, and a shifted overlap-add. Same linear convolution; measured
+    15-23% faster at B=1024 (benchmarks/results/micro_probe7.json).
+
+    Args:
+      x: f32[T] input superblock; T must be a multiple of B.
+      hr, hi: f32[P, B+1] grain-B partition spectra from
+        prepare_ir_big(ir, B), partition-REVERSED (newest-input row last).
+      hist_r, hist_i: f32[P-1, B+1] spectra of the previous P-1 sub-blocks,
+        oldest first.
+      overlap: f32[B] carried second half of the last inverse transform.
+
+    Returns (y f32[T], hist_r', hist_i', overlap').
+    """
+    from graphaudio_tpu.ops.fft import BigRealDft
+
+    T = x.shape[-1]
+    P, bins = hr.shape
+    B = bins - 1
+    L = T // B
+    dft = BigRealDft(B, 2 * B)
+    xr, xi = dft.forward(x.reshape(L, B))  # [L, B+1]
+    seq_r = jnp.concatenate([hist_r, xr], axis=0)  # [P-1+L, B+1] oldest first
+    seq_i = jnp.concatenate([hist_i, xi], axis=0)
+    # windows along the sub-block axis: win[l] = seq[l : l+P]; hr/hi are
+    # pre-reversed so each window multiplies in storage order.
+    win_r = jnp.stack([seq_r[l : l + P] for l in range(L)])  # [L, P, B+1]
+    win_i = jnp.stack([seq_i[l : l + P] for l in range(L)])
+    acc_r = jnp.sum(win_r * hr - win_i * hi, axis=1)  # [L, B+1]
+    acc_i = jnp.sum(win_r * hi + win_i * hr, axis=1)
+    y_full = dft.inverse(acc_r, acc_i)  # [L, 2B]
+    heads = y_full[:, :B]
+    tails = jnp.concatenate([overlap[None, :], y_full[:-1, B:]], axis=0)
+    y = (heads + tails).reshape(T)
+    return y, seq_r[L:], seq_i[L:], y_full[-1, B:]
+
+
 def conv_superblock_big_sharded(x, hr_shard, hi_shard, hist_r, hist_i,
                                 overlap, part_axis: str):
     """conv_superblock_big with the partition axis SPLIT over a mesh axis.

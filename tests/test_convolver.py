@@ -134,3 +134,81 @@ def test_prepare_ir_shape():
     hr, hi = prepare_ir(np.ones(300, np.float32))
     assert hr.shape == (3, 129) and hi.shape == (3, 129)
     assert hr.dtype == np.float32 and hi.dtype == np.float32
+
+
+# ---- big-path (superblock-grain and sub-blocked) partitioning ---------------
+
+
+def test_big_path_unsplit_grain(rng):
+    # T = 8*128 = 1024: grain == T, conv_superblock_big (one 2T-pt DFT/step).
+    x = rng.standard_normal(4096).astype(np.float32) * 0.5
+    ir = (rng.standard_normal(1500) * np.exp(-np.arange(1500) / 400.0)).astype(
+        np.float32
+    )
+    out = _run_convolver(x, [ir], normalize=True, superblock=8, render=2048)
+    expect = _golden_conv(x, ir)[: out.shape[1]]
+    assert np.max(np.abs(out[0] - expect)) < 1e-5
+
+
+def test_sub_blocked_grain(rng):
+    # T = 16*128 = 2048: grain 1024, L=2 sub-blocks (conv_superblock_sub).
+    x = rng.standard_normal(8192).astype(np.float32) * 0.5
+    ir = (rng.standard_normal(3000) * np.exp(-np.arange(3000) / 800.0)).astype(
+        np.float32
+    )
+    out = _run_convolver(x, [ir], normalize=True, superblock=16, render=4096)
+    expect = _golden_conv(x, ir)[: out.shape[1]]
+    assert np.max(np.abs(out[0] - expect)) < 1e-5
+
+
+def test_sub_blocked_non_pow2_superblock(rng):
+    # T = 24*128 = 3072: grain 1024, L=3 (odd split).
+    x = rng.standard_normal(8192).astype(np.float32) * 0.5
+    ir = (rng.standard_normal(2200) * 0.1).astype(np.float32)
+    out = _run_convolver(x, [ir], normalize=True, superblock=24, render=6144)
+    expect = _golden_conv(x, ir)[: out.shape[1]]
+    assert np.max(np.abs(out[0] - expect)) < 1e-5
+
+
+def test_sub_blocked_state_across_renders(rng):
+    # Sub-blocked delay line + overlap carry across independent render calls.
+    x = rng.standard_normal(8192).astype(np.float32) * 0.5
+    ir = (rng.standard_normal(2500) * 0.15).astype(np.float32)
+    ctx = _mono_ctx(superblock=16)
+    buf = ga.PlayableAudioBuffer.from_mono_array(x, SR)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = buf
+    conv = ga.ConvolverNode(ctx)
+    conv.buffer = ga.PlayableAudioBuffer.from_mono_array(ir, SR)
+    src.connect(conv).connect(ctx.destination)
+    src.start(0)
+    parts = [ctx.render(2048)[0] for _ in range(3)]
+    out = np.concatenate(parts)
+    expect = _golden_conv(x, ir)[: len(out)]
+    assert np.max(np.abs(out - expect)) < 1e-5
+
+
+def test_sub_blocked_true_stereo(rng):
+    # True-Stereo matrix on the sub-blocked path.
+    xl = rng.standard_normal(4096).astype(np.float32) * 0.5
+    xr = rng.standard_normal(4096).astype(np.float32) * 0.5
+    irs = [(rng.standard_normal(1800) * 0.2).astype(np.float32) for _ in range(4)]
+    out = _run_convolver([xl, xr], irs, normalize=True, superblock=16,
+                         render=2048)
+    el = _golden_conv(xl, irs[0]) + _golden_conv(xr, irs[2])
+    er = _golden_conv(xl, irs[1]) + _golden_conv(xr, irs[3])
+    n = out.shape[1]
+    assert np.max(np.abs(out[0] - el[:n])) < 1e-5
+    assert np.max(np.abs(out[1] - er[:n])) < 1e-5
+
+
+def test_pick_big_grain_rules():
+    from graphaudio_tpu.nodes.convolver import _pick_big_grain
+
+    assert _pick_big_grain(8192) == 1024  # flagship superblock 64
+    assert _pick_big_grain(4096) == 1024
+    assert _pick_big_grain(1024) == 1024  # == T: unsplit
+    assert _pick_big_grain(3072) == 1024  # L=3
+    assert _pick_big_grain(1280) == 640  # only smaller divisors exist
+    assert _pick_big_grain(1664) == 1664  # 13*128: no 128-multiple divisor
+    # in [512, 1024] (13 is prime), so the superblock stays unsplit
