@@ -64,14 +64,18 @@ def main():
     ctx.render_pcm16(frames)
     setup_s = time.perf_counter() - t_setup
 
-    # Headline: int16-PCM delivery, best of 3 timed renders (the tunneled
-    # device link's transfer time varies ~2x run to run; the best run
-    # reflects the renderer, the spread is reported alongside). pcm16 is a
+    # Headline: int16-PCM delivery, best of N timed renders (the tunneled
+    # device link's transfer time varies ~2x in multi-second episodes; the
+    # best run reflects the renderer, the spread is reported alongside, and
+    # a short gap between runs diversifies across link episodes). pcm16 is a
     # tiny device-side postprocess of the ONE compiled renderer (not a
     # second program), so f32 below reuses the same compiled scan.
+    n_runs = int(os.environ.get("GA_BENCH_RUNS", "8"))
     walls = []
     breakdown = None
-    for _ in range(3):
+    for i in range(n_runs):
+        if i:
+            time.sleep(0.5)
         t0 = time.perf_counter()
         pcm = ctx.render_pcm16(frames)
         w = time.perf_counter() - t0
@@ -91,7 +95,9 @@ def main():
     # f32 path: same compiled program minus the pack stage; timed for
     # comparison (twice the wire bytes).
     walls_f32 = []
-    for _ in range(2):
+    for i in range(3):
+        if i:
+            time.sleep(0.5)
         t0 = time.perf_counter()
         out = ctx.render(frames)
         walls_f32.append(time.perf_counter() - t0)
