@@ -227,6 +227,13 @@ def fir_freq_per_block(x, hr, hi, overlap):
     the im2col buffer's HBM traffic dominated the spatializer once voices
     were batched. Everything here is DFT matmuls (MXU) + tiny elementwise
     MACs.
+
+    Measured dead end (round 4): dropping the DFT matmuls from HIGHEST to
+    Precision.HIGH bought only 12% at config-5 shapes (0.269 -> 0.238
+    ms/step, V=128 S=64) and is numerically unusable on the axon backend —
+    max abs err 3.0 vs f64 (HIGHEST: 4.9e-6), i.e. HIGH does not deliver
+    3-pass bf16 accuracy here (benchmarks/results/micro_probe8.json). The
+    stage is not MXU-pass-bound, so precision is not a lever; keep HIGHEST.
     """
     from graphaudio_tpu.ops.fft import RealDft
 
