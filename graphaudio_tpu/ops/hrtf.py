@@ -241,13 +241,16 @@ def fir_freq_per_block(x, hr, hi, overlap):
     fft = 2 * (bins - 1)
     tail = fft - FRAMES_PER_BLOCK  # 64 for 192-pt, 128 for 256-pt
     dft = RealDft(FRAMES_PER_BLOCK, fft)
-    xr, xi = dft.forward(x)  # [S, B]
+    f = dft.forward_packed(x)  # [S, 2B] = [R | I]
+    xr, xi = f[:, :bins], f[:, bins:]
     # Complex multiply per ear: Y = X * H.
     yr = xr[:, None, :] * hr - xi[:, None, :] * hi  # [S, 2, B]
     yi = xr[:, None, :] * hi + xi[:, None, :] * hr
     S = x.shape[0]
-    y_full = dft.inverse(
-        yr.reshape(S * 2, bins), yi.reshape(S * 2, bins)
+    y_full = dft.inverse_packed(
+        jnp.concatenate(
+            [yr.reshape(S * 2, bins), yi.reshape(S * 2, bins)], axis=1
+        )
     ).reshape(S, 2, fft)
     first = y_full[..., :FRAMES_PER_BLOCK]  # [S, 2, 128]
     second = y_full[..., FRAMES_PER_BLOCK:]  # [S, 2, tail]
