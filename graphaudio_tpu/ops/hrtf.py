@@ -154,6 +154,13 @@ def interp_hrir(grid, azimuth, elevation):
     # grid. The grid is tiny (E*A rows), and a [S, E*A] @ [E*A, 2L] matmul
     # is far cheaper on TPU than 4 dynamic row gathers per quantum
     # (per-element gathers bypass the MXU and serialize on this target).
+    # Measured dead end (round 4): splitting into 4 DEFAULT-precision
+    # {0,1} SELECTION matmuls + f32 elementwise weights is no faster
+    # (0.238 vs 0.236 ms/step at config-5 shapes) and NOT exact — the
+    # grid values themselves round to bf16 inside a DEFAULT-precision
+    # matmul (6e-3 abs err), unlike the f32 one-hot SHIFT matmuls in
+    # sources.py whose data rides the f32 accumulator
+    # (benchmarks/results/micro_probe10.json).
     iota = jnp.arange(E * A, dtype=jnp.int32)
 
     def oh(e, a, wgt):  # [S] -> [S, E*A]
