@@ -152,6 +152,10 @@ def main():
     print(json.dumps({"link": report["link"]}), flush=True)
 
     if args.sweep_sb:
+        # Reset the schedule env a prior --schedules sweep left behind, so
+        # this warm render doesn't cold-compile scan lengths the sb32 chunk
+        # sweep never uses (each distinct chunk size is a compiled program).
+        os.environ["GA_RENDER_CHUNK"] = str((chunks[0] if chunks else 32) * 2)
         ctx32, frames32 = build(32)
         ctx32.render_pcm16(frames32)
         report["sweep_sb32"] = chunk_sweep(

@@ -656,17 +656,20 @@ class AudioContextBase:
         sched = [
             int(c) for c in _os.environ.get("GA_RENDER_CHUNK", "64").split(",")
         ]
+        if any(c <= 0 for c in sched):
+            raise ValueError(
+                f"GA_RENDER_CHUNK entries must be positive, got {sched}"
+            )
         render_fn = self._render_fn
         pack_fn = _pack_int16 if pack == "int16" else None
         t_prep = _time.perf_counter() - t0
         pending = []
         chunk_dispatch_s = []
         launched = 0
+        chunk_i = 0  # schedule position (decoupled from the stats list)
         while launched < n_steps:
-            this = min(
-                sched[min(len(chunk_dispatch_s), len(sched) - 1)],
-                n_steps - launched,
-            )
+            this = min(sched[min(chunk_i, len(sched) - 1)], n_steps - launched)
+            chunk_i += 1
             frame0s = (
                 self._current_frame
                 + frames_per_step

@@ -232,9 +232,12 @@ class ConvolverNode(AudioNode):
             hr = jnp.asarray(sc["conv_hr"])
             hi = jnp.asarray(sc["conv_hi"])
         else:
-            # Group-stage closure path: grain as the unsharded compile saw it.
-            H, Hi = self._prepped(self._grain_for(None))
-            hr, hi = jnp.asarray(H), jnp.asarray(Hi)
+            # Closure fallback: reuse stage_consts() so grain AND partition
+            # padding match init_state() exactly (both key off context.mesh;
+            # diverging here would trace with mismatched hist/overlap shapes
+            # under a part>1 mesh).
+            c = self.stage_consts(getattr(self.context, "mesh", None))
+            hr, hi = jnp.asarray(c["conv_hr"]), jnp.asarray(c["conv_hi"])
         grain = 0 if hr.shape[-1] == NUM_BINS else hr.shape[-1] - 1
         # Route input channels to convolver instances, then run all instances
         # as one vmapped batch.

@@ -52,7 +52,10 @@ def load_or_build(src_path: str, extra_flags: Optional[List[str]] = None) -> Opt
         try:
             os.remove(so_path)
         except OSError:
-            return None
+            # Lost a removal race (or unwritable file): fall through to the
+            # rebuild anyway — it writes a tmp file and os.replace()s over
+            # whatever is there.
+            pass
     os.makedirs(build_dir, exist_ok=True)
     tmp = so_path + f".tmp{os.getpid()}"
     try:
