@@ -214,6 +214,18 @@ def test_render_chunk_schedule_matches_single_chunk(monkeypatch):
     assert ctx.stats.last_breakdown["chunk_dispatch_s"][0] >= 0.0
 
 
+def test_render_chunk_schedule_rejects_nonpositive(monkeypatch):
+    """A zero/negative GA_RENDER_CHUNK entry raises instead of spinning the
+    launch loop forever on an empty chunk."""
+    import pytest
+
+    for bad in ("34,0", "-1", "0"):
+        monkeypatch.setenv("GA_RENDER_CHUNK", bad)
+        ctx = _sine_context()
+        with pytest.raises(ValueError, match="GA_RENDER_CHUNK"):
+            ctx.render(4 * 128)
+
+
 def test_render_pcm16_after_f32_carry():
     """f32-carried frames quantize on host with the same formula."""
     ctx = _sine_context()
