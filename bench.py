@@ -70,12 +70,16 @@ def main():
     # a short gap between runs diversifies across link episodes). pcm16 is a
     # tiny device-side postprocess of the ONE compiled renderer (not a
     # second program), so f32 below reuses the same compiled scan.
-    n_runs = int(os.environ.get("GA_BENCH_RUNS", "8"))
+    n_runs = int(os.environ.get("GA_BENCH_RUNS", "12"))
+    gap_s = float(os.environ.get("GA_BENCH_GAP_S", "2.0"))
     walls = []
     breakdown = None
     for i in range(n_runs):
         if i:
-            time.sleep(0.5)
+            # Link-rate episodes last multiple seconds; a 2 s gap spreads
+            # the runs across episodes (0.5 s gaps measured all-in-one-
+            # episode spreads), so best-of-N reflects the renderer.
+            time.sleep(gap_s)
         t0 = time.perf_counter()
         pcm = ctx.render_pcm16(frames)
         w = time.perf_counter() - t0
