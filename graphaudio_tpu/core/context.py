@@ -653,15 +653,29 @@ class AudioContextBase:
         # after a full chunk's, hiding the first-chunk compute behind the
         # transfer-bound tail. Each distinct size is one compiled scan
         # length, so schedules should reuse few sizes.
-        sched = [
-            int(c) for c in _os.environ.get("GA_RENDER_CHUNK", "64").split(",")
-        ]
+        raw = _os.environ.get("GA_RENDER_CHUNK", "64")
+        try:
+            sched = [int(c.strip()) for c in raw.split(",")]
+        except ValueError:
+            raise ValueError(
+                "GA_RENDER_CHUNK must be a comma-separated list of positive "
+                f"integers (e.g. '5,34'), got {raw!r}"
+            ) from None
         if any(c <= 0 for c in sched):
             raise ValueError(
                 f"GA_RENDER_CHUNK entries must be positive, got {sched}"
             )
         render_fn = self._render_fn
-        pack_fn = _pack_int16 if pack == "int16" else None
+        if pack == "int16":
+            pack_fn = _pack_int16
+        elif pack == "mulaw":
+            from graphaudio_tpu.ops.wire import pack_mulaw
+
+            pack_fn = pack_mulaw
+        elif pack is not None:  # ImaDeviceStream: stateful, chunk -> (blocks, n)
+            pack_fn = pack.encode_chunk
+        else:
+            pack_fn = None
         t_prep = _time.perf_counter() - t0
         pending = []
         chunk_dispatch_s = []
@@ -691,8 +705,9 @@ class AudioContextBase:
         # ~2-3x the single-stream link bandwidth on tunneled devices).
         t_c = _time.perf_counter()
         for out in pending:
+            arr = out[0] if isinstance(out, tuple) else out
             try:
-                out.copy_to_host_async()
+                arr.copy_to_host_async()
             except AttributeError:  # non-array outputs under shard_map probes
                 pass
         # Prefetch the stop-time leaves the finish-side notification will
@@ -718,7 +733,7 @@ class AudioContextBase:
             "copy_start_s": copy_start_s,
             "n_chunks": len(pending),
         }
-        return pending, _time.perf_counter() - t0, pack, breakdown
+        return pending, _time.perf_counter() - t0, pack, breakdown, total_frames
 
     def _render_steps_finish(self, handle) -> np.ndarray:
         """Materialize a launch's audio, fire source notifications, record
@@ -727,25 +742,27 @@ class AudioContextBase:
         pipelined caller overlaps other steps, is excluded)."""
         import time as _time
 
-        pending, launch_wall, pack, breakdown = handle
+        pending, launch_wall, pack, breakdown, frames = handle
         t0 = _time.perf_counter()
-        axis = 0 if pack == "int16" else 1  # pcm16 chunks are flat interleaved
+        # pcm16/mulaw chunks are flat interleaved (axis 0); ima chunks are
+        # [block, block_align] byte rows (axis 0, trimmed to the kept block
+        # count recorded at launch); f32 chunks are [C, T] (axis 1).
         chunk_transfer_s = []
         parts = []
         for o in pending:
             t_x = _time.perf_counter()
-            parts.append(np.asarray(jax.device_get(o)))
+            if isinstance(o, tuple):  # (ima block slots, kept count)
+                blocks, nblk = o
+                parts.append(np.asarray(jax.device_get(blocks))[:nblk])
+            else:
+                parts.append(np.asarray(jax.device_get(o)))
             chunk_transfer_s.append(_time.perf_counter() - t_x)
+        axis = 1 if pack is None else 0
         out_np = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=axis)
         t_n = _time.perf_counter()
         transfer_s = t_n - t0
         self._notify_sources()
         notify_s = _time.perf_counter() - t_n
-        frames = (
-            out_np.shape[0] // max(self._dest_channels, 1)
-            if pack == "int16"
-            else out_np.shape[1]
-        )
         breakdown.update(
             transfer_s=transfer_s,
             chunk_transfer_s=chunk_transfer_s,
@@ -976,6 +993,211 @@ class AudioContextBase:
             wide[:, :c] = frames
             padded.append(wide.reshape(-1))
         return np.concatenate(padded)
+
+    # -- compressed wire formats (link-constrained delivery) --------------------
+    #
+    # The reference's device path is interleaved PCM (AudioContextBase.cs:
+    # 88-161). On link-attached accelerators the pull of that PCM dominates
+    # the offline wall time, so the context also offers standard compressed
+    # wire formats encoded ON DEVICE: G.711 mu-law (1 byte/sample) and IMA
+    # ADPCM (~4.06 bits/sample). Both are lossy delivery formats; the f32 and
+    # pcm16 paths remain the accuracy-bearing surfaces.
+
+    def render_mulaw(self, frame_count: int) -> np.ndarray:
+        """Render ``frame_count`` frames as interleaved G.711 mu-law bytes.
+
+        Standard mu-law companding of the int16-quantized signal runs ON
+        DEVICE (ops.wire.pack_mulaw) — 1 byte/sample, ~38 dB SNDR, decodable
+        by any G.711 decoder (gacodec reads it as WAV fmt tag 7; see
+        ops.wire.mulaw_wav_bytes) or ops.wire.mulaw_decode_np.
+
+        Frames carried in from a previous float render encode on host with
+        the same formula. Frames over-rendered past ``frame_count``
+        (superblock granularity) render UNPACKED and carry as exact float32,
+        so subsequent render calls continue bit-identically to an all-f32
+        session (mu-law is lossy; its expansion never feeds back into the
+        carry).
+        """
+        from graphaudio_tpu.ops import wire
+
+        if frame_count < 0:
+            raise ValueError("frame_count must be non-negative")
+        if frame_count == 0:
+            return np.zeros(0, dtype=np.uint8)
+
+        chunks = []  # (flat mu-law bytes, channel count)
+        got = 0
+        if self._carry is not None and self._carry.shape[1] > 0:
+            take = min(frame_count, self._carry.shape[1])
+            part = self._carry[:, :take]
+            self._carry = (
+                self._carry[:, take:] if take < self._carry.shape[1] else None
+            )
+            chunks.append((wire.mulaw_encode_np(part), part.shape[0]))
+            got += take
+
+        remaining = frame_count - got
+        frames_per_step = self.superblock * FRAMES_PER_BLOCK
+        while remaining > 0:
+            n_steps = self._segment_cap(-(-remaining // frames_per_step))
+            seg = n_steps * frames_per_step
+            if seg > remaining:
+                # Final segment overshoots: render the last superblock
+                # unpacked so the excess frames carry as exact float32
+                # (mu-law expansion would leak ~2% error into later renders).
+                if n_steps > 1:
+                    out = self._render_steps(n_steps - 1, pack="mulaw")
+                    ch = max(self._dest_channels or 0, 1)
+                    chunks.append((out, ch))
+                    remaining -= (n_steps - 1) * frames_per_step
+                out = self._render_steps(1)  # f32 [C, frames_per_step]
+                take = min(remaining, out.shape[1])
+                chunks.append(
+                    (wire.mulaw_encode_np(out[:, :take]), out.shape[0])
+                )
+                if out.shape[1] > take:
+                    self._carry = np.ascontiguousarray(out[:, take:])
+                remaining = 0
+            else:
+                out = self._render_steps(n_steps, pack="mulaw")
+                ch = max(self._dest_channels or 0, 1)
+                chunks.append((out, ch))
+                remaining -= seg
+
+        if len(chunks) == 1:
+            return chunks[0][0]
+        width = max(c for _, c in chunks)
+        if all(c == width for _, c in chunks):
+            return np.concatenate([f for f, _ in chunks])
+        # Mid-call channel-count change (timed topology edit): pad every
+        # segment to the widest count. Silence in mu-law is 0xFF (the
+        # encoding of 0), not 0x00.
+        padded = []
+        for flat, c in chunks:
+            if c == width:
+                padded.append(flat)
+                continue
+            frames = flat.reshape(-1, c)
+            wide = np.full((frames.shape[0], width), 0xFF, dtype=np.uint8)
+            wide[:, :c] = frames
+            padded.append(wide.reshape(-1))
+        return np.concatenate(padded)
+
+    def render_adpcm(self, frame_count: int, samples_per_block: int = None):
+        """Render ``frame_count`` frames as a standard IMA ADPCM stream.
+
+        Returns :class:`graphaudio_tpu.ops.wire.AdpcmStream` — WAV tag-0x11
+        blocks, ~4.06 bits/sample at the default 505-sample block (~3.9x
+        fewer wire bytes than int16 PCM). Blocks encode ON DEVICE: vmap over
+        (blocks x channels), one lax.scan over the in-block samples, with
+        block-boundary carry threaded across launch chunks so the whole call
+        yields ONE contiguous stream (``stream.write_wav(path)`` produces a
+        file gacodec — or any WAV-IMA reader — decodes; round-trip is
+        bit-exact vs ops.wire.ima_decode_np).
+
+        ADPCM is a lossy delivery format (~30 dB SNR on broadband
+        material) — use it for wire/file delivery, not intermediate mixing.
+        Frames over-rendered past ``frame_count`` (superblock granularity)
+        render UNPACKED and carry as exact float32, so subsequent render
+        calls continue bit-identically to an all-f32 session. An ADPCM
+        stream has a fixed channel layout: a timed command that changes the
+        destination channel count mid-call raises; render across such edits
+        with separate calls.
+        """
+        from graphaudio_tpu.ops import wire
+
+        if frame_count < 0:
+            raise ValueError("frame_count must be non-negative")
+        spb = wire._validate_spb(
+            samples_per_block
+            if samples_per_block is not None
+            else wire.DEFAULT_SAMPLES_PER_BLOCK
+        )
+        # The stream's channel layout is fixed up front: drain + compile now.
+        self._drain_commands()
+        self._ensure_compiled()
+        ch = max(self._dest_channels or 0, 1)
+        stream = wire.ImaDeviceStream(ch, spb)
+        block_parts: List[np.ndarray] = []
+
+        def host_blocks(q: np.ndarray, pad_final: bool) -> np.ndarray:
+            """Host-encode int16 [ch, n]: whole blocks (+ padded final when
+            flushing); the sub-block remainder seeds the device carry."""
+            whole = (q.shape[1] // spb) * spb
+            if whole:
+                block_parts.append(wire.ima_encode_np(q[:, :whole], spb))
+            rem = q[:, whole:]
+            if pad_final:
+                if rem.shape[1]:
+                    padded = np.concatenate(
+                        [rem, np.zeros((ch, spb - rem.shape[1]), np.int16)],
+                        axis=1,
+                    )
+                    block_parts.append(wire.ima_encode_np(padded, spb))
+            else:
+                stream.set_carry(rem)
+
+        got = 0
+        if self._carry is not None and self._carry.shape[1] > 0:
+            take = min(frame_count, self._carry.shape[1])
+            part = self._carry[:, :take]
+            self._carry = (
+                self._carry[:, take:] if take < self._carry.shape[1] else None
+            )
+            if part.shape[0] != ch:  # topology edited since the carry
+                fixed = np.zeros((ch, part.shape[1]), np.float32)
+                fixed[: min(ch, part.shape[0])] = part[: min(ch, part.shape[0])]
+                part = fixed
+            host_blocks(wire.quantize_i16(part), pad_final=False)
+            got += take
+
+        remaining = frame_count - got
+        frames_per_step = self.superblock * FRAMES_PER_BLOCK
+        while remaining > 0:
+            n_steps = self._segment_cap(-(-remaining // frames_per_step))
+            seg = n_steps * frames_per_step
+            if seg > remaining:
+                # Final segment overshoots frame_count: render all but the
+                # last superblock packed, the last one unpacked f32 so the
+                # excess frames carry losslessly.
+                if n_steps > 1:
+                    blocks = self._render_steps(n_steps - 1, pack=stream)
+                    if blocks.size:
+                        block_parts.append(blocks)
+                    remaining -= (n_steps - 1) * frames_per_step
+                out = self._render_steps(1)  # f32 [C, frames_per_step]
+                take = min(remaining, out.shape[1])
+                part = out[:, :take]
+                if part.shape[0] != ch:  # topology edited mid-call
+                    fixed = np.zeros((ch, take), np.float32)
+                    fixed[: min(ch, part.shape[0])] = part[: min(ch, part.shape[0])]
+                    part = fixed
+                lead = stream.pull_carry()
+                tail = np.concatenate([lead, wire.quantize_i16(part)], axis=1)
+                host_blocks(tail, pad_final=True)
+                if out.shape[1] > take:
+                    self._carry = np.ascontiguousarray(out[:, take:])
+                remaining = 0
+            else:
+                blocks = self._render_steps(n_steps, pack=stream)
+                if blocks.size:
+                    block_parts.append(blocks)
+                remaining -= seg
+        if stream.carry_len:
+            host_blocks(stream.pull_carry(), pad_final=True)
+
+        blocks_all = (
+            np.concatenate(block_parts, axis=0)
+            if block_parts
+            else np.zeros((0, stream.block_align), np.uint8)
+        )
+        return wire.AdpcmStream(
+            blocks=blocks_all,
+            channels=ch,
+            samples_per_block=spb,
+            sample_rate=self.sample_rate,
+            frames=frame_count,
+        )
 
 
 def _same_structure(a, b) -> bool:

@@ -39,6 +39,13 @@ _BIG_BLOCK_MIN = 1024
 # (benchmarks/results/micro_probe7.json: L8 beats L1 by 15-23% at T=8192).
 _SUB_GRAIN_TARGET = 1024
 _SUB_GRAIN_MIN = 512
+# The dispatch in process() distinguishes the 128-quantum path from the big
+# path by spectra width (bins == NUM_BINS means quantum grain); that holds
+# only while no big grain can ever equal FRAMES_PER_BLOCK.
+assert _SUB_GRAIN_MIN > FRAMES_PER_BLOCK, (
+    "big-path grains must exceed the 128-frame quantum or the spectra-width "
+    "dispatch in process() misroutes blocks"
+)
 
 
 def _pick_big_grain(T: int) -> int:
@@ -149,6 +156,13 @@ class ConvolverNode(AudioNode):
         prepared = [prep(ch) for ch in self._ir_channels]
         H = np.stack([p[0] for p in prepared])  # [K, P, bins] real
         Hi = np.stack([p[1] for p in prepared])  # [K, P, bins] imag
+        # Bound the cache: only the current geometry's grain plus the
+        # quantum grain can be live; a mesh toggling part-sharded <-> single
+        # device must not keep every historical grain's spectra (megabytes
+        # per grain for long IRs) resident.
+        live = {0, grain, self._grain_for(getattr(self.context, "mesh", None))}
+        for k in [k for k in self._prep_cache if k not in live]:
+            del self._prep_cache[k]
         self._prep_cache[grain] = (H, Hi)
         return H, Hi
 
