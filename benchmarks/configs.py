@@ -145,10 +145,49 @@ def config5_spatial_scene(superblock=32, voices=128):
     return ctx
 
 
+def config6_lfo_tremolo(superblock=32, voices=64, modulated=True):
+    """64 voices with PER-VOICE LFO -> gain modulation (tremolo / ducking —
+    bread-and-butter Web Audio, AudioParam.cs:66-70). Exercises modulated-
+    param voice batching: the scene must compile O(1) stages (mod signature
+    in group_key + per-lane mod routing), not one stage per voice.
+    ``modulated=False`` builds the same scene with the LFO->depth chains
+    kept but routed to a silent audio sink instead of the params — the
+    xrt_compute ratio between the two isolates the MODULATION PLUMBING
+    (per-lane mod stacking + clamp), not the oscillators' own cost."""
+    rng = np.random.default_rng(6)
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=superblock)
+    master = ga.GainNode(ctx)
+    master.gain.value = 1.0 / voices
+    master.connect(ctx.destination)
+    sink = None
+    if not modulated:
+        sink = ga.GainNode(ctx)
+        sink.gain.value = 0.0
+        sink.connect(master)
+    for v in range(voices):
+        sig = (rng.standard_normal(SR) * 0.2).astype(np.float32)
+        src = ga.AudioBufferSourceNode(ctx)
+        src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+        src.loop = True
+        g = ga.GainNode(ctx)
+        g.gain.value = 0.6
+        lfo = ga.OscillatorNode(ctx)
+        lfo.frequency.value = 1.0 + 0.25 * v  # per-voice tremolo rate
+        depth = ga.GainNode(ctx)
+        depth.gain.value = 0.35
+        lfo.connect(depth)
+        depth.connect(g.gain if modulated else sink)
+        lfo.start(0)
+        src.connect(g).connect(master)
+        src.start(0)
+    return ctx
+
+
 CONFIGS = {
     1: ("buffer_gain", config1_buffer_gain),
     2: ("mix_bus_ramps", config2_mix_bus),
     3: ("biquad_eq_chain", config3_eq_chain),
     4: ("conv_reverb_64", config4_conv_reverb),
     5: ("spatial_scene_128", config5_spatial_scene),
+    6: ("lfo_tremolo_64", config6_lfo_tremolo),
 }

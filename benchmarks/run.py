@@ -97,12 +97,27 @@ def run_config(n: int, seconds: float = 30.0, compute: bool = True) -> dict:
         result["xrt_compute"] = round(
             _xrt_compute(ctx, frames // frames_per_step), 2
         )
+    if n == 6:
+        # The point of config 6 is the COST OF MODULATION: the scene must
+        # compile O(1) stages and run within ~2x of its unmodulated twin.
+        result["stages"] = len(ctx._compiled.stages)
+        if compute:
+            from benchmarks.configs import config6_lfo_tremolo
+
+            ctx2 = config6_lfo_tremolo(
+                superblock=SUPERBLOCKS.get(6, 32), modulated=False
+            )
+            ctx2.render(frames)
+            result["xrt_compute_unmodulated"] = round(
+                _xrt_compute(ctx2, frames // frames_per_step), 2
+            )
+            result["stages_unmodulated"] = len(ctx2._compiled.stages)
     return result
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=0, help="config 1-5; 0 = all")
+    ap.add_argument("--config", type=int, default=0, help="config 1-6; 0 = all")
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--no-artifacts", action="store_true",
                     help="skip writing benchmarks/results/config<N>.json")

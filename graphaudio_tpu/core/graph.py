@@ -452,6 +452,11 @@ class CompiledGraph:
                 len(n.inputs) == 1
                 and len(n.outputs) == 1
                 and not _is_buffer_source(n)
+                # Pipe lanes evaluate at per-lane clocks; a modulated param
+                # would need the modulator's output at that lane's LEVEL,
+                # which the register bank doesn't carry — modulated nodes
+                # group (run_group stacks their mod signals) but don't fuse.
+                and not n._params_modulated()
             )
 
         def links_to(a, b):
@@ -600,10 +605,12 @@ class CompiledGraph:
                     out.append(p)
             return tuple(out)
 
-        def chain_or_lanes(nodes, i, dst_c, pad):
-            """Group input routing: a pure 1:1 chain from one group
-            canonicalizes to ("CHAIN", src_si, src_port) — count-independent
-            when the source group pads to the same width."""
+        def chain_or_lanes(nodes, getter, pad):
+            """Group per-lane routing (audio inputs AND param modulation
+            inputs): a pure 1:1 chain from one group canonicalizes to
+            ("CHAIN", src_si, src_port) — count-independent when the source
+            group pads to the same width. ``getter(n)`` yields the lane's
+            connected outputs (an input port's or a param's modulators)."""
             per_lane = [
                 tuple(
                     (
@@ -612,7 +619,7 @@ class CompiledGraph:
                         lane_of[o.owner.node_id],
                         self.output_channels[(o.owner.node_id, o.index)],
                     )
-                    for o in n.inputs[i].connected_outputs
+                    for o in getter(n)
                 )
                 for n in nodes
             ]
@@ -633,7 +640,7 @@ class CompiledGraph:
                     return ("CHAIN", src_si, first[0][1], first[0][3])
             # Fallback: explicit per-lane routing, phantom lanes silent.
             return tuple(
-                producers(n.inputs[i].connected_outputs) for n in nodes
+                producers(getter(n)) for n in nodes
             ) + ((),) * (pad - len(nodes))
 
         plan = []
@@ -645,22 +652,47 @@ class CompiledGraph:
                     (
                         self.input_channels[(rep.node_id, i)],
                         chain_or_lanes(
-                            nodes, i, self.input_channels[(rep.node_id, i)], pad
+                            nodes,
+                            lambda n, i=i: n.inputs[i].connected_outputs,
+                            pad,
                         ),
                     )
                     for i in range(len(rep.inputs))
                 )
-                # Grouped nodes never have modulated params (group_key
-                # contract), so the param spec is (name, a_rate, exact).
+                # Group param spec: (name, a_rate, exact, modspec). modspec
+                # is None for unmodulated params; for modulated ones (the
+                # group_key's mod signature guarantees every lane agrees on
+                # WHICH params are modulated) it carries the clamp range and
+                # per-lane modulator routing — per-voice LFO -> param chains
+                # batch exactly like per-voice audio inputs, with the 1:1
+                # same-group case canonicalized to CHAIN (run_group applies
+                # the stacked mono mod after the vmapped curve eval).
                 params = tuple(
-                    (name, p.automation_rate == AutomationRate.A_RATE,
-                     p.exact_eval)
+                    (
+                        name,
+                        p.automation_rate == AutomationRate.A_RATE,
+                        p.exact_eval,
+                        (
+                            (
+                                float(p.min_value),
+                                float(p.max_value),
+                                chain_or_lanes(
+                                    nodes,
+                                    lambda n, name=name:
+                                    n.params[name]._mod_outputs,
+                                    pad,
+                                ),
+                            )
+                            if p._mod_outputs
+                            else None
+                        ),
+                    )
                     for name, p in rep.params.items()
                 )
             elif kind == "pipe":
                 # External routing is the HEAD's input only; lanes 1..d-1
                 # read the carried register bank. Pipe members never have
-                # modulated params (same contract as groups).
+                # modulated params (fusable() excludes them).
                 inputs = (
                     (
                         self.input_channels[(rep.node_id, 0)],
@@ -669,7 +701,7 @@ class CompiledGraph:
                 )
                 params = tuple(
                     (name, p.automation_rate == AutomationRate.A_RATE,
-                     p.exact_eval)
+                     p.exact_eval, None)
                     for name, p in rep.params.items()
                 )
             else:
@@ -779,7 +811,14 @@ class CompiledGraph:
 
             for sp in self.plan:
                 if sp["kind"] == "group":
-                    for _c, routing in sp["inputs"]:
+                    routings = [r for _c, r in sp["inputs"]]
+                    # Param modulation routes per lane exactly like inputs:
+                    # CHAIN mods must shard consistently with their source;
+                    # explicit per-lane mod routing demotes (global lanes).
+                    routings.extend(
+                        p[3][2] for p in sp["params"] if p[3] is not None
+                    )
+                    for routing in routings:
                         if routing and routing[0] == "CHAIN":
                             src = routing[1]
                             if (sp["si"] in cand) != (src in cand):
@@ -1173,7 +1212,7 @@ class CompiledGraph:
                 name->rate map."""
                 by_kind: Dict[Tuple[bool, bool, int], list] = {}
                 rates = {}
-                for name, a_rate, exact in sp["params"]:
+                for name, a_rate, exact, _modspec in sp["params"]:
                     cap_n = encs[f"{key}/{name}"]["times"].shape[-1]
                     by_kind.setdefault((a_rate, exact, cap_n), []).append(
                         name
@@ -1224,6 +1263,34 @@ class CompiledGraph:
                         )(stacked)  # [P, V, T or S]
                         for i, n in enumerate(names):
                             pvals[n] = vals[i]
+                    # Modulated params: stack each lane's mixed mono
+                    # modulation signal and add it to the intrinsic values —
+                    # the hidden mono Explicit input (AudioParam.cs:66-70)
+                    # vectorized over voices; k-rate reads the mod at sample
+                    # 0 of each block (AudioParam.cs:150-156), and the sum
+                    # clamps to the param's range exactly as run_single.
+                    for name, a_rate, _exact, modspec in sp["params"]:
+                        if modspec is None or name not in pvals:
+                            continue
+                        mn, mx, routing = modspec
+                        if routing and routing[0] == "CHAIN":
+                            t = out_table[(routing[1], routing[2])]  # [V,C,T]
+                            mod = jax.vmap(
+                                lambda x: adapt_channels(x, 1)
+                            )(t)[:, 0]
+                        else:
+                            mod = jnp.stack(
+                                [mixed_signal(pl, 1)[0] for pl in routing]
+                            )
+                        if not a_rate:
+                            mod = mod.reshape(
+                                mod.shape[0], info.superblock,
+                                FRAMES_PER_BLOCK,
+                            )[:, :, 0]
+                        pvals[name] = jnp.clip(
+                            pvals[name] + mod,
+                            jnp.float32(mn), jnp.float32(mx),
+                        )
                 inputs_stacked = [
                     stacked_inputs(sp, i) for i in range(len(sp["inputs"]))
                 ]

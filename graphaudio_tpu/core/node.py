@@ -272,13 +272,25 @@ class AudioNode:
         states/params — the TPU form of the reference's implicit voice-level
         parallelism (N sources summed at an input, AudioNodeInput.cs:100-138).
         Keys must capture every compile-time attribute the kernel reads
-        (filter type, channel counts, specialization flags). Nodes with param
-        modulation inputs are not batched.
+        (filter type, channel counts, specialization flags). Nodes with
+        modulated params include ``_mod_signature()`` in their key: lanes
+        agreeing on WHICH params carry modulation inputs batch together,
+        with each lane's modulators routed like per-lane audio inputs
+        (per-voice LFO -> gain stays ONE vmapped stage; see
+        CompiledGraph.run_group). Buffer sources are the exception — a
+        modulated playbackRate interacts with their static kernel variants,
+        so they stay unbatched.
         """
         return None
 
     def _params_modulated(self) -> bool:
         return any(p._mod_outputs for p in self.params.values())
+
+    def _mod_signature(self) -> tuple:
+        """Sorted names of params with modulation inputs (joins group_key)."""
+        return tuple(
+            sorted(n for n, p in self.params.items() if p._mod_outputs)
+        )
 
     def notify_rendered(self, state, end_time: float) -> None:
         """Host callback after a render step with this node's updated state.

@@ -106,9 +106,8 @@ class BiQuadFilterNode(AudioNode):
         return [c]
 
     def group_key(self, input_channels):
-        if self._params_modulated():
-            return None
-        return ("biquad", self._type, input_channels[0], self._time_varying())
+        return ("biquad", self._type, input_channels[0],
+                self._time_varying(), self._mod_signature())
 
     def chain_key(self, input_channels):
         """Chain-fusion compatibility key: the TYPE is excluded — a

@@ -16,9 +16,7 @@ class GainNode(AudioNode):
         )
 
     def group_key(self, input_channels):
-        if self._params_modulated():
-            return None
-        return ("gain", input_channels[0])
+        return ("gain", input_channels[0], self._mod_signature())
 
     def process(self, state, inputs, params, rc):
         g = params["gain"].per_sample()  # f32[T]

@@ -39,9 +39,7 @@ class StereoPannerNode(AudioNode):
         return [2]
 
     def group_key(self, input_channels):
-        if self._params_modulated():
-            return None
-        return ("stereo-pan", input_channels[0])
+        return ("stereo-pan", input_channels[0], self._mod_signature())
 
     def process(self, state, inputs, params, rc):
         x_in = inputs[0]

@@ -223,9 +223,7 @@ class ConstantSourceNode(ScheduledSourceNode):
         return [1]
 
     def group_key(self, input_channels):
-        if self._params_modulated():
-            return None
-        return ("const-source",)
+        return ("const-source", self._mod_signature())
 
     def init_state(self, info):
         return self._sched_state()
@@ -283,9 +281,7 @@ class OscillatorNode(ScheduledSourceNode):
         return [1]
 
     def group_key(self, input_channels):
-        if self._params_modulated():
-            return None
-        return ("oscillator", self._type)
+        return ("oscillator", self._type, self._mod_signature())
 
     def init_state(self, info):
         st = self._sched_state()

@@ -160,8 +160,6 @@ class SpatialPannerNode(AudioNode):
         self.context.execute_or_post(do)
 
     def group_key(self, input_channels):
-        if self._params_modulated():
-            return None
         # A per-node HRIR bakes node-specific constants into the kernel, so
         # such panners only group with themselves; panners sharing the
         # CONTEXT default (analytic or measured) batch together.
@@ -172,7 +170,7 @@ class SpatialPannerNode(AudioNode):
         else:
             hrir_key = None
         return ("spatial-panner", input_channels[0], self._distance_model,
-                hrir_key, self._occlusion_active())
+                hrir_key, self._occlusion_active(), self._mod_signature())
 
     def _active_grid(self, sample_rate):
         """The HRIR grid this panner renders with (per-node custom >

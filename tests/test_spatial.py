@@ -394,10 +394,12 @@ def test_occlusion_first_touch_recompiles(rng):
     assert _rms(after) < 0.25 * _rms(before)
 
 
-def test_occlusion_touch_recompiles_modulated_single_stage(rng):
-    """A panner with a modulated param compiles as a SINGLE stage keyed by
-    its static fingerprint; touching occlusion must still invalidate the
-    cached band-less program (first-touch bumps the config version)."""
+def test_occlusion_touch_recompiles_modulated_stage(rng):
+    """Touching occlusion on a panner with a modulated param must
+    invalidate the cached band-less program. Modulated panners now compile
+    as (1-lane) GROUP stages whose key includes _occlusion_active() and the
+    mod signature — the touch re-keys the stage, replacing the old
+    single-stage static-fingerprint bump."""
     ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=2)
     src = ga.AudioBufferSourceNode(ctx)
     sig = (rng.standard_normal(SR // 2) * 0.3).astype(np.float32)
@@ -416,7 +418,8 @@ def test_occlusion_touch_recompiles_modulated_single_stage(rng):
     # bump separates the variants (this is the regression).
     ctx.render(4096)
     assert any(
-        sp["kind"] == "single" and type(sp["rep"]).__name__ == "SpatialPannerNode"
+        sp["kind"] == "group"
+        and type(sp["rep"]).__name__ == "SpatialPannerNode"
         for sp in ctx._compiled.plan
     )
     # Occlude fully with high-band-only transmission: a stale band-less
