@@ -32,7 +32,7 @@ from graphaudio_tpu.ops.convolve import (
     normalization_scale,
 )
 
-RESULTS = os.path.join(os.path.dirname(__file__), "results")
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "results")
 T = 8192  # superblock 64
 N_STEPS = 256
 

@@ -37,7 +37,7 @@ from graphaudio_tpu.ops.hrtf import (
 )
 from graphaudio_tpu.core.constants import FRAMES_PER_BLOCK
 
-RESULTS = os.path.join(os.path.dirname(__file__), "results")
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "results")
 V = 128
 S = 64
 N_STEPS = 256

@@ -27,7 +27,7 @@ import time
 
 import numpy as np
 
-RESULTS = os.path.join(os.path.dirname(__file__), "results")
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "results")
 SECONDS = float(os.environ.get("GA_PROBE_SECONDS", "30"))
 
 

@@ -1,7 +1,10 @@
-"""Regression goldens: short renders of the 5 BASELINE configs.
+"""Regression goldens: short renders of the benchmark configs.
 
-First run writes tests/goldens/*.npz (committed); later runs compare
-bit-for-sample, guarding every kernel against silent behavioral drift.
+Runs compare bit-for-sample against committed tests/goldens/*.npz, guarding
+every kernel against silent behavioral drift. Re-baselining requires the
+EXPLICIT ``GA_WRITE_GOLDENS=1`` — a missing golden otherwise FAILS (a
+deleted-goldens checkout must not silently re-baseline from the current
+renderer; semantics are independently pinned by the numpy oracle tests).
 """
 
 import os
@@ -23,6 +26,11 @@ def test_config_golden(n):
     assert np.isfinite(out).all()
     path = os.path.join(GOLDEN_DIR, f"config{n}_{name}.npz")
     if not os.path.exists(path):
+        if os.environ.get("GA_WRITE_GOLDENS") != "1":
+            pytest.fail(
+                f"golden missing: {path} — refusing to self-baseline; "
+                "run with GA_WRITE_GOLDENS=1 to (re)write goldens"
+            )
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.savez_compressed(path, out=out)
         pytest.skip(f"golden written: {path}")
