@@ -38,15 +38,14 @@ def main():
     from graphaudio_tpu.realtime.context import RealtimeAudioContext
 
     SR = 48000
-    # Superblock sized so one step's audio (~85 ms) exceeds the tunnel round
-    # trip; on co-located hardware 2-4 would be the latency-optimal choice.
-    # buffer_size 2048 -> ring = 10240 frames: TWO 4096-frame superblocks
-    # fit, so the next render starts while a whole superblock still buffers
-    # (a ring that only fits one forces it to drain before each render —
-    # guaranteed periodic underruns on a high-latency link).
+    # auto_tune measures the link's per-step round trip at startup and
+    # picks the smallest superblock whose audio duration clears it (plus a
+    # ring holding 2.5 steps) — on the tunnel that lands at superblock 32
+    # (~85 ms audio/step vs ~58 ms RTT); on co-located hardware it keeps
+    # the latency-optimal superblock=2.
     ctx = RealtimeAudioContext(
-        sample_rate=SR, channels=2, buffer_size=2048, device=device,
-        superblock=32, auto_start_thread=False,
+        sample_rate=SR, channels=2, device=device,
+        auto_tune=True, auto_start_thread=False,
     )
     rng = np.random.default_rng(7)
     for v in range(voices):
@@ -98,6 +97,10 @@ def main():
             "device_backend": backend,
             "seconds": seconds,
             "voices": voices,
+            "superblock": ctx.superblock,
+            "tuned_rtt_ms": (
+                round(ctx.tuned_rtt_s * 1e3, 3) if ctx.tuned_rtt_s else None
+            ),
             "frames_played": int(played),
             "underrun_pct": round(100.0 * under / max(played, 1), 4),
             "deadline_ms": round(deadline_s * 1e3, 3),

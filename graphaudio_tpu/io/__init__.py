@@ -13,7 +13,10 @@ WAV/FLAC/MP3/Ogg/Opus.
 from graphaudio_tpu.io.decode import (
     AudioDecoder,
     codec_capabilities,
+    write_aiff,
     write_alac,
+    write_au,
+    write_caf,
     write_flac,
     write_mp3,
     write_ogg,
@@ -25,7 +28,10 @@ from graphaudio_tpu.io.stream import AudioDecoderStreamNode, StreamState
 __all__ = [
     "AudioDecoder",
     "codec_capabilities",
+    "write_aiff",
     "write_alac",
+    "write_au",
+    "write_caf",
     "write_flac",
     "write_mp3",
     "write_ogg",

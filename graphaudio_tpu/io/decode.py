@@ -157,6 +157,25 @@ class AudioDecoder:
         (parity: DecodePlanar, LibsndfileDecoder.cs:92-160)."""
         return np.ascontiguousarray(self.decode(frames).T)
 
+    def decode_short(self, frames: int) -> np.ndarray:
+        """Read up to ``frames`` interleaved frames -> int16[n, channels]
+        (parity: the reference's sf_readf_short binding,
+        GraphAudio.IO/Libsndfile.cs:26-68).
+
+        Conversion is the exact inverse of this decoder's f32
+        normalization (round(x*32768), clipped at +32767): sources stored
+        as <=16-bit integer PCM — including G.711 and ADPCM, which expand
+        to int16 — round-trip BIT-EXACTLY to their stored samples. Float
+        and >16-bit sources quantize at int16 precision."""
+        x = self.decode(frames)
+        return np.clip(
+            np.round(x.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int16)
+
+    def decode_planar_short(self, frames: int) -> np.ndarray:
+        """int16 planar [channels, n] (see decode_short)."""
+        return np.ascontiguousarray(self.decode_short(frames).T)
+
     def try_seek(self, seconds: float) -> bool:
         """Parity: TrySeek (:167-175)."""
         frame = int(seconds * self.sample_rate)
@@ -275,6 +294,98 @@ def write_wav(path, data: np.ndarray, sample_rate: int, float32: bool = False) -
         w.writeframes(pcm.tobytes())
 
 
+def _quantize_pcm16(data: np.ndarray) -> np.ndarray:
+    return np.clip(
+        np.round(np.asarray(data, np.float64) * 32767.0), -32768, 32767
+    ).astype(np.int16)
+
+
+def _planar(data: np.ndarray) -> np.ndarray:
+    data = np.asarray(data, np.float32)
+    return data[None] if data.ndim == 1 else data
+
+
+def write_aiff(path, data: np.ndarray, sample_rate: int) -> None:
+    """Write planar f32[channels, n] as AIFF (big-endian PCM16, COMM with
+    the 80-bit extended sample rate + SSND — the layout gacodec's
+    parse_aiff reads; parity: the reference's libsndfile SF_FORMAT_AIFF)."""
+    import struct
+
+    data = _planar(data)
+    ch, n = data.shape
+    pcm = _quantize_pcm16(np.ascontiguousarray(data.T).reshape(-1))
+    payload = pcm.astype(">i2").tobytes()
+    # 80-bit IEEE extended sample rate (AIFF COMM field).
+    sr = float(sample_rate)
+    import math
+
+    m, e = math.frexp(sr)
+    ext = struct.pack(">HQ", e + 16382, int(m * (1 << 64)))
+    comm = struct.pack(">HIH", ch, n, 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = (
+        b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    with open(os.fspath(path), "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body)
+
+
+def write_au(path, data: np.ndarray, sample_rate: int,
+             float32: bool = False) -> None:
+    """Write planar f32[channels, n] as Sun/NeXT AU (.au/.snd): 24-byte
+    big-endian header + BE PCM16 (or BE float32) payload (gacodec's
+    parse_au encodings 3/6)."""
+    import struct
+
+    data = _planar(data)
+    ch, n = data.shape
+    inter = np.ascontiguousarray(data.T).reshape(-1)
+    if float32:
+        payload = inter.astype(">f4").tobytes()
+        enc = 6
+    else:
+        payload = _quantize_pcm16(inter).astype(">i2").tobytes()
+        enc = 3
+    hdr = struct.pack(
+        ">4sIIIII", b".snd", 24, len(payload), enc, int(sample_rate), ch
+    )
+    with open(os.fspath(path), "wb") as f:
+        f.write(hdr + payload)
+
+
+def write_caf(path, data: np.ndarray, sample_rate: int,
+              float32: bool = True) -> None:
+    """Write planar f32[channels, n] as Core Audio Format LPCM (caff v1 +
+    desc + data with edit count — the layout gacodec's parse_caf reads).
+    Default float32 keeps the write lossless; ``float32=False`` packs
+    little-endian PCM16."""
+    import struct
+
+    data = _planar(data)
+    ch, n = data.shape
+    inter = np.ascontiguousarray(data.T).reshape(-1)
+    if float32:
+        payload = inter.astype("<f4").tobytes()
+        flags, bits = 1 | 2, 32  # float + little-endian
+    else:
+        payload = _quantize_pcm16(inter).astype("<i2").tobytes()
+        flags, bits = 2, 16
+    bpf = ch * bits // 8
+    desc = struct.pack(
+        ">d4sIIIII", float(sample_rate), b"lpcm", flags, bpf, 1, ch, bits
+    )
+    body = (
+        b"desc" + struct.pack(">q", len(desc)) + desc
+        + b"data" + struct.pack(">q", 4 + len(payload))
+        + struct.pack(">I", 0)  # edit count
+        + payload
+    )
+    with open(os.fspath(path), "wb") as f:
+        f.write(b"caff" + struct.pack(">HH", 1, 0) + body)
+
+
 def codec_capabilities() -> dict:
     """Which compressed codecs resolved on this machine.
 
@@ -283,16 +394,24 @@ def codec_capabilities() -> dict:
     layer (parity: the reference fails open when its shipped libsndfile is
     missing a format)."""
     lib = native.load()
+    # Container ENCODERS are self-contained (pure-Python headers + PCM
+    # payloads) and never depend on the native layer or system codecs.
+    always = {"wav_encode": True, "aiff_encode": True, "au_encode": True,
+              "caf_encode": True}
     if lib is None:
-        return {"wav": True, "aiff": False, "mp3": False, "ogg": False,
+        return {"wav": True, "aiff": False, "au": False, "caf": False,
+                "mp3": False, "ogg": False,
                 "flac": False, "adpcm": False, "opus": False,
                 "alac": False,
                 "mp3_encode": False, "ogg_encode": False,
                 "flac_encode": False, "opus_encode": False,
-                "alac_encode": False}
+                "alac_encode": False, **always}
     return {
         "wav": True,
         "aiff": True,
+        "au": True,
+        "caf": True,
+        **always,
         "mp3": bool(lib.gac_has_mp3()),
         "ogg": bool(lib.gac_has_vorbis()),
         "flac": bool(lib.gac_has_flac()),

@@ -43,8 +43,26 @@ class RealtimeAudioContext(AudioContextBase):
         buffer_size: int = 256,
         device: Optional[str] = None,
         superblock: int = 2,
+        auto_tune: bool = False,
         auto_start_thread: bool = True,
     ):
+        """``auto_tune=True`` measures the device link's per-step round
+        trip at startup and grows ``superblock`` (and the ring, via
+        ``buffer_size``) until one step's audio duration clears it with
+        margin — on a link-attached accelerator (~30-60 ms per call) the
+        default ``superblock=2`` (5.3 ms of audio per step) is a guaranteed
+        underrun, and without validation the only signal is post-hoc
+        underrun counters. Warns if even the largest superblock cannot
+        clear the measured link. On co-located hardware the measurement
+        is ~sub-ms and the requested geometry is kept. The chosen values
+        are inspectable as ``superblock`` / ``tuned_rtt_s``."""
+        self.tuned_rtt_s: Optional[float] = None
+        if auto_tune:
+            rtt = self._measure_step_rtt()
+            superblock, buffer_size = self._tune_geometry(
+                rtt, sample_rate, superblock, buffer_size
+            )
+            self.tuned_rtt_s = rtt
         super().__init__(sample_rate=sample_rate, superblock=superblock)
         self.channels = channels
         self.buffer_size = buffer_size
@@ -80,6 +98,66 @@ class RealtimeAudioContext(AudioContextBase):
         self._render_thread_id: Optional[int] = None
         if auto_start_thread:
             self._start_render_thread()
+
+    # -- startup link validation / geometry auto-tuning --------------------------
+
+    @staticmethod
+    def _measure_step_rtt(samples: int = 5) -> float:
+        """Per-step wall-time floor: the round trip of a minimal jitted
+        device call, launch through device_get (every render step pays at
+        least this regardless of graph size; on tunnel-attached devices it
+        is ~30-60 ms and dominates)."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + jnp.float32(1.0))
+        x = jnp.zeros((FRAMES_PER_BLOCK,), jnp.float32)
+        np.asarray(jax.device_get(f(x)))  # compile + warm
+        walls = []
+        for _ in range(max(samples, 2)):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(f(x)))
+            walls.append(time.perf_counter() - t0)
+        walls.sort()
+        return walls[int(0.8 * (len(walls) - 1))]
+
+    @staticmethod
+    def _tune_geometry(
+        rtt_s: float,
+        sample_rate: int,
+        min_superblock: int,
+        buffer_size: int,
+        margin: float = 1.25,
+        max_superblock: int = 64,
+    ):
+        """Smallest superblock whose per-step audio duration covers the
+        measured round trip with ``margin`` (the 2-deep launch/finish
+        pipeline hides ONE step's latency; throughput still needs
+        audio-per-step >= step wall). The ring is grown to hold 2.5 steps
+        (buffer_size = superblock*64 -> ring = superblock*320 frames): a
+        ring that only fits one step must fully drain before each render —
+        guaranteed periodic underruns on a high-latency link."""
+        import warnings
+
+        s = max(1, int(min_superblock))
+        while (
+            s < max_superblock
+            and s * FRAMES_PER_BLOCK / sample_rate < margin * rtt_s
+        ):
+            s *= 2
+        if s * FRAMES_PER_BLOCK / sample_rate < margin * rtt_s:
+            warnings.warn(
+                f"RealtimeAudioContext: measured per-step round trip "
+                f"{rtt_s * 1e3:.1f} ms exceeds the largest superblock's "
+                f"audio duration ({s * FRAMES_PER_BLOCK / sample_rate * 1e3:.1f} ms "
+                f"at superblock {s}); realtime playback WILL underrun on "
+                f"this link — use co-located hardware or offline rendering",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return s, max(int(buffer_size), s * FRAMES_PER_BLOCK // 2)
 
     # -- device enumeration (parity :55-141) -------------------------------------
 

@@ -1233,3 +1233,79 @@ def test_wav_g711_mulaw_alaw_decode():
     with AudioDecoder(wav_g711(6, bytes([0xD5, 0x55]))) as dec:
         out = dec.decode(2)[:, 0]
     assert abs(out[0] - 8 / 32768.0) < 1e-6 and out[1] < 0
+
+
+def test_decode_short_bitexact_pcm16_roundtrip(tmp_path, rng):
+    """decode_short (sf_readf_short parity, Libsndfile.cs:26-68) returns
+    the STORED int16 samples bit-exactly for integer-PCM sources."""
+    import wave
+
+    pcm = (rng.integers(-32768, 32768, size=(1000, 2))).astype(np.int16)
+    p = tmp_path / "s.wav"
+    with wave.open(str(p), "wb") as w:  # exact stored samples
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(pcm.tobytes())
+    with AudioDecoder(str(p)) as d:
+        got = d.decode_short(1000)
+        assert got.dtype == np.int16 and got.shape == (1000, 2)
+        np.testing.assert_array_equal(got, pcm)
+    with AudioDecoder(str(p)) as d:
+        planar = d.decode_planar_short(1000)
+        np.testing.assert_array_equal(planar, pcm.T)
+
+
+def test_decode_short_quantizes_float_sources(tmp_path, rng):
+    x = (rng.standard_normal((2, 500)) * 0.5).astype(np.float32)
+    p = tmp_path / "f.wav"
+    write_wav(p, x, 48000, float32=True)
+    with AudioDecoder(str(p)) as d:
+        got = d.decode_short(500)
+    want = np.clip(
+        np.round(x.T.astype(np.float64) * 32768.0), -32768, 32767
+    ).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("fmt", ["aiff", "au", "caf"])
+def test_container_encoders_roundtrip_via_native_decoder(tmp_path, rng, fmt):
+    """write_aiff/write_au/write_caf produce files gacodec decodes back to
+    the quantized samples exactly (PCM16 paths) / bit-exactly (CAF f32)."""
+    from graphaudio_tpu.io import native, write_aiff, write_au, write_caf
+    from graphaudio_tpu.io.decode import _quantize_pcm16, codec_capabilities
+
+    if native.load() is None:
+        pytest.skip("native codec not built")
+    assert codec_capabilities()[fmt] and codec_capabilities()[f"{fmt}_encode"]
+    x = (rng.standard_normal((2, 777)) * 0.4).astype(np.float32)
+    p = tmp_path / f"x.{fmt}"
+    writer = {"aiff": write_aiff, "au": write_au, "caf": write_caf}[fmt]
+    writer(p, x, 44100)
+    with AudioDecoder(str(p)) as d:
+        assert d.channels == 2 and d.sample_rate == 44100
+        assert d.frames == 777
+        got = d.decode_planar(777)
+    if fmt == "caf":  # default float32: lossless
+        np.testing.assert_array_equal(got, x)
+    else:
+        want = _quantize_pcm16(x).astype(np.float32) / 32768.0
+        np.testing.assert_array_equal(got, want)
+
+
+def test_caf_pcm16_and_au_float_variants(tmp_path, rng):
+    from graphaudio_tpu.io import native, write_au, write_caf
+    from graphaudio_tpu.io.decode import _quantize_pcm16
+
+    if native.load() is None:
+        pytest.skip("native codec not built")
+    x = (rng.standard_normal((1, 333)) * 0.3).astype(np.float32)
+    p1 = tmp_path / "i.caf"
+    write_caf(p1, x, 48000, float32=False)
+    with AudioDecoder(str(p1)) as d:
+        got = d.decode_planar_short(333)
+    np.testing.assert_array_equal(got, _quantize_pcm16(x))
+    p2 = tmp_path / "f.au"
+    write_au(p2, x, 48000, float32=True)
+    with AudioDecoder(str(p2)) as d:
+        np.testing.assert_array_equal(d.decode_planar(333), x)

@@ -231,3 +231,82 @@ def test_realtime_render_thread_survives_exceptions():
         assert isinstance(ctx.last_render_error, RuntimeError)
     finally:
         ctx.dispose()
+
+
+def test_auto_tune_grows_superblock_for_slow_link(monkeypatch):
+    """auto_tune measures the per-step round trip at startup and picks the
+    smallest superblock whose audio duration clears it with margin (a
+    ~58 ms link needs superblock 32 at 48 kHz; the default 2 would
+    underrun immediately). The ring grows to hold 2.5 steps."""
+    monkeypatch.setattr(
+        RealtimeAudioContext, "_measure_step_rtt",
+        staticmethod(lambda samples=5: 0.058),
+    )
+    ctx = RealtimeAudioContext(
+        sample_rate=48000, auto_tune=True, auto_start_thread=False
+    )
+    try:
+        assert ctx.superblock == 32  # 32*128/48k = 85.3 ms >= 1.25*58 ms
+        assert ctx.tuned_rtt_s == 0.058
+        assert ctx.ring.capacity >= int(2.5 * 32 * 128)
+    finally:
+        ctx.dispose()
+
+
+def test_auto_tune_keeps_fast_link_geometry(monkeypatch):
+    monkeypatch.setattr(
+        RealtimeAudioContext, "_measure_step_rtt",
+        staticmethod(lambda samples=5: 0.001),
+    )
+    ctx = RealtimeAudioContext(
+        sample_rate=48000, superblock=2, buffer_size=256,
+        auto_tune=True, auto_start_thread=False,
+    )
+    try:
+        assert ctx.superblock == 2  # 5.3 ms audio/step covers a 1 ms link
+        assert ctx.ring.capacity == 256 * 5
+    finally:
+        ctx.dispose()
+
+
+def test_auto_tune_warns_when_link_cannot_meet_any_deadline(monkeypatch):
+    import warnings
+
+    monkeypatch.setattr(
+        RealtimeAudioContext, "_measure_step_rtt",
+        staticmethod(lambda samples=5: 0.5),
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ctx = RealtimeAudioContext(
+            sample_rate=48000, auto_tune=True, auto_start_thread=False
+        )
+    try:
+        assert ctx.superblock == 64  # best effort, still warned
+        assert any(
+            "WILL underrun" in str(w.message) for w in caught
+        ), [str(w.message) for w in caught]
+    finally:
+        ctx.dispose()
+
+
+def test_auto_tune_renders_and_feeds_the_device(monkeypatch):
+    """End-to-end: an auto-tuned context (faked slow link) still renders
+    through the native ring + device."""
+    monkeypatch.setattr(
+        RealtimeAudioContext, "_measure_step_rtt",
+        staticmethod(lambda samples=5: 0.04),
+    )
+    ctx = RealtimeAudioContext(sample_rate=48000, auto_tune=True)
+    try:
+        src = ga.ConstantSourceNode(ctx)
+        src.offset.value = 0.25
+        src.connect(ctx.destination)
+        src.start(0)
+        ctx.start()
+        deadline = time.time() + 10.0
+        while ctx.frames_played < 4096 and time.time() < deadline:
+            time.sleep(0.05)
+        assert ctx.frames_played >= 4096
+    finally:
+        ctx.dispose()
