@@ -438,8 +438,12 @@ class CompiledGraph:
         self.stage_level = {}
         if not getattr(self.context, "pipeline_chains", False):
             return
-        if self.mesh is not None:  # sharded lane axes don't pipeline (yet)
-            return
+        # Meshes compose with fusion: pipe lanes are pipeline STAGES, not
+        # voices — pipe state (lanes, register bank, block-time ring)
+        # REPLICATES across the mesh (make_render_fn's specs: only
+        # sharded_stages keys shard, and pipes are never candidates), while
+        # surrounding voice groups shard; a pipe fed by a sharded group's
+        # whole-group fan-in completes with the same psum as any stage.
         stages = self.stages
 
         # -- find chains ------------------------------------------------------

@@ -267,3 +267,73 @@ def test_biquad_type_edit_resets_selector_in_fused_chain():
     np.testing.assert_allclose(high, want, atol=1e-5)
     # and the edit actually changed the output (selector not stale)
     assert np.abs(high - low).max() > 0.05
+
+
+def test_pipeline_composes_with_mesh_eq_cascade():
+    """Config-3-style EQ cascade under set_mesh: the fused single-stage
+    pipe step is KEPT (pipe lanes are pipeline stages, not voices — they
+    replicate across the mesh) and audio matches the unsharded render."""
+    import jax
+    from jax.sharding import Mesh
+
+    want_ctx = _chain_ctx(True, n_filters=6)
+    want = np.asarray(want_ctx.render(16 * 128))
+
+    ctx = _chain_ctx(True, n_filters=6)
+    devs = np.array(jax.devices("cpu")[:8]).reshape(4, 2)
+    ctx.set_mesh(Mesh(devs, ("voice", "part")))
+    got = np.asarray(ctx.render(16 * 128))
+    assert ctx._compiled.pipe_delay == 5
+    kinds = [sp["kind"] for sp in ctx._compiled.plan]
+    assert kinds.count("pipe") == 1, kinds
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+
+
+def test_pipeline_coexists_with_voice_sharded_groups():
+    """A voice-sharded mix bus FEEDING a fused EQ chain under one mesh:
+    the groups shard over 'voice' (psum fan-in), the pipe replicates, and
+    the render matches unsharded."""
+    import jax
+    from jax.sharding import Mesh
+
+    def build(mesh):
+        ctx = ga.OfflineAudioContext(
+            sample_rate=SR, superblock=4, pipeline_chains=True
+        )
+        if mesh is not None:
+            ctx.set_mesh(mesh)
+        rng = np.random.default_rng(17)
+        bus = ga.GainNode(ctx)
+        bus.gain.value = 0.25
+        node = bus
+        for i in range(4):  # serial EQ on the master bus -> fuses
+            bq = ga.BiQuadFilterNode(ctx)
+            bq.frequency.value = 500.0 * (i + 1)
+            node = node.connect(bq)
+        node.connect(ctx.destination)
+        for v in range(8):  # voice groups -> shard over 'voice'
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = ga.PlayableAudioBuffer.from_mono_array(
+                (rng.standard_normal(4096) * 0.2).astype(np.float32), SR
+            )
+            src.loop = True
+            g = ga.GainNode(ctx)
+            g.gain.value = 0.5 + 0.05 * v
+            src.connect(g).connect(bus)
+            src.start(0)
+        return ctx
+
+    want = np.asarray(build(None).render(12 * 128))
+    devs = np.array(jax.devices("cpu")[:8]).reshape(8, 1)
+    ctx = build(Mesh(devs, ("voice", "part")))
+    got = np.asarray(ctx.render(12 * 128))
+    kinds = [sp["kind"] for sp in ctx._compiled.plan]
+    assert kinds.count("pipe") == 1, kinds
+    assert ctx._compiled.sharded_stages, "voice groups did not shard"
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+    # continuity across calls (register bank + filter-state carry)
+    ref = build(None)
+    ref.render(12 * 128)
+    want2 = np.asarray(ref.render(8 * 128))
+    got2 = np.asarray(ctx.render(8 * 128))
+    np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=0)
