@@ -31,6 +31,7 @@ from graphaudio_tpu.core.node import AudioNode, ChannelCountMode, ChannelInterpr
 from graphaudio_tpu.core.params import AutomationRate
 from graphaudio_tpu.ops.hrtf import (
     build_hrir_grid,
+    fir_freq_partitioned,
     fir_freq_per_block,
     hrir_grid_spectra,
     interp_hrir,
@@ -183,18 +184,27 @@ class SpatialPannerNode(AudioNode):
 
     def init_state(self, info):
         c = self._channels
-        from graphaudio_tpu.ops.hrtf import hrtf_fft_size
+        from graphaudio_tpu.ops.hrtf import hrir_partition_count, hrtf_fft_size
 
         grid = self._active_grid(self.context.sample_rate)
-        tail = hrtf_fft_size(grid.shape[-1]) - FRAMES_PER_BLOCK
-        return {
+        fft = hrtf_fft_size(grid.shape[-1])
+        state = {
             # Overlap-add tail of the binaural render (frequency-domain
             # per-quantum HRIR filter; see ops/hrtf.fir_freq_per_block).
-            "ola": np.zeros((2, tail), np.float32),
+            "ola": np.zeros((2, fft - FRAMES_PER_BLOCK), np.float32),
             # One-pole crossover states for 3-band transmission, per channel.
             "xlow": np.zeros((c,), np.float32),
             "xhigh": np.zeros((c,), np.float32),
         }
+        P = hrir_partition_count(grid.shape[-1])
+        if P > 1:
+            # Partitioned-kernel history: packed input spectra plus the
+            # source direction (from which the kernel is re-interpolated)
+            # for the P-1 quanta preceding the superblock.
+            state["hx"] = np.zeros((P - 1, fft + 2), np.float32)
+            state["haz"] = np.zeros((P - 1,), np.float32)
+            state["hel"] = np.zeros((P - 1,), np.float32)
+        return state
 
     # -- direct path (closed-form, parity :133-284) ---------------------------
 
@@ -331,9 +341,28 @@ class SpatialPannerNode(AudioNode):
         elevation = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
         grid_np = self._active_grid(rc.sample_rate)
         sr_grid, si_grid = hrir_grid_spectra(grid_np)
-        hr = interp_hrir(jnp.asarray(sr_grid), azimuth, elevation)  # [S,2,129]
-        hi = interp_hrir(jnp.asarray(si_grid), azimuth, elevation)
-        wet, new_ola = fir_freq_per_block(mono, hr, hi, state["ola"])
+        new_state = {}
+        if sr_grid.ndim == 5:
+            # Measured kernel longer than one exact overlap-add transform:
+            # uniformly partitioned per-quantum filter. The kernels of the
+            # P-1 quanta preceding this superblock are re-interpolated from
+            # the carried directions (2 scalars each) rather than carried
+            # as spectra — one batched interp over P-1+S quanta.
+            az_cat = jnp.concatenate([state["haz"], azimuth])
+            el_cat = jnp.concatenate([state["hel"], elevation])
+            hr = interp_hrir(jnp.asarray(sr_grid), az_cat, el_cat)
+            hi = interp_hrir(jnp.asarray(si_grid), az_cat, el_cat)
+            wet, new_ring, new_ola = fir_freq_partitioned(
+                mono, hr, hi, state["hx"], state["ola"]
+            )
+            new_state["hx"] = new_ring
+            P = sr_grid.shape[-2]
+            new_state["haz"] = az_cat[-(P - 1):]
+            new_state["hel"] = el_cat[-(P - 1):]
+        else:
+            hr = interp_hrir(jnp.asarray(sr_grid), azimuth, elevation)
+            hi = interp_hrir(jnp.asarray(si_grid), azimuth, elevation)
+            wet, new_ola = fir_freq_per_block(mono, hr, hi, state["ola"])
         wet = wet.reshape(2, rc.frames)
 
         # SpatialBlend crossfade (:250-260): 1 = fully spatialized.
@@ -343,5 +372,5 @@ class SpatialPannerNode(AudioNode):
         b = expand(blend)[None]
         out = wet * b + dry * (1.0 - b)
 
-        new_state = {"ola": new_ola, "xlow": new_xlow, "xhigh": new_xhigh}
+        new_state.update(ola=new_ola, xlow=new_xlow, xhigh=new_xhigh)
         return new_state, [out]

@@ -136,10 +136,12 @@ def interp_hrir(grid, azimuth, elevation):
     """Bilinear HRIR interpolation (parity: IPL.HrtfInterpolation.Bilinear,
     SpatialPannerNode.cs:255).
 
-    grid: f32[E, A, 2, L] (jnp); azimuth f32[S] in radians (any range);
-    elevation f32[S] in [-pi/2, pi/2]. Returns f32[S, 2, L].
+    grid: f32[E, A, *rest] (jnp) — e.g. [E, A, 2, L] time-domain kernels or
+    [E, A, 2, P, B] partitioned spectra; azimuth f32[S] in radians (any
+    range); elevation f32[S] in [-pi/2, pi/2]. Returns f32[S, *rest].
     """
-    E, A, _, L = grid.shape
+    E, A = grid.shape[:2]
+    rest = grid.shape[2:]
     az = jnp.mod(azimuth, 2 * jnp.pi) / (2 * jnp.pi) * A  # [0, A)
     el = (elevation + jnp.pi / 2) / jnp.pi * (E - 1)  # [0, E-1]
 
@@ -173,12 +175,16 @@ def interp_hrir(grid, azimuth, elevation):
         + oh(e1, a1, fa * fe)
     )  # [S, E*A]
     out = jnp.einsum(
-        "sg,gm->sm", W, grid.reshape(E * A, 2 * L), precision=_HIGHEST
+        "sg,gm->sm", W, grid.reshape(E * A, -1), precision=_HIGHEST
     )
-    return out.reshape(-1, 2, L)
+    return out.reshape((-1,) + rest)
 
 
 _spectra_cache = {}
+
+
+# Longest measured HRIR the renderer accepts: 8 uniform 128-tap partitions.
+MAX_HRIR_LENGTH = 8 * FRAMES_PER_BLOCK
 
 
 def hrtf_fft_size(hrir_length: int) -> int:
@@ -187,13 +193,29 @@ def hrtf_fft_size(hrir_length: int) -> int:
     default 64-tap grids ride a 192-pt transform (25% fewer forward-DFT and
     44% fewer inverse-DFT MACs than 256-pt, exactly — the spatializer stage
     is MXU-bound at HIGHEST precision, so MACs are wall time) and only
-    measured sets longer than 64 taps pay for 256."""
+    measured sets longer than 64 taps pay for 256. Kernels longer than 128
+    taps keep the 256-pt transform and split into uniform 128-tap
+    PARTITIONS (fir_freq_partitioned)."""
     return 192 if hrir_length <= 64 else 2 * FRAMES_PER_BLOCK
+
+
+def hrir_partition_count(hrir_length: int) -> int:
+    """Number of uniform kernel partitions the per-quantum filter uses for
+    an L-tap HRIR: 1 while a single overlap-add transform is exact
+    (L <= fft - 127), else ceil(L / 128) 128-tap partitions on the 256-pt
+    transform."""
+    fft = hrtf_fft_size(hrir_length)
+    chunk = fft - FRAMES_PER_BLOCK
+    if hrir_length <= chunk:
+        return 1
+    return -(-hrir_length // FRAMES_PER_BLOCK)
 
 
 def hrir_grid_spectra(grid):
     """Per-node kernel spectra of an HRIR grid: (Sr, Si) f32[E, A, 2, B]
-    where B = hrtf_fft_size(L)//2 + 1.
+    (B = hrtf_fft_size(L)//2 + 1) while L fits one exact overlap-add
+    transform, or f32[E, A, 2, P, B] partitioned spectra (P uniform 128-tap
+    partitions, 256-pt transforms) for longer measured kernels.
 
     Since bilinear interpolation is linear and the DFT is linear, the
     spectrum of the interpolated HRIR equals the interpolation of these
@@ -207,9 +229,18 @@ def hrir_grid_spectra(grid):
     entry = _spectra_cache.get(key)
     if entry is None or entry[0] is not grid:
         g = np.asarray(grid, dtype=np.float64)  # [E, A, 2, L]
-        padded = np.zeros(g.shape[:-1] + (hrtf_fft_size(g.shape[-1]),))
+        L = g.shape[-1]
+        fft = hrtf_fft_size(L)
+        P = hrir_partition_count(L)
+        if P > 1:
+            # Uniform 128-tap partitions, each zero-padded to 256:
+            # h = sum_p delay(h_p, p * 128).
+            pad = P * FRAMES_PER_BLOCK - L
+            g = np.pad(g, [(0, 0)] * (g.ndim - 1) + [(0, pad)])
+            g = g.reshape(g.shape[:-1] + (P, FRAMES_PER_BLOCK))
+        padded = np.zeros(g.shape[:-1] + (fft,))
         padded[..., : g.shape[-1]] = g
-        spec = np.fft.rfft(padded, axis=-1)  # [E, A, 2, 129]
+        spec = np.fft.rfft(padded, axis=-1)  # [E, A, 2(, P), bins]
         entry = (
             grid,
             spec.real.astype(np.float32),
@@ -268,6 +299,65 @@ def fir_freq_per_block(x, hr, hi, overlap):
     return jnp.moveaxis(y, 1, 0), second[-1]
 
 
+def fir_freq_partitioned(x, hr_cat, hi_cat, ring_x, overlap):
+    """Per-quantum stereo HRIR filter for kernels LONGER than one exact
+    overlap-add transform (L > 128): uniformly partitioned convolution with
+    a time-varying kernel.
+
+    x: f32[S, 128] mono quanta; hr_cat, hi_cat: f32[P-1+S, 2, P, B]
+    partitioned kernel spectra AT EVERY QUANTUM of the concatenated
+    timeline (the P-1 quanta preceding this superblock, then this
+    superblock's S); ring_x: f32[P-1, 2B] packed input spectra of the
+    preceding P-1 quanta (oldest first); overlap: f32[2, 128] carried tail.
+
+    Returns (y f32[2, S, 128], ring_x' f32[P-1, 2B], overlap' f32[2, 128]).
+
+    Semantics match the single-partition path and the oracle
+    (testing/oracle.py SpatialPanner.process): each INPUT quantum u is
+    convolved with the kernel interpolated at u — partition p of that
+    kernel lands on output quantum u+p — so a static kernel renders
+    EXACTLY as one long FIR (to DFT roundoff), and a moving source updates
+    the kernel per input block like the reference's per-block HRTF render
+    (SpatialPannerNode.cs:250-260).
+    """
+    from graphaudio_tpu.ops.fft import RealDft
+
+    bins = hr_cat.shape[-1]
+    P = hr_cat.shape[-2]
+    fft = 2 * (bins - 1)
+    S = x.shape[0]
+    dft = RealDft(FRAMES_PER_BLOCK, fft)
+    f = dft.forward_packed(x)  # [S, 2B]
+    xcat = jnp.concatenate([ring_x, f], axis=0)  # [P-1+S, 2B]
+    yr = jnp.zeros((S, 2, bins), x.dtype)
+    yi = jnp.zeros((S, 2, bins), x.dtype)
+    # Static unroll over partitions (P <= 8): output quantum s accumulates
+    # X[s-p] * H_p[s-p] — both the input spectrum and the kernel are indexed
+    # at the INPUT time, via two static slices of the concatenated timeline.
+    for p in range(P):
+        xs = jax.lax.slice_in_dim(xcat, P - 1 - p, P - 1 - p + S, axis=0)
+        xr_, xi_ = xs[:, :bins], xs[:, bins:]
+        hrp = jax.lax.slice_in_dim(
+            hr_cat, P - 1 - p, P - 1 - p + S, axis=0
+        )[:, :, p]  # [S, 2, B]
+        hip = jax.lax.slice_in_dim(
+            hi_cat, P - 1 - p, P - 1 - p + S, axis=0
+        )[:, :, p]
+        yr = yr + xr_[:, None, :] * hrp - xi_[:, None, :] * hip
+        yi = yi + xr_[:, None, :] * hip + xi_[:, None, :] * hrp
+    y_full = dft.inverse_packed(
+        jnp.concatenate(
+            [yr.reshape(S * 2, bins), yi.reshape(S * 2, bins)], axis=1
+        )
+    ).reshape(S, 2, fft)
+    first = y_full[..., :FRAMES_PER_BLOCK]  # [S, 2, 128]
+    second = y_full[..., FRAMES_PER_BLOCK:]  # [S, 2, 128]
+    prev = jnp.concatenate([overlap[None], second[:-1]], axis=0)
+    y = first + prev  # [S, 2, 128]
+    new_ring = xcat[-(P - 1):] if P > 1 else ring_x
+    return jnp.moveaxis(y, 1, 0), new_ring, second[-1]
+
+
 NUM_SPEC_BINS = FRAMES_PER_BLOCK + 1  # bins of the (max) 256-pt transform
 
 
@@ -317,11 +407,11 @@ def _regrid_hrirs(hrirs, az_rad, el_rad, sample_rate, source_rate,
     hrirs = np.asarray(hrirs, np.float64)
     if hrirs.ndim != 3 or hrirs.shape[1] != 2:
         raise ValueError(f"expected HRIRs [M, 2, N], got {hrirs.shape}")
-    if length is not None and not (1 <= length <= FRAMES_PER_BLOCK):
-        # The 256-pt per-128-frame overlap-add renderer is only exact for
-        # L <= 128; longer kernels would time-alias silently.
+    if length is not None and not (1 <= length <= MAX_HRIR_LENGTH):
+        # Kernels past 128 taps render via uniform 128-tap partitions
+        # (fir_freq_partitioned); the partition unroll is bounded at 8.
         raise ValueError(
-            f"HRIR length must be in [1, {FRAMES_PER_BLOCK}]; got {length}"
+            f"HRIR length must be in [1, {MAX_HRIR_LENGTH}]; got {length}"
         )
     if int(source_rate) != int(sample_rate):
         from scipy.signal import resample_poly
@@ -332,7 +422,10 @@ def _regrid_hrirs(hrirs, az_rad, el_rad, sample_rate, source_rate,
             hrirs, int(sample_rate) // g, int(source_rate) // g, axis=-1
         )
     if length is None:
-        length = min(hrirs.shape[-1], FRAMES_PER_BLOCK)
+        # Default keeps the full measured response up to two partitions
+        # (most public sets are 200-512 taps at 44.1/48 kHz); explicit
+        # ``length`` trades taps for per-quantum MACs either way.
+        length = min(hrirs.shape[-1], 2 * FRAMES_PER_BLOCK)
     if hrirs.shape[-1] >= length:
         hrirs = hrirs[..., :length]
     else:
@@ -386,9 +479,10 @@ def load_hrir_grid(source, sample_rate,
         ``elevation_deg`` [M], ``sample_rate`` scalar.
 
     IRs are rate-converted to ``sample_rate`` (polyphase), truncated/padded
-    to ``length`` (default: min(N, 128) — the frequency-domain renderer
-    needs L <= 128 for exact 256-pt overlap-add), and regridded by
-    inverse-distance weighting of the 3 nearest measurement directions.
+    to ``length`` (default: min(N, 256); up to MAX_HRIR_LENGTH=1024 — the
+    renderer splits kernels past 128 taps into uniform 128-tap partitions,
+    see fir_freq_partitioned), and regridded by inverse-distance weighting
+    of the 3 nearest measurement directions.
     Returns f32[n_elevation, n_azimuth, 2, length].
 
     Parity: the measured-HRTF path of phonon (SpatialPannerNode.cs:250-260);

@@ -1271,13 +1271,22 @@ class OracleSpatialPanner(OracleNode):
         azimuth = math.atan2(dx, -dz)
         elevation = math.asin(min(max(dy, -1.0), 1.0))
         h = self._interp_hrir(azimuth, elevation)  # [2, L]
+        # OLA carry sized for the kernel: L - 1 tail samples may span
+        # several future blocks (the renderer's partitioned path supports
+        # measured kernels up to 1024 taps).
+        tail_len = max(h.shape[-1] - 1, FRAMES)
+        if self._ola.shape[-1] < tail_len:
+            self._ola = np.pad(
+                self._ola, ((0, 0), (0, tail_len - self._ola.shape[-1]))
+            )
         wet = np.zeros((2, FRAMES))
-        new_ola = np.zeros((2, FRAMES))
+        new_ola = np.zeros((2, self._ola.shape[-1]))
+        new_ola[:, : new_ola.shape[-1] - FRAMES] = self._ola[:, FRAMES:]
         for ear in range(2):
             full = np.convolve(mono, h[ear])  # [128 + L - 1]
-            wet[ear] = full[:FRAMES] + self._ola[ear]
+            wet[ear] = full[:FRAMES] + self._ola[ear, :FRAMES]
             tail = full[FRAMES:]
-            new_ola[ear, : tail.shape[0]] = tail
+            new_ola[ear, : tail.shape[0]] += tail
         self._ola = new_ola
 
         # SpatialBlend crossfade; dry up-mixes mono -> stereo by broadcast.

@@ -434,3 +434,134 @@ def test_occlusion_touch_recompiles_modulated_stage(rng):
     low = spec[(freqs > 100) & (freqs < 800)].mean()
     high = spec[(freqs > 9000) & (freqs < 20000)].mean()
     assert high > 3 * low
+
+
+# ---- partitioned long-kernel HRTF (measured sets past 128 taps) --------------
+
+
+def _dense_measured_set(rng, sr=48000, n=320):
+    """Dense random HRIRs (every tap significant, unlike the delta set) so
+    long-kernel rendering errors can't hide."""
+    azs, els, irs = [], [], []
+    for el_deg in (-30, 0, 30):
+        for az_deg in range(0, 360, 30):
+            ir = (rng.standard_normal((2, n)) * np.exp(
+                -np.arange(n) / (n / 4.0)
+            )).astype(np.float32) * 0.2
+            azs.append(az_deg)
+            els.append(el_deg)
+            irs.append(ir)
+    return {
+        "hrir": np.stack(irs),
+        "azimuth_deg": np.asarray(azs, np.float64),
+        "elevation_deg": np.asarray(els, np.float64),
+        "sample_rate": sr,
+    }
+
+
+def test_hrir_partition_count():
+    from graphaudio_tpu.ops.hrtf import hrir_partition_count
+
+    assert hrir_partition_count(32) == 1
+    assert hrir_partition_count(64) == 1
+    assert hrir_partition_count(100) == 1
+    assert hrir_partition_count(128) == 1
+    assert hrir_partition_count(129) == 2
+    assert hrir_partition_count(320) == 3
+    assert hrir_partition_count(1024) == 8
+
+
+def test_load_hrir_grid_default_keeps_two_partitions(rng):
+    from graphaudio_tpu.ops.hrtf import load_hrir_grid
+
+    data = _dense_measured_set(rng, n=400)
+    grid = load_hrir_grid(data, 48000, n_azimuth=12, n_elevation=7)
+    assert grid.shape[-1] == 256  # default: min(N, 256), not the old 128 cap
+
+
+def test_partitioned_fir_static_exact(rng):
+    """A static 320-tap kernel through fir_freq_partitioned (3 partitions,
+    state carried across two superblock calls) equals one long direct
+    convolution — the partitioned overlap-add is exact, not approximate."""
+    import jax.numpy as jnp
+
+    from graphaudio_tpu.ops.hrtf import (
+        fir_freq_partitioned, hrir_grid_spectra, hrir_partition_count,
+        interp_hrir, load_hrir_grid,
+    )
+
+    data = _dense_measured_set(rng, n=320)
+    grid = load_hrir_grid(data, 48000, n_azimuth=12, n_elevation=7, length=320)
+    P = hrir_partition_count(320)
+    assert P == 3
+    sr_g, si_g = hrir_grid_spectra(grid)
+    assert sr_g.shape == grid.shape[:3] + (P, 129)
+
+    az, el = 0.7, 0.2
+    S = 4
+    sig = (rng.standard_normal(2 * S * 128) * 0.5).astype(np.float32)
+
+    # time-domain reference: one long convolution with the interpolated HRIR
+    h = np.asarray(
+        interp_hrir(jnp.asarray(grid), jnp.asarray([az]), jnp.asarray([el]))
+    )[0]  # [2, 320]
+    want = np.stack(
+        [np.convolve(sig, h[e])[: sig.shape[0]] for e in range(2)]
+    )
+
+    ring = jnp.zeros((P - 1, 258), jnp.float32)
+    ola = jnp.zeros((2, 128), jnp.float32)
+    azv = jnp.full((P - 1 + S,), az, jnp.float32)
+    elv = jnp.full((P - 1 + S,), el, jnp.float32)
+    hr = interp_hrir(jnp.asarray(sr_g), azv, elv)  # [P-1+S, 2, P, 129]
+    hi = interp_hrir(jnp.asarray(si_g), azv, elv)
+    outs = []
+    for half in range(2):
+        x = sig[half * S * 128 : (half + 1) * S * 128].reshape(S, 128)
+        y, ring, ola = fir_freq_partitioned(jnp.asarray(x), hr, hi, ring, ola)
+        outs.append(np.asarray(y).reshape(2, S * 128))
+    got = np.concatenate(outs, axis=1)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_partitioned_hrtf_matches_oracle_moving(rng):
+    """Full context render with a MOVING source and a 320-tap measured set
+    vs the literal numpy oracle (per-block time-domain convolution with
+    input-time kernels): the partitioned frequency-domain path must agree
+    to DFT roundoff even while the kernel changes every quantum."""
+    from graphaudio_tpu.ops.hrtf import load_hrir_grid
+    from graphaudio_tpu.testing.oracle import (
+        OracleBufferSource, OracleContext, OracleSpatialPanner,
+    )
+
+    data = _dense_measured_set(rng, n=320)
+    grid = load_hrir_grid(data, SR, n_azimuth=12, n_elevation=7, length=320)
+    sig = (rng.standard_normal(SR // 8) * 0.3).astype(np.float32)
+
+    ctx = ga.OfflineAudioContext(sample_rate=SR, superblock=8)
+    src = ga.AudioBufferSourceNode(ctx)
+    src.buffer = ga.PlayableAudioBuffer.from_mono_array(sig, SR)
+    src.loop = True
+    pan = SpatialPannerNode(ctx)
+    pan.load_hrir(data, n_azimuth=12, n_elevation=7, length=320)
+    pan.position_x.set_value_at_time(3.0, 0.0)
+    pan.position_x.linear_ramp_to_value_at_time(-3.0, 0.1)
+    pan.position_z.value = -2.0
+    src.connect(pan).connect(ctx.destination)
+    src.start(0)
+    got = np.asarray(ctx.render(SR // 8))
+
+    octx = OracleContext(sample_rate=SR)
+    osrc = OracleBufferSource(octx)
+    osrc.set_buffer(sig, SR)
+    osrc.loop = True
+    opan = OracleSpatialPanner(octx, grid)
+    opan.position_x.set_value_at_time(3.0, 0.0)
+    opan.position_x.linear_ramp_to_value_at_time(-3.0, 0.1)
+    opan.position_z.value = -2.0
+    osrc.connect(opan).connect(octx.destination)
+    osrc.start(0)
+    want = octx.render(SR // 8)
+
+    # Skip block 1 (documented oracle channel-count startup transient).
+    assert np.max(np.abs(got[:, 128:] - want[:, 128:])) < 2e-5
