@@ -192,6 +192,70 @@ def _ima_blocks_to_bytes_np(pred0, index0, nibs, channels):
     )
 
 
+def _ima_encode_scalar_np(blocks_i32: np.ndarray) -> tuple:
+    """Bit-exact scalar twin of the vectorized encode loop, for FEW lanes.
+
+    The vectorized path costs ~35 us/step in numpy call overhead regardless
+    of lane count — ~18 ms for the single final flush block of a stream,
+    which lands directly on render_adpcm's wall time. Plain Python ints run
+    the same 504 steps in ~1 ms when C*nblk is tiny. Integer math is
+    identical operation-for-operation, so outputs match the vectorized path
+    (and therefore the device encoder) bit-for-bit.
+    """
+    C, nblk, spb = blocks_i32.shape
+    step_tab = IMA_STEP_TABLE.tolist()
+    idx_tab = IMA_INDEX_TABLE.tolist()
+    pred0 = np.empty((C, nblk), np.int32)
+    index0 = np.empty((C, nblk), np.int32)
+    nibs = np.empty((C, nblk, spb - 1), dtype=np.int32)
+    nm1 = spb - 1
+    for c in range(C):
+        for b in range(nblk):
+            xs = blocks_i32[c, b].tolist()
+            p = xs[0]
+            sad = sum(abs(xs[t + 1] - xs[t]) for t in range(nm1))
+            ix = 0
+            for st in step_tab:
+                if sad > st * nm1:
+                    ix += 1
+            if ix > 88:
+                ix = 88
+            pred0[c, b] = p
+            index0[c, b] = ix
+            row = nibs[c, b]
+            for t in range(1, spb):
+                step = step_tab[ix]
+                diff = xs[t] - p
+                sign = diff < 0
+                adiff = -diff if sign else diff
+                delta = 0
+                vp = step >> 3
+                if adiff >= step:
+                    delta = 4
+                    adiff -= step
+                    vp += step
+                s2 = step >> 1
+                if adiff >= s2:
+                    delta += 2
+                    adiff -= s2
+                    vp += s2
+                if adiff >= step >> 2:
+                    delta += 1
+                    vp += step >> 2
+                p = p - vp if sign else p + vp
+                if p < -32768:
+                    p = -32768
+                elif p > 32767:
+                    p = 32767
+                ix += idx_tab[delta]
+                if ix < 0:
+                    ix = 0
+                elif ix > 88:
+                    ix = 88
+                row[t - 1] = delta + (8 if sign else 0)
+    return pred0, index0, nibs
+
+
 def ima_encode_np(q: np.ndarray, samples_per_block: int) -> np.ndarray:
     """Host reference IMA encoder: int16 planar [C, N] -> block bytes
     [nblk, block_align]. N must be a multiple of samples_per_block (pad the
@@ -199,7 +263,9 @@ def ima_encode_np(q: np.ndarray, samples_per_block: int) -> np.ndarray:
 
     Loops spb-1 steps vectorized over all (block, channel) lanes — the same
     dataflow as the device encoder, used for its bit-exactness oracle and
-    for host-side edges (stream flush, leading carry frames).
+    for host-side edges (stream flush, leading carry frames). Few-lane
+    calls (the flush block) take a bit-exact scalar path instead: the
+    vectorized loop's per-step numpy overhead dwarfs its work there.
     """
     spb = _validate_spb(samples_per_block)
     q = np.asarray(q, dtype=np.int16)
@@ -208,6 +274,9 @@ def ima_encode_np(q: np.ndarray, samples_per_block: int) -> np.ndarray:
         raise ValueError(f"sample count {N} not a multiple of block size {spb}")
     nblk = N // spb
     blocks = q.reshape(C, nblk, spb).astype(np.int32)
+    if C * nblk <= 4:
+        pred0, index0, nibs = _ima_encode_scalar_np(blocks)
+        return _ima_blocks_to_bytes_np(pred0, index0, nibs, C)
     pred = blocks[:, :, 0].copy()
     index = _initial_index_np(blocks)
     pred0, index0 = pred.copy(), index.copy()
@@ -399,7 +468,10 @@ class ImaDeviceStream:
         self.channels = int(channels)
         self.spb = _validate_spb(samples_per_block)
         self.block_align = ima_block_align(self.channels, self.spb)
-        self.carry_buf = jnp.zeros((self.channels, self.spb - 1), jnp.int16)
+        # Host zeros: a jnp.zeros here would dispatch a device op per
+        # stream (one per render_adpcm call); the first encode_chunk ships
+        # it with the jit call's arguments instead.
+        self.carry_buf = np.zeros((self.channels, self.spb - 1), np.int16)
         self.carry_len = 0  # host mirror (deterministic)
         self._encoders = {}
 
@@ -410,7 +482,7 @@ class ImaDeviceStream:
             raise ValueError("carry must be shorter than one block")
         buf = np.zeros((self.channels, self.spb - 1), np.int16)
         buf[:, :n] = q
-        self.carry_buf = jnp.asarray(buf)
+        self.carry_buf = buf  # host; ships with the next encode_chunk call
         self.carry_len = n
 
     def encode_chunk(self, audio):
