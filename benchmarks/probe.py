@@ -63,6 +63,14 @@ PROBES = {
         "wall_breakdown",
         "flagship render wall decomposition (prep/dispatch/transfer)",
     ),
+    "adpcm-chunk-sched": (
+        "adpcm_chunk_sched",
+        "launch-chunk schedule re-sweep at the ADPCM wire size",
+    ),
+    "link-semantics": (
+        "link_semantics",
+        "can device->host copies overlap queued compute at all?",
+    ),
 }
 
 

@@ -696,20 +696,24 @@ class AudioContextBase:
             )
             if pack_fn is not None:
                 out = pack_fn(out)
-            chunk_dispatch_s.append(_time.perf_counter() - t_d)
-            pending.append(out)
-            launched += this
-        # Start device->host copies for every chunk NOW: the copies enqueue
-        # behind their producing computations and run concurrently with both
-        # later chunks' compute and each other (parallel streams measured
-        # ~2-3x the single-stream link bandwidth on tunneled devices).
-        t_c = _time.perf_counter()
-        for out in pending:
+            # Start this chunk's device->host copy NOW, before dispatching
+            # the next chunk: the device queue is in-order, so a copy
+            # enqueued here sits behind only THIS chunk's compute — deferred
+            # to after the dispatch loop it would queue behind EVERY
+            # chunk's compute and no byte would move until the whole launch
+            # drained (measured +25-30 ms on the flagship; see
+            # benchmarks/results/link_semantics.json for the link model:
+            # ~27 ms fixed round trip, then bytes stream concurrently with
+            # later compute, and finish-side gets collect them).
             arr = out[0] if isinstance(out, tuple) else out
             try:
                 arr.copy_to_host_async()
-            except AttributeError:  # non-array outputs under shard_map probes
+            except AttributeError:  # non-arrays under shard_map probes
                 pass
+            chunk_dispatch_s.append(_time.perf_counter() - t_d)
+            pending.append(out)
+            launched += this
+        t_c = _time.perf_counter()
         # Prefetch the stop-time leaves the finish-side notification will
         # read, so its device_get is served from the in-flight copy instead
         # of paying a fresh link round trip.
