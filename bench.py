@@ -114,6 +114,16 @@ def main():
     steps_30s = frames // frames_per_step
     steady_mult = int(os.environ.get("GA_BENCH_STEADY_MULT", "8"))
     frames_steady = frames * steady_mult
+    # At the steady length the schedule trade-off shifts: chunk-35 (tuned
+    # for the 30 s render's 5 chunks) means 40 launches whose ~2-3 ms
+    # dispatch RPCs contend with the streaming pull, and its best walls
+    # only land in lucky link episodes. chunk-140 (10 chunks) measured
+    # 793x vs 583x for chunk-35 with a far tighter spread
+    # (benchmarks/results/steady_chunk_sched.json); chunk-280 loses again
+    # (first-chunk compute exposure outgrows the dispatch saving).
+    steady_sched = os.environ.get("GA_BENCH_STEADY_CHUNK", "140")
+    short_sched = os.environ["GA_RENDER_CHUNK"]
+    os.environ["GA_RENDER_CHUNK"] = steady_sched
     ctx.render_adpcm(frames_steady)  # warmup this chunk count once
     n_runs_steady = int(os.environ.get("GA_BENCH_RUNS_STEADY", "12"))
     # Link-rate episodes shift on a tens-of-seconds scale; wider gaps here
@@ -132,6 +142,7 @@ def main():
         if not walls_steady or w < min(walls_steady):
             breakdown_steady = dict(ctx.stats.last_breakdown)
         walls_steady.append(w)
+    os.environ["GA_RENDER_CHUNK"] = short_sched
     elapsed_steady = min(walls_steady)
     rendered_steady = frames_steady / SR
     xrt_steady = rendered_steady / elapsed_steady
@@ -223,6 +234,8 @@ def main():
             "wall_seconds": round(elapsed_steady, 4),
             "wall_seconds_runs": [round(w, 4) for w in walls_steady],
             "wall_breakdown": breakdown_steady,
+            "steady_chunk_schedule": steady_sched,
+            "short_chunk_schedule": short_sched,
             "rendered_seconds_30s": rendered_seconds,
             "wall_seconds_30s": round(elapsed, 4),
             "xrt_30s": round(xrt, 2),

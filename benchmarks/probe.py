@@ -71,6 +71,10 @@ PROBES = {
         "link_semantics",
         "can device->host copies overlap queued compute at all?",
     ),
+    "steady-chunk-sched": (
+        "steady_chunk_sched",
+        "launch-chunk schedule at the STEADY (4-min) render length",
+    ),
 }
 
 

@@ -92,6 +92,12 @@ class AudioContextBase:
         self._current_time = 0.0  # f64, accumulated in fl(128/sr) steps
         self._carry: Optional[np.ndarray] = None  # [C, n] leftover rendered frames
         self.mesh = None  # multi-chip voice sharding (set_mesh)
+        # Launch-chunk schedule override (int, iterable of ints, or
+        # "5,34"-style string); None defers to the GA_RENDER_CHUNK env var.
+        # Short renders favor small chunks (parallel device->host streams),
+        # multi-minute renders larger ones (fewer launch RPCs contending
+        # with the streaming pull) — see _render_steps_launch.
+        self.chunk_schedule = None
         self.stats = RenderStats()
         self._disposed = False
         self._disposing_callbacks: List[Callable] = []
@@ -652,18 +658,35 @@ class AudioContextBase:
         # first bytes on the wire as soon as its compute lands instead of
         # after a full chunk's, hiding the first-chunk compute behind the
         # transfer-bound tail. Each distinct size is one compiled scan
-        # length, so schedules should reuse few sizes.
-        raw = _os.environ.get("GA_RENDER_CHUNK", "64")
+        # length, so schedules should reuse few sizes. The trade-off shifts
+        # with render LENGTH: short renders want small chunks (few launches
+        # either way; concurrency wins), multi-minute renders want larger
+        # ones (launch RPCs contend with the streaming pull — chunk-140
+        # measured 793x vs chunk-35's 583x on a ~4-min render,
+        # benchmarks/results/steady_chunk_sched.json). ``ctx.chunk_schedule``
+        # (an int, list of ints, or "5,34"-style string) overrides the env.
+        override = getattr(self, "chunk_schedule", None)
+        if override is not None:
+            if isinstance(override, int):
+                raw = str(override)
+            elif isinstance(override, str):
+                raw = override
+            else:  # iterable of ints
+                raw = ",".join(str(int(c)) for c in override)
+        else:
+            raw = _os.environ.get("GA_RENDER_CHUNK", "64")
         try:
             sched = [int(c.strip()) for c in raw.split(",")]
         except ValueError:
+            src = "chunk_schedule" if override is not None else "GA_RENDER_CHUNK"
             raise ValueError(
-                "GA_RENDER_CHUNK must be a comma-separated list of positive "
+                f"{src} must be a comma-separated list of positive "
                 f"integers (e.g. '5,34'), got {raw!r}"
             ) from None
         if any(c <= 0 for c in sched):
+            src = "chunk_schedule" if override is not None else "GA_RENDER_CHUNK"
             raise ValueError(
-                f"GA_RENDER_CHUNK entries must be positive, got {sched}"
+                f"{src} entries must be positive, got {sched}"
             )
         render_fn = self._render_fn
         if pack == "int16":

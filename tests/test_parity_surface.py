@@ -226,6 +226,42 @@ def test_render_chunk_schedule_rejects_nonpositive(monkeypatch):
             ctx.render(4 * 128)
 
 
+def test_render_chunk_schedule_rejects_malformed(monkeypatch):
+    """Unparsable GA_RENDER_CHUNK entries get the descriptive error, not a
+    raw int() ValueError."""
+    import pytest
+
+    for bad in ("64,", "5, 34x", "abc"):
+        monkeypatch.setenv("GA_RENDER_CHUNK", bad)
+        ctx = _sine_context()
+        with pytest.raises(ValueError, match="GA_RENDER_CHUNK"):
+            ctx.render(4 * 128)
+
+
+def test_context_chunk_schedule_attribute(monkeypatch):
+    """``ctx.chunk_schedule`` (int / list / string) overrides the env var
+    without changing a single sample; invalid values raise with the
+    attribute's name."""
+    import pytest
+
+    frames = 7 * 4 * 128
+    ref = _sine_context().render(frames)
+    monkeypatch.setenv("GA_RENDER_CHUNK", "1000")  # would be one big chunk
+    for sched, n_chunks in ((2, 4), ([1, 2], 4), ("1,2", 4)):
+        ctx = _sine_context()
+        ctx.chunk_schedule = sched
+        np.testing.assert_array_equal(ctx.render(frames), ref)
+        assert ctx.stats.last_breakdown["n_chunks"] == n_chunks
+    ctx = _sine_context()
+    ctx.chunk_schedule = "0"
+    with pytest.raises(ValueError, match="chunk_schedule"):
+        ctx.render(4 * 128)
+    ctx = _sine_context()
+    ctx.chunk_schedule = "nope"
+    with pytest.raises(ValueError, match="chunk_schedule"):
+        ctx.render(4 * 128)
+
+
 def test_render_pcm16_after_f32_carry():
     """f32-carried frames quantize on host with the same formula."""
     ctx = _sine_context()
