@@ -1550,13 +1550,22 @@ class CompiledGraph:
             consts_spec[f"st{si}/geom"] = (
                 voice if si in self.sharded_stages else rep
             )
+        rep_of = {sp["si"]: sp["rep"] for sp in self.plan}
         for name in self.consts:
             if name in consts_spec:
                 continue
             si = int(name.split("/", 1)[0][2:])
             if si in self.part_sharded:
-                # IR spectra [K, P2, bins]: partition axis over 'part'.
-                consts_spec[name] = PartitionSpec(None, "part", None)
+                # The stage const's partition axis splits over 'part'; the
+                # node names it per const (convolver IR spectra [K, P2,
+                # bins] -> axis 1, HRTF grid spectra [E, A, 2, P, B] ->
+                # axis 3 via const_part_axes).
+                local = name.split("/", 1)[1]
+                axes = getattr(rep_of[si], "const_part_axes", {})
+                ax = axes.get(local, 1)
+                spec = [None] * np.ndim(self.consts[name])
+                spec[ax] = "part"
+                consts_spec[name] = PartitionSpec(*spec)
             else:
                 consts_spec[name] = rep
         sharded_render = shard_map(

@@ -179,6 +179,10 @@ class ConvolverNode(AudioNode):
     # PartitionedConvolver.cs:154-223. Proven standalone in
     # parallel/sharded.ShardedVoiceScene; this is the node-graph integration.
 
+    # Partition axis of each stage const (graph.make_render_fn reads this
+    # to place 'part' in the PartitionSpec): spectra are [K, P, bins].
+    const_part_axes = {"conv_hr": 1, "conv_hi": 1}
+
     def supports_part_sharding(self, mesh) -> bool:
         return (
             self._ir_channels is not None

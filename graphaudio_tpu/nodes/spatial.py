@@ -164,6 +164,12 @@ class SpatialPannerNode(AudioNode):
         # A per-node HRIR bakes node-specific constants into the kernel, so
         # such panners only group with themselves; panners sharing the
         # CONTEXT default (analytic or measured) batch together.
+        if self.supports_part_sharding(getattr(self.context, "mesh", None)):
+            # A long per-node HRIR under a 'part' mesh runs as a SINGLE
+            # stage so its kernel-partition axis can shard over 'part'
+            # (stage consts + psum, like the convolver). Nothing batches
+            # away: a custom-HRIR panner only ever grouped with itself.
+            return None
         if self._custom_hrir is not None:
             hrir_key = (self.node_id, self._custom_hrir_uid)
         elif self.context._default_hrir is not None:
@@ -172,6 +178,55 @@ class SpatialPannerNode(AudioNode):
             hrir_key = None
         return ("spatial-panner", input_channels[0], self._distance_model,
                 hrir_key, self._occlusion_active(), self._mod_signature())
+
+    # -- multi-chip partition sharding -----------------------------------------
+    #
+    # A measured HRIR longer than 128 taps renders as uniform 128-tap
+    # kernel PARTITIONS (fir_freq_partitioned). Under a mesh with a 'part'
+    # axis, a per-node long-HRIR panner ships its grid spectra as stage
+    # consts whose partition axis splits over 'part': each device MACs its
+    # partitions against the replicated input-spectra timeline and a psum
+    # completes the accumulation — the HRTF FIR's analogue of the
+    # convolver's IR-partition sharding. Panners on the context-default
+    # grid keep voice batching instead (their groups shard over 'voice').
+
+    # Partition axis of each stage const (graph.make_render_fn reads this
+    # to place 'part' in the PartitionSpec): spectra are [E, A, 2, P, B].
+    const_part_axes = {"hrtf_sr": 3, "hrtf_si": 3}
+
+    def supports_part_sharding(self, mesh) -> bool:
+        from graphaudio_tpu.ops.hrtf import hrir_partition_count
+
+        return (
+            self._custom_hrir is not None
+            and hrir_partition_count(self._custom_hrir.shape[-1]) > 1
+            and mesh is not None
+            and "part" in mesh.shape
+            and int(mesh.shape["part"]) > 1
+        )
+
+    def _padded_parts(self, P: int, mesh) -> int:
+        if not self.supports_part_sharding(mesh):
+            return P
+        n = int(mesh.shape["part"])
+        return -(-P // n) * n
+
+    def stage_consts(self, mesh) -> dict:
+        """Grid spectra as stage ARGUMENTS for the single-stage (part-
+        shardable) path. The partition axis pads with ZERO kernel
+        partitions to the mesh's 'part' size — a zero partition applied to
+        an older input quantum contributes exactly zero."""
+        from graphaudio_tpu.ops.hrtf import hrir_grid_spectra
+
+        grid = self._active_grid(self.context.sample_rate)
+        sr, si = hrir_grid_spectra(grid)  # [E, A, 2, P, B] (P > 1 here)
+        P = sr.shape[-2]
+        Pp = self._padded_parts(P, mesh)
+        if Pp != P:
+            pad = [(0, 0)] * 3 + [(0, Pp - P), (0, 0)]
+            sr = np.pad(sr, pad)
+            si = np.pad(si, pad)
+        return {"hrtf_sr": sr, "hrtf_si": si}
 
     def _active_grid(self, sample_rate):
         """The HRIR grid this panner renders with (per-node custom >
@@ -197,6 +252,10 @@ class SpatialPannerNode(AudioNode):
             "xhigh": np.zeros((c,), np.float32),
         }
         P = hrir_partition_count(grid.shape[-1])
+        # Zero-padded partitions under a 'part' mesh lengthen the ring (the
+        # partition loop reaches back Pp-1 quanta); their contributions are
+        # exactly zero, so the padded and unpadded rings render identically.
+        P = self._padded_parts(P, getattr(self.context, "mesh", None))
         if P > 1:
             # Partitioned-kernel history: packed input spectra plus the
             # source direction (from which the kernel is re-interpolated)
@@ -339,26 +398,35 @@ class SpatialPannerNode(AudioNode):
         mono = jnp.mean(direct, axis=0).reshape(S, FRAMES_PER_BLOCK)
         azimuth = jnp.arctan2(dx, -dz)  # phonon convention: -z is ahead
         elevation = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
-        grid_np = self._active_grid(rc.sample_rate)
-        sr_grid, si_grid = hrir_grid_spectra(grid_np)
+        sc = getattr(rc, "stage_consts", None) or {}
+        part_axis = getattr(rc, "part_axis", None)
+        if "hrtf_sr" in sc:
+            # Single-stage path: spectra travel as stage arguments; under
+            # 'part' sharding each device holds its local partition slab.
+            sr_grid, si_grid = sc["hrtf_sr"], sc["hrtf_si"]
+        else:
+            grid_np = self._active_grid(rc.sample_rate)
+            sr_grid, si_grid = hrir_grid_spectra(grid_np)
         new_state = {}
         if sr_grid.ndim == 5:
             # Measured kernel longer than one exact overlap-add transform:
             # uniformly partitioned per-quantum filter. The kernels of the
             # P-1 quanta preceding this superblock are re-interpolated from
             # the carried directions (2 scalars each) rather than carried
-            # as spectra — one batched interp over P-1+S quanta.
+            # as spectra — one batched interp over P-1+S quanta. P here is
+            # the GLOBAL (ring-sized) partition count; the spectra's own
+            # partition axis may be a device-local shard.
             az_cat = jnp.concatenate([state["haz"], azimuth])
             el_cat = jnp.concatenate([state["hel"], elevation])
             hr = interp_hrir(jnp.asarray(sr_grid), az_cat, el_cat)
             hi = interp_hrir(jnp.asarray(si_grid), az_cat, el_cat)
             wet, new_ring, new_ola = fir_freq_partitioned(
-                mono, hr, hi, state["hx"], state["ola"]
+                mono, hr, hi, state["hx"], state["ola"], part_axis=part_axis
             )
             new_state["hx"] = new_ring
-            P = sr_grid.shape[-2]
-            new_state["haz"] = az_cat[-(P - 1):]
-            new_state["hel"] = el_cat[-(P - 1):]
+            Pm1 = state["haz"].shape[0]  # = global P - 1
+            new_state["haz"] = az_cat[-Pm1:]
+            new_state["hel"] = el_cat[-Pm1:]
         else:
             hr = interp_hrir(jnp.asarray(sr_grid), azimuth, elevation)
             hi = interp_hrir(jnp.asarray(si_grid), azimuth, elevation)

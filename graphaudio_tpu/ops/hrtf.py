@@ -299,7 +299,7 @@ def fir_freq_per_block(x, hr, hi, overlap):
     return jnp.moveaxis(y, 1, 0), second[-1]
 
 
-def fir_freq_partitioned(x, hr_cat, hi_cat, ring_x, overlap):
+def fir_freq_partitioned(x, hr_cat, hi_cat, ring_x, overlap, part_axis=None):
     """Per-quantum stereo HRIR filter for kernels LONGER than one exact
     overlap-add transform (L > 128): uniformly partitioned convolution with
     a time-varying kernel.
@@ -319,11 +319,22 @@ def fir_freq_partitioned(x, hr_cat, hi_cat, ring_x, overlap):
     EXACTLY as one long FIR (to DFT roundoff), and a moving source updates
     the kernel per input block like the reference's per-block HRTF render
     (SpatialPannerNode.cs:250-260).
+
+    ``part_axis``: when running inside ``shard_map`` with the kernel
+    PARTITION axis sharded over that mesh axis, hr_cat/hi_cat carry only
+    this device's P_local partitions (of the padded global P = ring rows
+    + 1); each device MACs its own partitions against the (replicated)
+    input-spectra timeline at its global offsets and a psum completes the
+    spectral accumulation — the distributed form of the static loop below,
+    mirroring the convolver's 'part' sharding.
     """
     from graphaudio_tpu.ops.fft import RealDft
 
     bins = hr_cat.shape[-1]
-    P = hr_cat.shape[-2]
+    P_local = hr_cat.shape[-2]
+    # Global partition count is carried by the ring's STATIC shape (the
+    # ring/timeline are replicated; only the kernel axis shards).
+    P = ring_x.shape[0] + 1
     fft = 2 * (bins - 1)
     S = x.shape[0]
     dft = RealDft(FRAMES_PER_BLOCK, fft)
@@ -331,20 +342,41 @@ def fir_freq_partitioned(x, hr_cat, hi_cat, ring_x, overlap):
     xcat = jnp.concatenate([ring_x, f], axis=0)  # [P-1+S, 2B]
     yr = jnp.zeros((S, 2, bins), x.dtype)
     yi = jnp.zeros((S, 2, bins), x.dtype)
-    # Static unroll over partitions (P <= 8): output quantum s accumulates
-    # X[s-p] * H_p[s-p] — both the input spectrum and the kernel are indexed
-    # at the INPUT time, via two static slices of the concatenated timeline.
-    for p in range(P):
-        xs = jax.lax.slice_in_dim(xcat, P - 1 - p, P - 1 - p + S, axis=0)
+    if part_axis is None:
+        p_base = 0
+    else:
+        # This device's partitions are the contiguous global block
+        # [idx*P_local, (idx+1)*P_local) — PartitionSpec block layout.
+        p_base = jax.lax.axis_index(part_axis) * P_local
+    # Unroll over the LOCAL partitions (P <= 8 globally): output quantum s
+    # accumulates X[s-p] * H_p[s-p] — both the input spectrum and the kernel
+    # are indexed at the INPUT time. Offsets are static single-device and
+    # traced (dynamic slices) under 'part' sharding.
+    for pl in range(P_local):
+        if part_axis is None:
+            start = P - 1 - pl
+            xs = jax.lax.slice_in_dim(xcat, start, start + S, axis=0)
+            hrp = jax.lax.slice_in_dim(
+                hr_cat, start, start + S, axis=0
+            )[:, :, pl]  # [S, 2, B]
+            hip = jax.lax.slice_in_dim(
+                hi_cat, start, start + S, axis=0
+            )[:, :, pl]
+        else:
+            start = (P - 1) - (p_base + pl)  # in [0, P-1]: never clamps
+            xs = jax.lax.dynamic_slice_in_dim(xcat, start, S, axis=0)
+            hrp = jax.lax.dynamic_slice_in_dim(
+                hr_cat, start, S, axis=0
+            )[:, :, pl]
+            hip = jax.lax.dynamic_slice_in_dim(
+                hi_cat, start, S, axis=0
+            )[:, :, pl]
         xr_, xi_ = xs[:, :bins], xs[:, bins:]
-        hrp = jax.lax.slice_in_dim(
-            hr_cat, P - 1 - p, P - 1 - p + S, axis=0
-        )[:, :, p]  # [S, 2, B]
-        hip = jax.lax.slice_in_dim(
-            hi_cat, P - 1 - p, P - 1 - p + S, axis=0
-        )[:, :, p]
         yr = yr + xr_[:, None, :] * hrp - xi_[:, None, :] * hip
         yi = yi + xr_[:, None, :] * hip + xi_[:, None, :] * hrp
+    if part_axis is not None:
+        yr = jax.lax.psum(yr, part_axis)
+        yi = jax.lax.psum(yi, part_axis)
     y_full = dft.inverse_packed(
         jnp.concatenate(
             [yr.reshape(S * 2, bins), yi.reshape(S * 2, bins)], axis=1

@@ -194,3 +194,132 @@ def test_context_mesh_shards_spatial_voices(rng):
     )
     assert spatial_sharded, "spatial-panner group did not shard"
     assert np.abs(out - ref).max() < 1e-6
+
+
+def test_context_part_sharded_hrtf_matches_single_device(rng):
+    """A long measured per-node HRIR's kernel partitions shard over the
+    mesh's 'part' axis (psum-completed spectral MAC, like the convolver's
+    IR partitions) while the voice group shards over 'voice' — and a
+    MOVING source renders identically to the single-device path.
+    Ref: the HRTF render of SpatialPannerNode.cs:250-260, distributed."""
+    from graphaudio_tpu.nodes.spatial import SpatialPannerNode
+
+    sr = 48000
+    r = np.random.default_rng(31)
+    # Measured-like set: 6 directions x 2 ears x 384 taps -> P=3 uniform
+    # 128-tap partitions (pads to the mesh's 'part' size with zero kernels).
+    m_az = np.array([0.0, 60.0, 120.0, 180.0, 240.0, 300.0])
+    m_el = np.array([-30.0, 0.0, 30.0, 0.0, -30.0, 30.0])
+    hrir = (r.standard_normal((6, 2, 384)) * 0.05).astype(np.float32)
+    hrir_set = {
+        "hrir": hrir, "azimuth_deg": m_az, "elevation_deg": m_el,
+        "sample_rate": sr,
+    }
+
+    def build(mesh):
+        ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=4)
+        if mesh is not None:
+            ctx.set_mesh(mesh)
+        ctx.set_listener([0, 0, 0], [0, 0, -1], [0, 1, 0])
+        bus = ga.GainNode(ctx)
+        bus.gain.value = 0.8
+        pan = SpatialPannerNode(ctx)
+        pan.load_hrir(hrir_set)
+        # Moving source: the per-quantum kernel re-interpolates per block.
+        pan.position_x.set_value_at_time(-3.0, 0.0)
+        pan.position_x.linear_ramp_to_value_at_time(3.0, 4096 / sr)
+        pan.position_z.value = -2.0
+        bus.connect(pan).connect(ctx.destination)
+        rr = np.random.default_rng(13)
+        for v in range(8):
+            buf = ga.PlayableAudioBuffer.from_mono_array(
+                (rr.standard_normal(4800) * 0.1).astype(np.float32), sr
+            )
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = buf
+            src.loop = True
+            g = ga.GainNode(ctx)
+            g.gain.value = 1.0 / (v + 1)
+            src.connect(g).connect(bus)
+            src.start(0)
+        return ctx
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs >= 8 devices")
+    mesh = make_mesh(devs[:8])  # voice x part
+    assert mesh.shape["part"] > 1
+    ctx, ref_ctx = build(mesh), build(None)
+    out, ref = ctx.render(2048), ref_ctx.render(2048)
+    part_panner = any(
+        isinstance(ctx._compiled.plan[si]["rep"], SpatialPannerNode)
+        for si in ctx._compiled.part_sharded
+    )
+    assert part_panner, "long-HRIR panner did not part-shard"
+    assert ctx._compiled.sharded_stages, "voice groups did not shard"
+    assert np.abs(out - ref).max() < 1e-5
+    # kernel-ring + overlap continuity across steps under sharding
+    assert np.abs(ctx.render(2048) - ref_ctx.render(2048)).max() < 1e-5
+
+    # Toggling the mesh off mid-life recompiles to the grouped closure path
+    # (ring shrinks Pp-1 -> P-1; migration resets state shape-safely) and
+    # keeps rendering the same scene.
+    ctx.set_mesh(None)
+    out2 = ctx.render(2048)
+    assert np.isfinite(out2).all()
+    assert not ctx._compiled.part_sharded
+
+
+def test_part_sharded_hrtf_exact_partition_split(rng):
+    """HRIR length an exact multiple of 128 x 'part' (512 taps -> P=4 over
+    part=2 or 4): no zero-padding partitions, still matches unsharded."""
+    from graphaudio_tpu.nodes.spatial import SpatialPannerNode
+
+    sr = 48000
+    r = np.random.default_rng(41)
+    hrir_set = {
+        "hrir": (r.standard_normal((4, 2, 512)) * 0.05).astype(np.float32),
+        "azimuth_deg": np.array([0.0, 90.0, 180.0, 270.0]),
+        "elevation_deg": np.zeros(4),
+        "sample_rate": sr,
+    }
+
+    def build(mesh):
+        ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=4)
+        if mesh is not None:
+            ctx.set_mesh(mesh)
+        ctx.set_listener([0, 0, 0], [0, 0, -1], [0, 1, 0])
+        rr = np.random.default_rng(5)
+        osc = ga.OscillatorNode(ctx)
+        osc.frequency.value = 220.0
+        pan = SpatialPannerNode(ctx)
+        pan.load_hrir(hrir_set, length=512)
+        pan.position_x.value = 1.5
+        pan.position_z.value = -1.0
+        osc.connect(pan).connect(ctx.destination)
+        osc.start(0)
+        # a voice group so the mesh path engages
+        for v in range(8):
+            buf = ga.PlayableAudioBuffer.from_mono_array(
+                (rr.standard_normal(2400) * 0.05).astype(np.float32), sr
+            )
+            src = ga.AudioBufferSourceNode(ctx)
+            src.buffer = buf
+            src.loop = True
+            src.connect(ctx.destination)
+            src.start(0)
+        return ctx
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs >= 8 devices")
+    mesh = make_mesh(devs[:8])
+    if mesh.shape["part"] not in (2, 4):
+        pytest.skip("needs part axis of 2 or 4")
+    ctx, ref_ctx = build(mesh), build(None)
+    out, ref = ctx.render(2048), ref_ctx.render(2048)
+    assert any(
+        isinstance(ctx._compiled.plan[si]["rep"], SpatialPannerNode)
+        for si in ctx._compiled.part_sharded
+    )
+    assert np.abs(out - ref).max() < 1e-5
