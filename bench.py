@@ -16,8 +16,8 @@ runs ~1000x realtime), and ADPCM is ~3.9x fewer bytes than the int16 PCM the
 reference's device path ships (AudioContextBase.cs:88-161 — interleaved PCM;
 this is its link-constrained generalization, same rendered signal packed
 tighter; round-trip is bit-exact vs the native gacodec decoder, see
-tests/test_wire.py). The headline value is steady-state throughput over a
-~2-minute render (same compiled program as the 30 s one — steps stay a
+tests/test_wire.py). The headline value is steady-state throughput over an
+~8-minute render (same compiled program as the 30 s one — steps stay a
 multiple of the launch-chunk schedule): each render CALL pays a fixed
 ~27 ms link round trip + ~8 ms host dispatch (link_semantics.json) that is
 per-call overhead, not renderer speed, and over 30 s of audio that fixed
@@ -112,16 +112,16 @@ def main():
     # Both durations are reported (wall_seconds_30s below keeps the short
     # render's figures; the spread across runs captures link weather).
     steps_30s = frames // frames_per_step
-    steady_mult = int(os.environ.get("GA_BENCH_STEADY_MULT", "8"))
+    steady_mult = int(os.environ.get("GA_BENCH_STEADY_MULT", "16"))
     frames_steady = frames * steady_mult
     # At the steady length the schedule trade-off shifts: chunk-35 (tuned
-    # for the 30 s render's 5 chunks) means 40 launches whose ~2-3 ms
-    # dispatch RPCs contend with the streaming pull, and its best walls
-    # only land in lucky link episodes. chunk-140 (10 chunks) measured
-    # 793x vs 583x for chunk-35 with a far tighter spread
-    # (benchmarks/results/steady_chunk_sched.json); chunk-280 loses again
-    # (first-chunk compute exposure outgrows the dispatch saving).
-    steady_sched = os.environ.get("GA_BENCH_STEADY_CHUNK", "140")
+    # for the 30 s render's 5 chunks) means many launches whose ~2-3 ms
+    # dispatch RPCs contend with the streaming pull. The length x schedule
+    # sweep (benchmarks/results/steady_len.json) picked mult-16 (~8 min)
+    # with chunk-280 (10 chunks): 822x best wall vs 725x at the previous
+    # mult-8/chunk-140; mult-32 amortizes further in the best episode but
+    # its walls span link episodes and the spread blows up.
+    steady_sched = os.environ.get("GA_BENCH_STEADY_CHUNK", "280")
     short_sched = os.environ["GA_RENDER_CHUNK"]
     os.environ["GA_RENDER_CHUNK"] = steady_sched
     ctx.render_adpcm(frames_steady)  # warmup this chunk count once

@@ -75,6 +75,10 @@ PROBES = {
         "steady_chunk_sched",
         "launch-chunk schedule at the STEADY (4-min) render length",
     ),
+    "steady-len": (
+        "steady_len",
+        "steady-render LENGTH sweep (per-call overhead amortization)",
+    ),
 }
 
 
