@@ -33,6 +33,8 @@ import time
 
 import numpy as np
 
+from benchmarks.artifacts import clean_breakdown
+
 
 import os
 
@@ -102,13 +104,13 @@ def main():
     rendered_seconds = frames / SR
     xrt = rendered_seconds / elapsed
 
-    # Headline: steady-state throughput over a 4x-longer render (same
-    # compiled scan length — steps stay a multiple of the chunk schedule).
-    # A render call pays a FIXED ~27 ms link round trip + ~8 ms of host
-    # dispatch (benchmarks/results/link_semantics.json) regardless of
-    # duration; over 30 s of audio that fixed cost is ~half the wall, which
-    # measures the link, not the renderer. The long render amortizes it:
-    # throughput = what the renderer sustains once bytes are streaming.
+    # Headline: steady-state throughput over a 16x-longer (~8 min) render
+    # (same compiled scan length — steps stay a multiple of the chunk
+    # schedule). A render call pays a FIXED ~27 ms link round trip + ~8 ms
+    # of host dispatch (benchmarks/results/link_semantics.json) regardless
+    # of duration; over 30 s of audio that fixed cost is ~half the wall,
+    # which measures the link, not the renderer. The long render amortizes
+    # it: throughput = what the renderer sustains once bytes are streaming.
     # Both durations are reported (wall_seconds_30s below keeps the short
     # render's figures; the spread across runs captures link weather).
     steps_30s = frames // frames_per_step
@@ -123,7 +125,7 @@ def main():
     # its walls span link episodes and the spread blows up.
     steady_sched = os.environ.get("GA_BENCH_STEADY_CHUNK", "280")
     short_sched = os.environ["GA_RENDER_CHUNK"]
-    os.environ["GA_RENDER_CHUNK"] = steady_sched
+    ctx.chunk_schedule = steady_sched  # per-context override, env untouched
     ctx.render_adpcm(frames_steady)  # warmup this chunk count once
     n_runs_steady = int(os.environ.get("GA_BENCH_RUNS_STEADY", "12"))
     # Link-rate episodes shift on a tens-of-seconds scale; wider gaps here
@@ -142,15 +144,11 @@ def main():
         if not walls_steady or w < min(walls_steady):
             breakdown_steady = dict(ctx.stats.last_breakdown)
         walls_steady.append(w)
-    os.environ["GA_RENDER_CHUNK"] = short_sched
+    ctx.chunk_schedule = None  # later phases fall back to GA_RENDER_CHUNK
     elapsed_steady = min(walls_steady)
     rendered_steady = frames_steady / SR
     xrt_steady = rendered_steady / elapsed_steady
-    breakdown_steady = {
-        k: (round(v, 4) if isinstance(v, float) else v)
-        for k, v in breakdown_steady.items()
-        if not k.startswith("chunk_")
-    }
+    breakdown_steady = clean_breakdown(breakdown_steady)
 
     # pcm16 delivery (lossless wire): best of 3 for the artifact.
     walls_pcm16 = []
@@ -162,11 +160,7 @@ def main():
         walls_pcm16.append(time.perf_counter() - t0)
     elapsed_pcm16 = min(walls_pcm16)
     # Per-chunk lists compress to totals for the artifact.
-    breakdown = {
-        k: (round(v, 4) if isinstance(v, float) else v)
-        for k, v in breakdown.items()
-        if not k.startswith("chunk_")
-    }
+    breakdown = clean_breakdown(breakdown)
 
     # f32 path: same compiled program minus the pack stage; timed for
     # comparison (twice the wire bytes).

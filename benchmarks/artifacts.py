@@ -9,6 +9,17 @@ import os
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 
 
+def clean_breakdown(bd: dict) -> dict:
+    """Compress a RenderStats breakdown for a committed artifact: round
+    floats, drop the verbose per-chunk lists. One shared implementation so
+    bench.py and every probe emit the same artifact format."""
+    return {
+        k: (round(v, 4) if isinstance(v, float) else v)
+        for k, v in bd.items()
+        if not k.startswith("chunk_")
+    }
+
+
 def write_artifact(name: str, results) -> bool:
     """Write results/<name>.json iff this process is running on the real
     accelerator. Returns True when written."""

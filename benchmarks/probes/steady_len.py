@@ -58,7 +58,7 @@ def main() -> None:
         for sched in args.scheds.split(","):
             sched = sched.strip()
             assert n_steps % int(sched) == 0, (sched, n_steps)
-            os.environ["GA_RENDER_CHUNK"] = sched
+            ctx.chunk_schedule = sched
             t_c = time.perf_counter()
             ctx.render_adpcm(frames_steady)  # compile/warm this geometry
             warm_s = time.perf_counter() - t_c
@@ -72,11 +72,9 @@ def main() -> None:
                 walls.append(round(w, 4))
                 if w < best:
                     best, bd = w, dict(ctx.stats.last_breakdown)
-            bd = {
-                k: (round(v, 4) if isinstance(v, float) else v)
-                for k, v in bd.items()
-                if not k.startswith("chunk_")
-            }
+            from benchmarks.artifacts import clean_breakdown
+
+            bd = clean_breakdown(bd)
             case = {
                 "rendered_s": rendered_s,
                 "best_wall_s": round(best, 4),

@@ -672,7 +672,17 @@ class AudioContextBase:
             elif isinstance(override, str):
                 raw = override
             else:  # iterable of ints
-                raw = ",".join(str(int(c)) for c in override)
+                try:
+                    raw = ",".join(str(int(c)) for c in override)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        "chunk_schedule must be an int, a comma-separated "
+                        "string, or an iterable of positive integers; got "
+                        f"{override!r}"
+                    ) from None
+                # Materialize one-shot iterables (a generator would be
+                # exhausted by this join and break the NEXT render call).
+                self.chunk_schedule = raw
         else:
             raw = _os.environ.get("GA_RENDER_CHUNK", "64")
         try:

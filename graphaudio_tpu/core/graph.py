@@ -1473,7 +1473,13 @@ class CompiledGraph:
         sample arena and single-node state replicated), voices mix locally,
         and each whole-group fan-in finishes with one psum over ICI.
         """
-        sharded = self.mesh is not None and bool(self.sharded_stages)
+        # Part-sharded singles engage shard_map even when no voice group
+        # shards (e.g. a lone long-HRIR panner): otherwise part_sharded
+        # would report a distribution that silently never ran.
+        sharded = self.mesh is not None and bool(
+            self.sharded_stages or self.part_sharded
+        )
+        self.render_sharded = sharded  # introspection: did shard_map engage
         step, dest_channels = self.make_step_fn(
             axis_name="voice" if sharded else None,
             part_axis="part" if sharded and self.part_sharded else None,

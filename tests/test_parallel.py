@@ -323,3 +323,47 @@ def test_part_sharded_hrtf_exact_partition_split(rng):
         for si in ctx._compiled.part_sharded
     )
     assert np.abs(out - ref).max() < 1e-5
+
+
+def test_part_only_sharding_engages_shard_map(rng):
+    """A part-shardable single with NO shardable voice groups still runs
+    inside shard_map (part_sharded must never report a distribution that
+    silently fell back to single-device) and matches unsharded."""
+    from graphaudio_tpu.nodes.spatial import SpatialPannerNode
+
+    sr = 48000
+    r = np.random.default_rng(53)
+    hrir_set = {
+        "hrir": (r.standard_normal((4, 2, 384)) * 0.05).astype(np.float32),
+        "azimuth_deg": np.array([0.0, 90.0, 180.0, 270.0]),
+        "elevation_deg": np.zeros(4),
+        "sample_rate": sr,
+    }
+
+    def build(mesh):
+        ctx = ga.OfflineAudioContext(sample_rate=sr, superblock=4)
+        if mesh is not None:
+            ctx.set_mesh(mesh)
+        ctx.set_listener([0, 0, 0], [0, 0, -1], [0, 1, 0])
+        osc = ga.OscillatorNode(ctx)  # lone voice: no shardable group
+        osc.frequency.value = 440.0
+        pan = SpatialPannerNode(ctx)
+        pan.load_hrir(hrir_set)
+        pan.position_x.value = 2.0
+        pan.position_z.value = -1.0
+        osc.connect(pan).connect(ctx.destination)
+        osc.start(0)
+        return ctx
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs >= 8 devices")
+    mesh = make_mesh(devs[:8])
+    ctx, ref_ctx = build(mesh), build(None)
+    out, ref = ctx.render(2048), ref_ctx.render(2048)
+    assert ctx._compiled.part_sharded
+    assert not ctx._compiled.sharded_stages
+    assert ctx._compiled.render_sharded, (
+        "part-only plan fell back to single-device execution"
+    )
+    assert np.abs(out - ref).max() < 1e-5

@@ -262,6 +262,29 @@ def test_context_chunk_schedule_attribute(monkeypatch):
         ctx.render(4 * 128)
 
 
+def test_context_chunk_schedule_generator_and_bad_types(monkeypatch):
+    """A one-shot iterable is materialized on first use (the SECOND render
+    must not see an exhausted generator), and non-int/str/iterable values
+    raise the documented ValueError, not a raw TypeError."""
+    import pytest
+
+    frames = 7 * 4 * 128
+    ref_ctx = _sine_context()
+    ref1, ref2 = ref_ctx.render(frames), ref_ctx.render(frames)
+    monkeypatch.setenv("GA_RENDER_CHUNK", "1000")
+    ctx = _sine_context()
+    ctx.chunk_schedule = (c for c in (1, 2))
+    np.testing.assert_array_equal(ctx.render(frames), ref1)
+    assert ctx.chunk_schedule == "1,2"  # normalized, reusable
+    np.testing.assert_array_equal(ctx.render(frames), ref2)
+    assert ctx.stats.last_breakdown["n_chunks"] == 4
+    for bad in (2.5, object()):
+        ctx = _sine_context()
+        ctx.chunk_schedule = bad
+        with pytest.raises(ValueError, match="chunk_schedule"):
+            ctx.render(4 * 128)
+
+
 def test_render_pcm16_after_f32_carry():
     """f32-carried frames quantize on host with the same formula."""
     ctx = _sine_context()
